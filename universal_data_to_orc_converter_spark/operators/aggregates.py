@@ -1,0 +1,227 @@
+"""Aggregations — SURVEY.md §2.D.
+
+The only aggregate in the reference is the COUNT(*) pre-pass that sizes
+its chunk loop (data_to_orc_converter.sh:216); the full surface is the
+README's analytical promise. All aggregates here are hash aggregates
+with map-side partial aggregation — at 100 TB the shuffle carries one
+partial row per (task × group), not the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..exprs import davg, dsum, revenue, sql_davg, sql_dsum
+from ..registry import query
+
+
+@query(
+    "op_row_count",
+    oracle="SELECT COUNT(*) AS n_rows FROM lineitem",
+    tags=("agg",),
+)
+def op_row_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's one true aggregate (sh:216). In a DSv2 source
+    this pushes down to metadata; on parquet it reads only footers."""
+    return load(spark, sf_dir, "lineitem").agg(F.count("*").alias("n_rows"))
+
+
+@query(
+    "op_agg_global",
+    oracle=f"""
+        SELECT COUNT(*) AS n_rows,
+               {sql_dsum("l_quantity", "sum_qty")},
+               {sql_davg("l_extendedprice", "avg_price")},
+               MIN(l_extendedprice) AS min_price,
+               MAX(l_extendedprice) AS max_price
+        FROM lineitem
+    """,
+    tags=("agg",),
+)
+def op_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped aggregate: partials per partition, single-row final."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        dsum(F.col("l_quantity"), "sum_qty"),
+        davg(F.col("l_extendedprice"), "avg_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@query(
+    "op_agg_groupby",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_dsum("l_quantity", "sum_qty")},
+               {sql_dsum("l_extendedprice", "sum_base_price")},
+               {sql_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+               {sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+               {sql_davg("l_quantity", "avg_qty")},
+               {sql_davg("l_extendedprice", "avg_price")},
+               {sql_davg("l_discount", "avg_disc")},
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+    notes="TPC-H Q1 pricing summary — the canonical wide-agg scan.",
+    tags=("agg", "flagship"),
+)
+def op_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: one scan, 8 aggregates, tiny
+    group cardinality — the ideal map-side-combine workload."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+    )
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(revenue().cast("double"), "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg(F.col("l_quantity"), "avg_qty"),
+            davg(F.col("l_extendedprice"), "avg_price"),
+            davg(F.col("l_discount"), "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "op_agg_count_distinct",
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(DISTINCT o_custkey) AS n_customers,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("agg",),
+)
+def op_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count (expand + two-phase agg). At 100 TB prefer
+    op_agg_approx_distinct unless exactness is contractual."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "op_agg_approx_distinct",
+    oracle=None,
+    notes="HyperLogLog++ sketch — approximate by construction, so no "
+    "SQL oracle; rows-only check. Deterministic for a fixed input "
+    "partitioning. Validated in tests against exact count (rsd bound).",
+    tags=("agg", "approx"),
+)
+def op_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++, rsd=0.01): constant memory per
+    group — the 100 TB-safe distinct count."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers")
+    )
+
+
+@query(
+    "op_agg_rollup",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               {sql_dsum("l_quantity", "sum_qty")}
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def op_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals; grouped-out keys surface as NULL in both
+    engines."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"), dsum(F.col("l_quantity"), "sum_qty")
+    )
+
+
+@query(
+    "op_agg_cube",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               {sql_dsum("l_quantity", "sum_qty")}
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def op_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping-key combinations (2^k grouping sets)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"), dsum(F.col("l_quantity"), "sum_qty")
+    )
+
+
+@query(
+    "op_agg_gsets",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               {sql_dsum("l_quantity", "sum_qty")}
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("agg",),
+)
+def op_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via Spark SQL (the DataFrame API exposes
+    only rollup/cube; GROUPING SETS is SQL-level in both engines)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "op_agg_having",
+    oracle=f"""
+        SELECT o_custkey,
+               {sql_dsum("o_totalprice", "total_spent")},
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_custkey
+        HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) > 400000.0
+    """,
+    tags=("agg",),
+)
+def op_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING) — a filter above the agg node;
+    Catalyst cannot push it below, but the agg output is already tiny."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            dsum(F.col("o_totalprice"), "total_spent"),
+            F.count("*").alias("n_orders"),
+        )
+        .filter(F.col("total_spent") > 400000.0)
+    )

@@ -1,0 +1,239 @@
+"""Deduplication — SURVEY.md §2.I (EXT: LLM-training-data pipeline).
+
+Four dedup families over ``documents``:
+
+* **exact** — content hash (sha256) group-by; one shuffle on the hash.
+* **n-gram Jaccard** — exact near-dup on 3-word shingles; the inverted
+  -index join (explode shingles → join on shingle) is the scalable
+  shape: candidate generation touches only docs sharing a shingle,
+  never the full cross product.
+* **MinHash + LSH** — sub-quadratic near-dup: 32 deterministic minhash
+  permutations (seeded xxhash64) → 8 bands × 4 rows → docs colliding in
+  any band are candidates → exact Jaccard verification. At 100 TB the
+  banding join is the only shuffle and each bucket is tiny.
+* **SimHash** — 64-bit signature from token hashes; Hamming-band join.
+
+Only the first two are SQL-expressible; the LSH/SimHash signatures
+depend on Spark's xxhash64, so those queries are declared rows-only
+(deterministic: fixed seeds, no RNG).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+from .textprep import shingles, tokens
+
+
+@query(
+    "op_dedup_exact",
+    oracle="""
+        SELECT sha256(text) AS content_hash,
+               MIN(doc_id) AS keeper_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY sha256(text)
+    """,
+    tags=("dedup",),
+)
+def op_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as hash-groupBy keeping the smallest doc_id.
+    Deterministic keeper choice (unlike dropDuplicates, which keeps an
+    arbitrary row); the shuffle key is the 32-byte digest, not the
+    document body, so 100 TB of text shuffles only ids + digests."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.sha2("text", 256).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "op_dedup_ngram_jaccard",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(
+                   CASE WHEN len(t) >= 3
+                        THEN list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                        ELSE [array_to_string(t, ' ')]
+                   END) AS s
+          FROM toks
+        ),
+        ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(c.n_shared AS DOUBLE)
+                   / (len(sa.s) + len(sb.s) - c.n_shared) AS jaccard
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+        WHERE CAST(c.n_shared AS DOUBLE)
+                  / (len(sa.s) + len(sb.s) - c.n_shared) >= 0.7
+    """,
+    notes="Exact 3-gram-shingle Jaccard ≥ 0.7 via inverted-index join. "
+    "The jaccard value is an integer/integer double division — exact "
+    "on both engines.",
+    tags=("dedup",),
+)
+def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact shingle Jaccard. Candidate pairs
+    come from an inverted index (explode shingles, self-join on
+    shingle), so cost is Σ bucket² over shared shingles — not n²."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", shingles(tokens(F.col("text"))).alias("s")
+    )
+    ex = sh.select("doc_id", F.explode("s").alias("shingle"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.size("s").alias("size_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.size("s").alias("size_b"))
+    jac = F.col("n_shared").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_shared")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.7)
+    )
+
+
+#: MinHash parameters: 32 permutations in 8 bands of 4 ⇒ pairs with
+#: Jaccard ~0.7 collide in ≥1 band with probability ~0.97.
+_NUM_PERM = 32
+_BANDS = 8
+_ROWS_PER_BAND = _NUM_PERM // _BANDS
+
+
+@query(
+    "op_dedup_minhash_lsh",
+    oracle=None,
+    notes="MinHash signatures are Spark-xxhash64-based (seeded, fully "
+    "deterministic — no RNG), so no SQL oracle; rows-only check. "
+    "Recall vs the exact op_dedup_ngram_jaccard pairs is asserted in "
+    "tests/test_dedup.py.",
+    tags=("dedup", "approx"),
+)
+def op_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: signature → band → bucket-join →
+    exact-Jaccard verify. The full-document shingle sets never shuffle;
+    only (band_id, band_hash, doc_id) triples do. This is the operator
+    that replaces op_dedup_ngram_jaccard's inverted index when even
+    Σ bucket² is too large (very common shingles at web scale)."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select("doc_id", shingles(tokens(F.col("text"))).alias("s"))
+
+    def perm_hash(p: int):
+        # single-arg lambda factory: a two-arg lambda would make Spark
+        # pass the array index as the second argument
+        return lambda x: F.xxhash64(F.lit(p), x)
+
+    sig_cols = [
+        F.array_min(F.transform(F.col("s"), perm_hash(p))).alias(f"mh{p}")
+        for p in range(_NUM_PERM)
+    ]
+    sig = sh.select("doc_id", "s", *sig_cols)
+
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[F.col(f"mh{b * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)],
+            )
+            for b in range(_BANDS)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", "s", F.posexplode(band_hashes).alias("band_id", "band_hash")
+    )
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.s").alias("s_a"),
+            F.col("b.s").alias("s_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = F.size(F.array_intersect("s_a", "s_b")).cast("double") / F.size(
+        F.array_union("s_a", "s_b")
+    )
+    return (
+        cand.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.7)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "op_dedup_simhash",
+    oracle=None,
+    notes="SimHash signatures depend on Spark xxhash64 (deterministic, "
+    "seedless hashing of tokens) — rows-only check.",
+    tags=("dedup", "approx"),
+)
+def op_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document: each token hashes to 64 bits; bit b
+    of the signature is the majority vote of token bits. Near-dup
+    candidates collide on one of four 16-bit chunks (Hamming ≤ 3 check
+    would follow in a pair stage; the signature table itself is the
+    reusable artifact). Pure higher-order-function expressions."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens(F.col("text")))
+    h = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_test(bit: int):
+        return lambda x: F.shiftright(x, bit).bitwiseAND(1) == 1
+
+    def bit_count(bit: int):
+        return F.size(F.filter(F.col("th"), bit_test(bit)))
+
+    sig = None
+    df = d.select("doc_id", h.alias("th"))
+    for bit in range(64):
+        bit_set = (bit_count(bit) * 2 >= F.size(F.col("th"))).cast("long")
+        term = F.shiftleft(bit_set, bit)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    out = df.select("doc_id", sig.alias("simhash"))
+    chunks = [
+        F.shiftright(F.col("simhash"), 16 * i).bitwiseAND((1 << 16) - 1).alias(f"chunk{i}")
+        for i in range(4)
+    ]
+    return out.select("doc_id", "simhash", *chunks).orderBy("doc_id")

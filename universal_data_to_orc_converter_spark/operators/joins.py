@@ -1,0 +1,281 @@
+"""Joins — SURVEY.md §2.C.
+
+The reference implements zero joins (its output is consumed by
+Presto/Spark, README.md:211-219, which is where joins happen). Here they
+are first-class, with the physical strategy chosen for 100 TB:
+
+* dimension tables (region/nation/supplier/part/customer) are
+  **broadcast** — no shuffle of the fact side;
+* fact ⋈ fact equi-joins are sort-merge with AQE skew splitting;
+* the only nested-loop join is against a tiny literal bounds table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..exprs import SQL_REVENUE, dsum, revenue, sql_dsum
+from ..registry import query
+
+
+@query(
+    "flagship_revenue_by_nation",
+    oracle=f"""
+        SELECT n.n_name,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+               COUNT(*) AS n_items
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    headline=True,
+    notes="Flagship: scan+filter+3 joins+agg+sort in one plan. "
+    "customer/nation broadcast; lineitem⋈orders sort-merge under AQE.",
+    tags=("join", "agg", "flagship"),
+)
+def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation over a 2-year order window.
+
+    Plan shape at scale: lineitem (100 TB) ⋈ orders (10 TB) shuffles on
+    orderkey once; customer and nation ride along as broadcasts, so no
+    further shuffle until the final 25-group aggregate (partial agg
+    map-side, exchange of 25 rows)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue(), "revenue"), F.count("*").alias("n_items"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@query(
+    "op_join_broadcast",
+    oracle=f"""
+        SELECT r.r_name,
+               COUNT(*) AS n_customers,
+               {sql_dsum("c.c_acctbal", "total_acctbal")}
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+    tags=("join",),
+)
+def op_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast dims: customers rolled up to region. Both dims
+    broadcast — zero shuffles before the 5-group aggregate."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum(F.col("c_acctbal"), "total_acctbal"),
+        )
+    )
+
+
+@query(
+    "op_join_shuffle",
+    oracle=f"""
+        SELECT o.o_orderstatus,
+               {sql_dsum("l.l_quantity", "sum_qty")},
+               COUNT(*) AS n_rows
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderstatus
+    """,
+    tags=("join",),
+)
+def op_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large ⋈ large equi-join (lineitem ⋈ orders): sort-merge join,
+    one shuffle on the join key each side. At 100 TB this is the join
+    to co-locate via bucketing on orderkey, which removes both
+    exchanges (see sinks/orc.py bucketed-write helper)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(dsum(F.col("l_quantity"), "sum_qty"), F.count("*").alias("n_rows"))
+    )
+
+
+@query(
+    "op_join_outer",
+    oracle="""
+        SELECT c.c_custkey,
+               COUNT(o.o_orderkey) AS n_orders,
+               CAST(SUM(CAST(COALESCE(o.o_totalprice, 0.0) AS DECIMAL(18,6))) AS DOUBLE)
+                   AS total_spent
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    """,
+    tags=("join",),
+)
+def op_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders —
+    COUNT(col) skips the nulls the outer side introduces."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum(F.coalesce(F.col("o_totalprice"), F.lit(0.0)), "total_spent"),
+        )
+    )
+
+
+@query(
+    "op_join_semi",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+    """,
+    tags=("join",),
+)
+def op_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join: emits each matching left row once,
+    never widens the row, and the right side only ships its join key."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "op_join_anti",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def op_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join (customers with no orders)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "op_join_theta",
+    oracle="""
+        SELECT b.bucket, COUNT(*) AS n_events
+        FROM events e
+        JOIN (VALUES ('low', 0.0, 5.0),
+                     ('mid', 5.0, 15.0),
+                     ('high', 15.0, 1e9)) AS b(bucket, lo, hi)
+          ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY b.bucket
+    """,
+    tags=("join",),
+)
+def op_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range (non-equi) join against a tiny bounds table —
+    BroadcastNestedLoopJoin. Safe at scale only because the build side
+    is O(1) rows; a large-large range join should be rewritten as a
+    bucketized equi-join instead (see op_join_range_bucketized)."""
+    e = load(spark, sf_dir, "events")
+    b = spark.createDataFrame(
+        [("low", 0.0, 5.0), ("mid", 5.0, 15.0), ("high", 15.0, 1e9)],
+        "bucket string, lo double, hi double",
+    )
+    return (
+        e.join(
+            F.broadcast(b),
+            (e.value >= b.lo) & (e.value < b.hi),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@query(
+    "op_join_range_bucketized",
+    oracle="""
+        SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_richer_customers
+        FROM supplier s
+        JOIN customer c
+          ON s.s_nationkey = c.c_nationkey
+         AND s.s_acctbal < c.c_acctbal
+        GROUP BY s.s_suppkey, s.s_name
+    """,
+    tags=("join",),
+)
+def op_join_range_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + range residual: Catalyst hashes on the equi key
+    (nationkey) and applies the range as a post-join filter — the
+    scalable shape for mixed predicates (no nested loop)."""
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    return (
+        s.join(
+            c,
+            (s.s_nationkey == c.c_nationkey) & (s.s_acctbal < c.c_acctbal),
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("n_richer_customers"))
+    )
+
+
+@query(
+    "op_join_multiway",
+    oracle=f"""
+        SELECT r.r_name,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+        FROM region r
+        JOIN nation n   ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o   ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY r.r_name
+    """,
+    tags=("join",),
+)
+def op_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-table star join; Catalyst reorders so the broadcasts happen
+    after the single fact-fact shuffle."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(dsum(revenue(), "revenue"))
+    )

@@ -1,0 +1,107 @@
+"""Multimodal columns — SURVEY.md §2.I (EXT).
+
+Posture: image/audio/video payloads are opaque ``binary`` columns with
+typed metadata travelling beside them. The Spark-side plumbing —
+BinaryType schema, Arrow batch shape through ``mapInPandas``, sinking
+binary to ORC — is real and tested; the actual media decode is stubbed
+(no image/audio libraries in this environment) behind a deterministic
+fake, exactly as a production pipeline stubs decoders in unit tests.
+
+The fixtures carry no binary column, so the payload is derived
+(UTF-8-encoded document text) — the plumbing is identical to real media
+bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+
+@query(
+    "op_multimodal_meta",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+               sha256(text) AS payload_sha256
+        FROM documents
+    """,
+    tags=("multimodal",),
+)
+def op_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata pass: byte length + content digest over a
+    BinaryType payload. At scale this is the dedup/integrity layer for
+    media blobs — the bytes never leave the executor."""
+    d = load(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("bigint").alias("payload_bytes"),
+        F.sha2(payload, 256).alias("payload_sha256"),
+    )
+
+
+@query(
+    "op_multimodal_decode",
+    oracle="""
+        SELECT doc_id,
+               CAST(('0x' || substr(sha256(text), 1, 4)) AS BIGINT) % 960 + 64
+                   AS width,
+               CAST(('0x' || substr(sha256(text), 5, 4)) AS BIGINT) % 960 + 64
+                   AS height,
+               CASE CAST(('0x' || substr(sha256(text), 9, 2)) AS BIGINT) % 3
+                 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp'
+               END AS format
+        FROM documents
+    """,
+    notes="Decode step is a STUB (no media libs in this container): a "
+    "deterministic fake derives width/height/format from the payload "
+    "digest inside an Arrow-batched mapInPandas — the batch shape, "
+    "schema, and partitioning are the real plumbing. The oracle "
+    "replicates the fake's arithmetic, so even the stub is "
+    "hash-checked.",
+    tags=("multimodal", "udf"),
+)
+def op_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Decode' binary payloads to image metadata via mapInPandas.
+
+    A real deployment swaps the body of ``fake_decode`` for PIL/ffmpeg
+    calls; signature, schema, and batching are unchanged. Raises
+    NotImplementedError only if asked for real pixel output."""
+    import hashlib
+
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def fake_decode(batches):
+        for pdf in batches:
+            payloads = [t.encode("utf-8") for t in pdf["text"]]
+            digests = [hashlib.sha256(p).hexdigest() for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": [int(h[0:4], 16) % 960 + 64 for h in digests],
+                    "height": [int(h[4:8], 16) % 960 + 64 for h in digests],
+                    "format": [
+                        ("png", "jpeg", "webp")[int(h[8:10], 16) % 3]
+                        for h in digests
+                    ],
+                }
+            )
+
+    return d.mapInPandas(
+        fake_decode, "doc_id long, width long, height long, format string"
+    )
+
+
+def decode_image(payload: bytes) -> "bytes":
+    """Real media decode — requires PIL/opencv, absent in this
+    environment by design."""
+    raise NotImplementedError(
+        "media decoding libraries are not available in this container; "
+        "op_multimodal_decode uses the deterministic stub instead"
+    )

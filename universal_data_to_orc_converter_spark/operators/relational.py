@@ -1,0 +1,109 @@
+"""Projections and filters — SURVEY.md §2.B.
+
+Reference basis: the converter only ever does ``SELECT *``
+(data_to_orc_converter.sh:236); column pruning and row predicates are
+the README's promise over the ORC output ("only read necessary data",
+README.md:18; ``WHERE age > 25`` Presto example, README.md:218).
+
+Scale posture: all of these are pure Catalyst — the projection and the
+predicates push down into the columnar scan (``ReadSchema`` /
+``PushedFilters`` in the physical plan), so at 100 TB the scan reads
+only the referenced columns and skips row groups via min/max stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+
+@query(
+    "op_project",
+    oracle="SELECT p_partkey, p_name, p_retailprice FROM part",
+    tags=("projection",),
+)
+def op_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column pruning: a 3-column projection of part. The physical plan
+    must show ReadSchema with exactly these columns."""
+    return load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_retailprice")
+
+
+@query(
+    "op_select_star",
+    oracle="SELECT * FROM nation",
+    tags=("projection",),
+)
+def op_select_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full projection — the only projection the reference itself performs
+    (SELECT * at data_to_orc_converter.sh:236)."""
+    return load(spark, sf_dir, "nation").select("*")
+
+
+@query(
+    "op_filter",
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE c_acctbal > 5000.0
+    """,
+    tags=("filter",),
+)
+def op_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple comparison predicate (the README's WHERE age > 25 shape).
+    Pushes down to the parquet/ORC scan as a gt filter."""
+    return (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000.0)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@query(
+    "op_filter_compound",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE ((o_orderstatus = 'O' AND o_totalprice BETWEEN 10000.0 AND 100000.0)
+               OR o_orderpriority IN ('1-URGENT', '2-HIGH'))
+          AND NOT (o_orderstatus = 'P')
+          AND o_totalprice IS NOT NULL
+    """,
+    tags=("filter",),
+)
+def op_filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND / OR / NOT / IN / BETWEEN / IS NULL predicate surface."""
+    o = load(spark, sf_dir, "orders")
+    pred = (
+        (
+            ((F.col("o_orderstatus") == "O") & F.col("o_totalprice").between(10000.0, 100000.0))
+            | F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        )
+        & ~(F.col("o_orderstatus") == "P")
+        & F.col("o_totalprice").isNotNull()
+    )
+    return o.filter(pred).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+
+
+@query(
+    "op_filter_date",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+    """,
+    tags=("filter",),
+)
+def op_filter_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-range predicate — the shape partition pruning keys on
+    when the table is date-partitioned at scale."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")

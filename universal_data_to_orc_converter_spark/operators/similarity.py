@@ -1,0 +1,165 @@
+"""Similarity search over embeddings — SURVEY.md §2.I (EXT).
+
+Two tiers, mirroring how a 100 TB pipeline actually runs ANN:
+
+* **brute-force cosine top-k** (the correctness baseline): query
+  vectors broadcast against the corpus; the dot product is a JVM
+  higher-order function (`zip_with` + `aggregate`), no Python in the
+  loop. Cost O(|corpus| · |queries| · dim) — fine for small query sets,
+  the oracle for everything else.
+* **LSH-bucketed ANN** (the scale path): normalized vectors hashed by
+  random hyperplanes (BucketedRandomProjectionLSH, fixed seed), join
+  only within buckets. Sub-linear candidate generation; recall is
+  checked against the brute-force baseline in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+_N_QUERY_VECS = 3
+_TOP_K = 10
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double, accumulated left-to-right in index order (the
+    same order DuckDB's list_dot_product uses, so results match
+    bit-for-bit)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@query(
+    "op_sim_topk",
+    oracle=f"""
+        WITH q AS (
+          SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+          FROM embeddings WHERE vec_id < {_N_QUERY_VECS}
+        ),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        scored AS (
+          SELECT q.q_id, e.vec_id,
+                 list_dot_product(e.emb, q.q_emb)
+                   / (sqrt(list_dot_product(e.emb, e.emb))
+                      * sqrt(list_dot_product(q.q_emb, q.q_emb))) AS cosine
+          FROM e, q
+          WHERE e.vec_id <> q.q_id
+        )
+        SELECT q_id, vec_id, cosine
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                           ORDER BY cosine DESC, vec_id) AS rn
+              FROM scored)
+        WHERE rn <= {_TOP_K}
+    """,
+    notes="Brute-force cosine top-k, query side broadcast. vec_id "
+    "tiebreak makes the k-selection total.",
+    tags=("similarity",),
+)
+def op_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for a small query set. The corpus
+    never shuffles: queries broadcast, scores reduce via per-partition
+    top-k heaps (WindowGroupLimit) before the final exchange."""
+    em = load(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < _N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = em.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))
+    cosine = _dot(F.col("embedding"), F.col("q_emb")) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+    )
+    scored = pairs.select("q_id", "vec_id", cosine.alias("cosine"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("q_id", "vec_id", "cosine")
+    )
+
+
+@query(
+    "op_sim_ann_lsh",
+    oracle=None,
+    notes="Random-hyperplane LSH (BucketedRandomProjectionLSH, "
+    "seed=42 → deterministic planes). Approximate by construction — "
+    "rows-only check; recall vs op_sim_topk asserted in "
+    "tests/test_similarity.py.",
+    tags=("similarity", "approx"),
+)
+def op_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via bucketed random projections over L2-normalized vectors
+    (unit-sphere euclidean distance is monotone in cosine, so the LSH
+    preserves cosine ranking). Candidates come from
+    approxSimilarityJoin — a bucket-equi-join, never a cross join."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    em = load(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    unit = em.select(
+        "vec_id",
+        array_to_vector(
+            F.transform("embedding", lambda x: x.cast("double") / norm)
+        ).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=0.5,
+        numHashTables=8,
+        seed=42,
+    )
+    model = lsh.fit(unit)
+    queries_df = unit.filter(F.col("vec_id") < _N_QUERY_VECS)
+    joined = model.approxSimilarityJoin(queries_df, unit, 1.2, distCol="dist")
+    out = joined.select(
+        F.col("datasetA.vec_id").alias("q_id"),
+        F.col("datasetB.vec_id").alias("vec_id"),
+        F.col("dist"),
+    ).filter(F.col("q_id") != F.col("vec_id"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q_id").orderBy(F.col("dist").asc(), "vec_id")
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("q_id", "vec_id", "dist")
+    )
+
+
+@query(
+    "op_embedding_stats",
+    oracle="""
+        SELECT label,
+               COUNT(*) AS n_vecs,
+               CAST(MIN(len(embedding)) AS INT) AS min_dim,
+               CAST(MAX(len(embedding)) AS INT) AS max_dim
+        FROM embeddings
+        GROUP BY label
+    """,
+    tags=("similarity",),
+)
+def op_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus sanity stats per label — the cheap pre-flight before any
+    ANN run (dimension drift detection)."""
+    em = load(spark, sf_dir, "embeddings")
+    return em.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.min(F.size("embedding")).cast("int").alias("min_dim"),
+        F.max(F.size("embedding")).cast("int").alias("max_dim"),
+    )

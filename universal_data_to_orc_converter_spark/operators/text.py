@@ -1,0 +1,257 @@
+"""Text analysis — SURVEY.md §2.I (EXT: language-ID, quality scoring,
+token counting, fingerprinting over ``documents``).
+
+Everything is built-in string/regex/array functions — codegen'd JVM
+expressions, a pure map stage with no shuffle until the final rollup.
+At 100 TB these run at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+from .textprep import tokens
+
+#: BPE-ish word/number/punctuation tokenizer (RE2- and Java-regex
+#: compatible: no lookarounds).
+_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+
+def _stop_hits_sql(lang: str) -> str:
+    alt = "|".join(_STOPWORDS[lang])
+    return rf"len(regexp_extract_all(lower(text), '\b({alt})\b'))"
+
+
+def _stop_hits(lang: str):
+    alt = "|".join(_STOPWORDS[lang])
+    return F.size(F.regexp_extract_all(F.lower("text"), F.lit(rf"\b({alt})\b"), F.lit(0)))
+
+
+@query(
+    "op_text_stats",
+    oracle="""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars,
+               CAST(SUM(CAST(length(text) AS BIGINT)) AS DOUBLE) / COUNT(*)
+                   AS avg_chars,
+               CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> ''))) AS BIGINT) AS total_tokens
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("text",),
+)
+def op_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats (doc/char/token counts — all integer
+    arithmetic, exact on both engines)."""
+    d = load(spark, sf_dir, "documents")
+    chars = F.length("text").cast("bigint")
+    ntok = F.size(tokens(F.col("text"))).cast("bigint")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(chars).alias("total_chars"),
+        (F.sum(chars).cast("double") / F.count("*")).alias("avg_chars"),
+        F.sum(ntok).alias("total_tokens"),
+    )
+
+
+@query(
+    "op_token_count",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT)
+                   AS n_tokens,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                                    x -> x <> '')) AS BIGINT) AS n_ws_tokens
+        FROM documents
+    """,
+    tags=("text",),
+)
+def op_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: a BPE-ish regex tokenizer (letters /
+    digits / single punctuation) and plain whitespace splitting."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_ws_tokens"),
+    )
+
+
+@query(
+    "op_text_quality",
+    oracle=r"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+                   / length(text) AS punct_ratio,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                   / length(text) AS digit_ratio,
+               CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|is)\b'))
+                    AS DOUBLE)
+                   / len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+                   AS stopword_ratio,
+               CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.5 END
+                   AS length_score
+        FROM documents
+    """,
+    tags=("text",),
+)
+def op_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: punctuation/digit/stopword ratios
+    and a length score — per-row double divisions of exact integers, so
+    bit-identical across engines."""
+    d = load(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("bigint")
+    punct = F.size(F.regexp_extract_all("text", F.lit("[^A-Za-z0-9 ]"), F.lit(0)))
+    digits = F.size(F.regexp_extract_all("text", F.lit("[0-9]"), F.lit(0)))
+    ntok = F.size(tokens(F.col("text")))
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        (punct.cast("double") / F.length("text")).alias("punct_ratio"),
+        (digits.cast("double") / F.length("text")).alias("digit_ratio"),
+        (_stop_hits("en").cast("double") / ntok).alias("stopword_ratio"),
+        F.when(F.length("text").between(100, 2000), 1.0)
+        .otherwise(0.5)
+        .alias("length_score"),
+    )
+
+
+@query(
+    "op_lang_id",
+    oracle=f"""
+        WITH hits AS (
+          SELECT doc_id, lang,
+                 {_stop_hits_sql("en")} AS en_hits,
+                 {_stop_hits_sql("de")} AS de_hits,
+                 {_stop_hits_sql("fr")} AS fr_hits,
+                 {_stop_hits_sql("es")} AS es_hits
+          FROM documents
+        )
+        SELECT doc_id, lang,
+               CASE
+                 WHEN en_hits >= de_hits AND en_hits >= fr_hits
+                      AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+                 WHEN de_hits >= fr_hits AND de_hits >= es_hits
+                      AND de_hits > 0 THEN 'de'
+                 WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+                 WHEN es_hits > 0 THEN 'es'
+                 ELSE 'unknown'
+               END AS guessed_lang
+        FROM hits
+    """,
+    notes="Stopword-vote language ID; the fixed precedence order (en > "
+    "de > fr > es on ties) is encoded identically on both sides.",
+    tags=("text",),
+)
+def op_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID by stopword voting — the classic n-gram/
+    stopword classifier as a single codegen'd CASE expression."""
+    d = load(spark, sf_dir, "documents")
+    en, de = _stop_hits("en"), _stop_hits("de")
+    fr, es = _stop_hits("fr"), _stop_hits("es")
+    hits = d.select(
+        "doc_id", "lang",
+        en.alias("en_hits"), de.alias("de_hits"),
+        fr.alias("fr_hits"), es.alias("es_hits"),
+    )
+    c = F
+    guessed = (
+        c.when(
+            (c.col("en_hits") >= c.col("de_hits"))
+            & (c.col("en_hits") >= c.col("fr_hits"))
+            & (c.col("en_hits") >= c.col("es_hits"))
+            & (c.col("en_hits") > 0),
+            "en",
+        )
+        .when(
+            (c.col("de_hits") >= c.col("fr_hits"))
+            & (c.col("de_hits") >= c.col("es_hits"))
+            & (c.col("de_hits") > 0),
+            "de",
+        )
+        .when((c.col("fr_hits") >= c.col("es_hits")) & (c.col("fr_hits") > 0), "fr")
+        .when(c.col("es_hits") > 0, "es")
+        .otherwise("unknown")
+    )
+    return hits.select("doc_id", "lang", guessed.alias("guessed_lang"))
+
+
+@query(
+    "op_doc_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               sha256(array_to_string(
+                 list_slice(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> ''), 1, 32), ' ')) AS fingerprint
+        FROM documents
+    """,
+    notes="Prefix fingerprint: sha256 of the first 32 normalized "
+    "tokens — catches near-dups that share openings; the rolling-hash "
+    "winnowing variant is op_doc_winnow (rows-only, pandas UDF).",
+    tags=("text",),
+)
+def op_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint over the normalized token
+    prefix."""
+    d = load(spark, sf_dir, "documents")
+    prefix = F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 32))
+    return d.select("doc_id", F.sha2(prefix, 256).alias("fingerprint"))
+
+
+@query(
+    "op_doc_winnow",
+    oracle=None,
+    notes="Winnowing fingerprints (Schleimer et al., SIGMOD'03): "
+    "rolling 5-gram character hashes, minimum per 8-hash window. "
+    "Imperative inner loop ⇒ Arrow-batched mapInPandas (the sanctioned "
+    "slow path); deterministic, rows-only check.",
+    tags=("text", "udf"),
+)
+def op_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints via mapInPandas — demonstrates
+    the engine's Arrow-batched Python escape hatch with a real
+    algorithm Spark expressions can't express cleanly."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    K, W, MOD = 5, 8, (1 << 61) - 1
+
+    def winnow(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = " ".join(text.lower().split())
+                hashes = []
+                h, power = 0, pow(31, K - 1, MOD)
+                for i, ch in enumerate(t):
+                    h = (h * 31 + ord(ch)) % MOD
+                    if i >= K:
+                        h = (h - ord(t[i - K]) * power * 31) % MOD
+                    if i >= K - 1:
+                        hashes.append(h)
+                fps = set()
+                for i in range(max(0, len(hashes) - W + 1)):
+                    fps.add(min(hashes[i : i + W]))
+                for fp in sorted(fps):
+                    out.append((int(doc_id), fp))
+            yield pd.DataFrame(out, columns=["doc_id", "fingerprint"])
+
+    return d.mapInPandas(winnow, "doc_id long, fingerprint long").orderBy(
+        "doc_id", "fingerprint"
+    )

@@ -1,0 +1,130 @@
+"""Window functions — SURVEY.md §2.E (DOC: the README's BI/dashboard
+workloads, reference README.md:223-225).
+
+Scale note: a window partitioned by a key is one shuffle on that key;
+frames are evaluated streaming within each partition. Running sums use
+the decimal-cast convention so the prefix sums are order-of-evaluation
+independent and match the oracle exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+
+@query(
+    "op_win_rank",
+    oracle="""
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+               CAST(RANK() OVER w AS BIGINT) AS rnk,
+               CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey
+                     ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    tags=("window",),
+)
+def op_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank per nation; c_custkey tiebreak
+    makes row_number deterministic."""
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+    )
+
+
+@query(
+    "op_win_lag_lead",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               LAG(o_totalprice) OVER w AS prev_price,
+               LEAD(o_totalprice) OVER w AS next_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window",),
+)
+def op_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Previous/next order price per customer in order-date order."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+@query(
+    "op_win_frame",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS running_spend,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS moving_spend_3
+        FROM orders
+    """,
+    tags=("window",),
+)
+def op_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running and sliding (3-row) frame sums per customer. Decimal
+    accumulator ⇒ exact prefix sums on both engines."""
+    o = load(spark, sf_dir, "orders")
+    base = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    mov = base.rowsBetween(-2, W.currentRow)
+    price_dec = F.col("o_totalprice").cast("decimal(18,6)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(price_dec).over(run).cast("double").alias("running_spend"),
+        F.sum(price_dec).over(mov).cast("double").alias("moving_spend_3"),
+    )
+
+
+@query(
+    "op_win_topk_group",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        )
+        WHERE rn <= 3
+    """,
+    tags=("window",),
+)
+def op_win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the grouped top-k idiom. Spark ≥3.5
+    pushes a per-partition rank limit below the shuffle
+    (WindowGroupLimit), so each task emits ≤k rows per key before the
+    exchange — the reason this survives skewed keys at 100 TB."""
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )

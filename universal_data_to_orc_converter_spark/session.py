@@ -1,0 +1,57 @@
+"""SparkSession factory.
+
+One place to encode the engine's execution posture:
+
+* **AQE on** — runtime coalescing, skew-join splitting, and
+  broadcast-join conversion replace every hand-rolled execution-strategy
+  decision the reference makes (chunk sizing at
+  ``data_to_orc_converter.sh:192``, thread pools at ``sh:260``).
+* **UTC session timezone** — fixtures mix ``timestamp[ms]`` and
+  ``timestamp[ns]``; a fixed zone keeps results comparable across
+  engines (DuckDB oracle is zone-naive).
+* **Arrow on** — pandas interchange at the API edges is vectorized.
+* **shuffle.partitions** sized for the local test harness; on a real
+  cluster AQE's ``coalescePartitions`` makes the initial number mostly
+  a ceiling, so a larger value is safe at scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "universal_data_to_orc_converter_spark") -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard config."""
+    builder = (
+        SparkSession.builder.master(f"local[{DEFAULT_CPUS}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.orc.filterPushdown", "true")
+        .config("spark.sql.orc.enableVectorizedReader", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable posture to an externally
+    provided session (the driver hands ``queries()`` callables its own
+    session; timezone and AQE are runtime-configurable, so we set them
+    here instead of trusting the ambient config)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+    return spark

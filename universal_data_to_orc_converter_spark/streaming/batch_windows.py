@@ -1,0 +1,184 @@
+"""Event-time windowed aggregations — SURVEY.md §2.J.
+
+The reference's "store user event data … query billions of rows"
+use-case (reference README.md:231-233) over the ``events`` fixture.
+These run in batch mode here (oracle-checkable); the *same*
+transformations execute incrementally under readStream — proven by
+tests/test_streaming.py, which runs each through an availableNow
+trigger and asserts result equality.
+
+Exactness: window bounds are timestamp arithmetic (µs integers) and the
+aggregates are counts + decimal sums — bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..exprs import dsum, sql_dsum
+from ..registry import query
+
+
+def tumbling_agg(events: DataFrame) -> DataFrame:
+    """1-hour tumbling windows per event type — shared by the batch
+    query below and the streaming test harness."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum(F.col("value"), "sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "op_stream_tumbling",
+    oracle=f"""
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+               time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+               event_type,
+               COUNT(*) AS n_events,
+               {sql_dsum("value", "sum_value")}
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    tags=("streaming",),
+)
+def op_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (epoch-aligned, same
+    bucketing as the oracle's time_bucket)."""
+    return tumbling_agg(load(spark, sf_dir, "events"))
+
+
+@query(
+    "op_stream_sliding",
+    oracle=f"""
+        SELECT time_bucket(INTERVAL 15 MINUTES, ts)
+                   - k.k * INTERVAL 15 MINUTES AS window_start,
+               time_bucket(INTERVAL 15 MINUTES, ts)
+                   - k.k * INTERVAL 15 MINUTES + INTERVAL 1 HOUR AS window_end,
+               event_type,
+               COUNT(*) AS n_events
+        FROM events, (VALUES (0), (1), (2), (3)) AS k(k)
+        GROUP BY 1, 2, 3
+    """,
+    notes="A 1h/15m sliding window assigns each event to exactly 4 "
+    "windows; the oracle enumerates them as bucket − k·slide.",
+    tags=("streaming",),
+)
+def op_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 hour long, every 15 minutes)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+@query(
+    "op_stream_session",
+    oracle="""
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        numbered AS (
+          SELECT user_id, ts,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTES AS session_end,
+               COUNT(*) AS n_events
+        FROM numbered
+        GROUP BY user_id, sess_id
+    """,
+    notes="session_window end = last event + gap; the oracle is the "
+    "classic gaps-and-islands rewrite.",
+    tags=("streaming",),
+)
+def op_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user. In
+    streaming mode this is the stateful session operator; in batch mode
+    Catalyst plans it as a sort + merge of adjacent intervals — no
+    quadratic self-join."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "op_stream_availablenow",
+    oracle=f"""
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+               time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+               event_type,
+               COUNT(*) AS n_events,
+               {sql_dsum("value", "sum_value")}
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    notes="True Structured Streaming execution: readStream over the "
+    "events parquet, availableNow trigger, complete-mode memory sink — "
+    "and the incremental result still hash-matches the batch oracle.",
+    tags=("streaming",),
+)
+def op_stream_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming version of the reference's conversion loop: a
+    bounded backfill (availableNow) over the source directory, windowed
+    state, results published atomically. Identical logical plan to
+    op_stream_tumbling — batch/stream parity by construction."""
+    import tempfile
+    import uuid
+
+    from ..catalog import table_path
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    result = tumbling_agg(stream)
+    sink_name = f"avnow_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_avnow_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink_name)
