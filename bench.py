@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Execution is forced through the `noop` DataSourceV2 sink — full query
+execution on the executors, zero driver-side collection — so timings
+measure the plan, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from universal_data_to_orc_converter_spark.registry import load_all_queries
+from universal_data_to_orc_converter_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Queries timed per round: the flagship star-join, the wide aggregate
+#: scan, a fact-fact shuffle join, grouped top-k (window), MinHash-LSH
+#: dedup, cosine top-k, event-time windowing, and text stats — one per
+#: operator family, covering every shuffle pattern the engine uses.
+HEADLINE = [
+    "flagship_revenue_by_nation",
+    "op_agg_groupby",
+    "op_join_shuffle",
+    "op_win_topk_group",
+    "op_dedup_minhash_lsh",
+    "op_sim_topk",
+    "op_stream_tumbling",
+    "op_text_stats",
+]
+
+
+def run_query(spark, fn, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    spark = get_spark("udoc-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = load_all_queries()
+
+    # Warm the JVM/codegen once so the first timed query isn't paying
+    # classloading costs the others don't.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = specs[name].fn
+        run_query(spark, fn, SF_DIR)  # warm (file listing, codegen)
+        timings[name] = round(run_query(spark, fn, SF_DIR), 4)
+
+    sf = None
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            sf = float(base[2:])
+        except ValueError:
+            sf = None
+
+    out = {
+        "metric": "headline_total_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

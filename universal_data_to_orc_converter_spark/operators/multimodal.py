@@ -75,7 +75,12 @@ def op_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(par, "doc_id")
+    )
 
     def fake_decode(batches):
         for pdf in batches:

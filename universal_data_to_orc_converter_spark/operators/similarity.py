@@ -66,7 +66,10 @@ def op_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine neighbors for a small query set. The corpus
     never shuffles: queries broadcast, scores reduce via per-partition
     top-k heaps (WindowGroupLimit) before the final exchange."""
-    em = load(spark, sf_dir, "embeddings")
+    # single-file fixture → spread the scoring scan (no-op on a real
+    # multi-split corpus)
+    par = spark.sparkContext.defaultParallelism
+    em = load(spark, sf_dir, "embeddings").repartition(par, "vec_id")
     q = em.filter(F.col("vec_id") < _N_QUERY_VECS).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -103,7 +106,8 @@ def op_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    em = load(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    em = load(spark, sf_dir, "embeddings").repartition(par, "vec_id")
     norm = F.sqrt(
         F.aggregate(
             F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),

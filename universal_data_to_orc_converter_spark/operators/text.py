@@ -228,7 +228,12 @@ def op_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm Spark expressions can't express cleanly."""
     import pandas as pd
 
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(par, "doc_id")
+    )
 
     K, W, MOD = 5, 8, (1 << 61) - 1
 
