@@ -1,0 +1,250 @@
+"""Round-trip tests for the conversion surface (SURVEY.md §5.2-3):
+CSV matrix, SQL-dump adversarial parsing, ORC codec matrix, chunking.
+These mirror the reference's wizard options (delimiter/header at
+data_to_orc_converter.sh:151-158, codec at sh:168-169, chunk size at
+sh:192) and the exact string-literal cases its regex parser corrupts
+(sh:357-363)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from universal_data_to_orc_converter_spark.converter import (
+    convert_csv,
+    convert_sql_dump,
+)
+from universal_data_to_orc_converter_spark.sinks.orc import read_orc, write_orc
+from universal_data_to_orc_converter_spark.sources.csv import read_csv
+from universal_data_to_orc_converter_spark.sources.sqldump import (
+    mysql_type_to_spark,
+    parse_create_table,
+    parse_dump,
+    parse_insert,
+    split_statements,
+)
+
+from .conftest import SF_SMOKE
+
+
+def rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+# ---------------------------------------------------------------------------
+# CSV matrix (comma+header, pipe+header, headerless, nulls)
+# ---------------------------------------------------------------------------
+
+CSV_DATA = [
+    ("alice", 30, 1000.5),
+    ("bob", 25, 2000.25),
+    ("carol", None, 3000.75),
+]
+
+
+def _write_csv(path, delim=",", header=True):
+    lines = []
+    if header:
+        lines.append(delim.join(["name", "age", "balance"]))
+    for n, a, b in CSV_DATA:
+        lines.append(delim.join([n, "" if a is None else str(a), str(b)]))
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
+def test_csv_comma_header(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    _write_csv(p)
+    df = read_csv(spark, str(p))
+    assert df.columns == ["name", "age", "balance"]
+    assert df.count() == 3
+    assert dict(df.dtypes)["age"] == "int"
+    assert df.filter(F.col("age").isNull()).count() == 1
+
+
+def test_csv_pipe_delimiter(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    _write_csv(p, delim="|")
+    df = read_csv(spark, str(p), delimiter="|")
+    assert rows_set(df.select("name")) == {("alice",), ("bob",), ("carol",)}
+
+
+def test_csv_headerless_default_names(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    _write_csv(p, header=False)
+    df = read_csv(spark, str(p), header=False)
+    assert df.columns == ["_c0", "_c1", "_c2"]
+    assert df.count() == 3
+
+
+def test_csv_no_inference_all_strings(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    _write_csv(p)
+    df = read_csv(spark, str(p), infer_schema=False)
+    assert all(t == "string" for _, t in df.dtypes)
+
+
+def test_csv_dir_to_orc_roundtrip(spark, tmp_path):
+    src = tmp_path / "csvs"
+    out = tmp_path / "orc"
+    src.mkdir()
+    _write_csv(src / "users.csv")
+    _write_csv(src / "accounts.csv", delim=",")
+    written = convert_csv(spark, str(src), str(out))
+    assert set(written) == {"users", "accounts"}
+    back = read_orc(spark, written["users"])
+    assert rows_set(back) == rows_set(read_csv(spark, str(src / "users.csv")))
+
+
+# ---------------------------------------------------------------------------
+# SQL dump: typed parsing + the adversarial literals the reference breaks on
+# ---------------------------------------------------------------------------
+
+DUMP = r"""
+-- a comment; with a semicolon
+/* block comment; also with ; */
+CREATE TABLE users (
+  id INT NOT NULL,
+  name VARCHAR(100),
+  bio TEXT,
+  balance DECIMAL(10,2),
+  joined DATE,
+  last_seen DATETIME,
+  PRIMARY KEY (id)
+);
+INSERT INTO users VALUES
+  (1, 'Alice', 'likes (parens), commas, and; semicolons', 10.50, '2024-01-02', '2024-01-02 03:04:05'),
+  (2, 'Bob ''the builder''', 'quote \' inside', 20.25, '2024-02-03', '2024-02-03 04:05:06'),
+  (3, NULL, 'it''s fine', NULL, NULL, NULL);
+CREATE TABLE tags (tag_id BIGINT, label VARCHAR(20));
+INSERT INTO tags (label, tag_id) VALUES ('red', 10), ('blue, not green', 20);
+"""
+
+
+def test_split_statements_ignores_quoted_semicolons():
+    stmts = list(split_statements(iter([DUMP])))
+    assert len(stmts) == 4
+    assert stmts[0].upper().startswith("CREATE TABLE USERS")
+    assert "semicolons" in stmts[1]
+
+
+def test_parse_create_table_types():
+    td = parse_create_table(list(split_statements(iter([DUMP])))[0])
+    assert td.name == "users"
+    cols = dict(td.columns)
+    assert isinstance(cols["id"], T.LongType)
+    assert isinstance(cols["balance"], T.DecimalType)
+    assert cols["balance"].precision == 10 and cols["balance"].scale == 2
+    assert isinstance(cols["joined"], T.DateType)
+    assert isinstance(cols["last_seen"], T.TimestampType)
+    assert "PRIMARY" not in cols  # constraints skipped
+
+
+def test_parse_insert_adversarial_literals():
+    stmts = list(split_statements(iter([DUMP])))
+    table, cols, rows = parse_insert(stmts[1])
+    assert table == "users" and cols is None
+    assert len(rows) == 3
+    assert rows[0][2] == "likes (parens), commas, and; semicolons"
+    assert rows[1][1] == "Bob 'the builder'"
+    assert rows[2][1] is None
+
+
+def test_parse_dump_typed_dataframes(spark, tmp_path):
+    p = tmp_path / "d.sql"
+    p.write_text(DUMP)
+    dfs = parse_dump(spark, str(p))
+    users = dfs["users"]
+    assert [f.name for f in users.schema.fields] == [
+        "id", "name", "bio", "balance", "joined", "last_seen",
+    ]
+    got = {r["id"]: r for r in users.collect()}
+    assert got[1]["bio"] == "likes (parens), commas, and; semicolons"
+    assert float(got[1]["balance"]) == 10.50
+    assert got[3]["name"] is None and got[3]["balance"] is None
+    assert got[1]["joined"].year == 2024
+    # explicit column-list reordering honored
+    tags = {r["tag_id"]: r["label"] for r in dfs["tags"].collect()}
+    assert tags == {10: "red", 20: "blue, not green"}
+
+
+def test_dump_to_orc_end_to_end(spark, tmp_path):
+    p = tmp_path / "d.sql"
+    p.write_text(DUMP)
+    out = tmp_path / "orc"
+    written = convert_sql_dump(spark, str(p), str(out))
+    assert set(written) == {"users", "tags"}
+    users = read_orc(spark, written["users"])
+    assert users.count() == 3
+    assert isinstance(users.schema["balance"].dataType, T.DecimalType)
+
+
+def test_mysql_type_mapping():
+    assert isinstance(mysql_type_to_spark("INT"), T.LongType)
+    assert isinstance(mysql_type_to_spark("varchar(255)"), T.StringType)
+    assert isinstance(mysql_type_to_spark("DECIMAL(18,4)"), T.DecimalType)
+    assert isinstance(mysql_type_to_spark("datetime"), T.TimestampType)
+    assert isinstance(mysql_type_to_spark("LONGBLOB"), T.BinaryType)
+    assert isinstance(mysql_type_to_spark("double"), T.DoubleType)
+
+
+# ---------------------------------------------------------------------------
+# ORC sink: codec matrix + chunking (sh:168-169, sh:192)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("codec", ["snappy", "zlib", "none", "zstd"])
+def test_orc_codec_roundtrip(spark, tmp_path, codec):
+    src = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+    out = str(tmp_path / f"orc_{codec}")
+    write_orc(src, out, compression=codec)
+    back = read_orc(spark, out)
+    assert rows_set(back) == rows_set(src)
+    assert back.schema == src.schema
+
+
+def test_orc_bad_codec_rejected(spark, tmp_path):
+    src = spark.read.parquet(f"{SF_SMOKE}/region.parquet")
+    with pytest.raises(ValueError, match="unsupported codec"):
+        write_orc(src, str(tmp_path / "x"), compression="lzma")
+
+
+def test_orc_compression_shrinks(spark, tmp_path):
+    src = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    sizes = {}
+    for codec in ("none", "zlib"):
+        out = str(tmp_path / f"c_{codec}")
+        write_orc(src, out, compression=codec)
+        sizes[codec] = sum(
+            os.path.getsize(f) for f in glob.glob(f"{out}/*.orc")
+        )
+    assert sizes["zlib"] < sizes["none"]
+
+
+def test_orc_max_records_per_file_chunking(spark, tmp_path):
+    src = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").coalesce(1)
+    out = str(tmp_path / "chunked")
+    write_orc(src, out, max_records_per_file=1000)
+    files = glob.glob(f"{out}/*.orc")
+    n = src.count()
+    assert len(files) >= n // 1000  # ~one file per 1000-row chunk
+    back = read_orc(spark, out)
+    assert back.count() == n
+
+
+def test_orc_partitioned_write(spark, tmp_path):
+    src = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    out = str(tmp_path / "parted")
+    write_orc(src, out, partition_by=["c_mktsegment"])
+    segs = {
+        os.path.basename(d)
+        for d in glob.glob(f"{out}/c_mktsegment=*")
+    }
+    assert len(segs) == 5
+    # partition pruning: reading one segment touches only its dir
+    one = read_orc(spark, out).filter(F.col("c_mktsegment") == "BUILDING")
+    assert one.count() == src.filter(F.col("c_mktsegment") == "BUILDING").count()

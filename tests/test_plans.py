@@ -1,0 +1,90 @@
+"""Physical-plan property tests — the 100 TB posture as assertions
+(SURVEY.md §7: "100 TB posture is design discipline"): filters push to
+the scan, projections prune the read schema, dims broadcast, grouped
+top-k uses WindowGroupLimit, hot paths stay in whole-stage codegen."""
+
+from __future__ import annotations
+
+from universal_data_to_orc_converter_spark.plans.inspect import (
+    count_broadcast_joins,
+    has_pushed_filter,
+    has_whole_stage_codegen,
+    read_schema_columns,
+    uses_window_group_limit,
+)
+from universal_data_to_orc_converter_spark.registry import load_all_queries
+
+from .conftest import SF_DIR
+
+SPECS = load_all_queries()
+
+
+def q(name, spark):
+    return SPECS[name].fn(spark, SF_DIR)
+
+
+def test_filter_pushes_to_scan(spark):
+    df = q("op_filter", spark)
+    assert has_pushed_filter(df, "c_acctbal"), (
+        "predicate did not reach the parquet scan"
+    )
+
+
+def test_date_filter_pushes_to_scan(spark):
+    df = q("op_filter_date", spark)
+    assert has_pushed_filter(df, "l_shipdate")
+
+
+def test_projection_prunes_read_schema(spark):
+    df = q("op_project", spark)
+    schemas = read_schema_columns(df)
+    assert schemas and schemas[0] == {"p_partkey", "p_name", "p_retailprice"}, (
+        f"scan reads more than the projection: {schemas}"
+    )
+
+
+def test_flagship_prunes_lineitem_columns(spark):
+    df = q("flagship_revenue_by_nation", spark)
+    schemas = read_schema_columns(df)
+    li = next((s for s in schemas if "l_orderkey" in s), None)
+    assert li is not None
+    # only join key + revenue terms, never the full 11-column row
+    assert li <= {"l_orderkey", "l_extendedprice", "l_discount"}, li
+
+
+def test_flagship_broadcasts_dims(spark):
+    df = q("flagship_revenue_by_nation", spark)
+    assert count_broadcast_joins(df) >= 2, (
+        "customer/nation should broadcast, not shuffle"
+    )
+
+
+def test_semi_join_prunes_right_columns(spark):
+    df = q("op_join_semi", spark)
+    schemas = read_schema_columns(df)
+    orders_scan = next((s for s in schemas if "o_custkey" in s), None)
+    assert orders_scan is not None
+    assert "o_totalprice" not in orders_scan, (
+        "semi join should only read the join key + filter column"
+    )
+
+
+def test_grouped_topk_uses_window_group_limit(spark):
+    df = q("op_win_topk_group", spark)
+    assert uses_window_group_limit(df), (
+        "rank<=k should push below the shuffle (WindowGroupLimit)"
+    )
+
+
+def test_agg_scan_stays_in_codegen(spark):
+    df = q("op_agg_groupby", spark)
+    assert has_whole_stage_codegen(df)
+
+
+def test_topk_avoids_global_sort(spark):
+    from universal_data_to_orc_converter_spark.plans.inspect import simple_plan
+
+    df = q("op_topk", spark)
+    assert "TakeOrderedAndProject" in simple_plan(df), (
+        "ORDER BY + LIMIT should be per-partition heaps, not a full sort"
+    )

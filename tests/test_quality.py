@@ -1,0 +1,166 @@
+"""Quality/property tests (SURVEY.md §5.5): approximate operators are
+validated against their exact baselines, plus cheap algebraic
+properties of the relational surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from universal_data_to_orc_converter_spark.catalog import load
+from universal_data_to_orc_converter_spark.registry import load_all_queries
+
+from .conftest import SF_DIR
+
+SPECS = load_all_queries()
+
+
+def q(name, spark):
+    return SPECS[name].fn(spark, SF_DIR)
+
+
+# ---------------------------------------------------------------------------
+# approximate vs exact
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark):
+    """Every exact shingle-Jaccard ≥0.7 pair should be recalled by the
+    LSH (32 perms / 8 bands ⇒ ~97% per-pair collision probability at
+    j=0.7; the fixture pairs are ≥0.9 where it is ≥99.9%)."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in q("op_dedup_ngram_jaccard", spark).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in q("op_dedup_minhash_lsh", spark).collect()
+    }
+    assert exact, "fixture should contain planted near-duplicates"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.95, f"LSH recall {recall:.2f} too low"
+    # and LSH emits no pair below the verification threshold
+    for r in q("op_dedup_minhash_lsh", spark).collect():
+        assert r["jaccard"] >= 0.7
+
+
+def test_approx_distinct_within_rsd(spark):
+    exact = {
+        r["o_orderstatus"]: r["n_customers"]
+        for r in q("op_agg_count_distinct", spark).collect()
+    }
+    approx = {
+        r["o_orderstatus"]: r["approx_customers"]
+        for r in q("op_agg_approx_distinct", spark).collect()
+    }
+    for k, v in exact.items():
+        assert abs(approx[k] - v) / v < 0.05, (k, v, approx[k])
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    exact = {
+        (r["q_id"], r["vec_id"]) for r in q("op_sim_topk", spark).collect()
+    }
+    ann = {
+        (r["q_id"], r["vec_id"]) for r in q("op_sim_ann_lsh", spark).collect()
+    }
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.6, f"ANN recall {recall:.2f} vs brute force"
+
+
+def test_simhash_hamming_tracks_similarity(spark):
+    """SimHash's contract: Hamming distance correlates with document
+    similarity. Near-dup pairs (Jaccard ≥ 0.9) must sit far below
+    random pairs, and most must collide in a 16-bit chunk (the LSH
+    banding that guarantees capture of Hamming ≤ 3)."""
+    import itertools
+
+    sims = {r["doc_id"]: r["simhash"] for r in q("op_dedup_simhash", spark).collect()}
+    rows = {r["doc_id"]: r for r in q("op_dedup_simhash", spark).collect()}
+    near = [
+        (r["doc_a"], r["doc_b"])
+        for r in q("op_dedup_ngram_jaccard", spark).collect()
+        if r["jaccard"] >= 0.9
+    ]
+    assert near
+
+    def ham(a, b):
+        return bin(sims[a] ^ sims[b]).count("1")
+
+    near_mean = sum(ham(a, b) for a, b in near) / len(near)
+    ids = sorted(sims)[:50]
+    near_set = {frozenset(p) for p in near}
+    rand = [
+        (a, b)
+        for a, b in itertools.combinations(ids, 2)
+        if frozenset((a, b)) not in near_set
+    ]
+    rand_mean = sum(ham(a, b) for a, b in rand) / len(rand)
+    assert near_mean < 10 < rand_mean, (near_mean, rand_mean)
+    chunk_hits = sum(
+        1
+        for a, b in near
+        if any(rows[a][f"chunk{i}"] == rows[b][f"chunk{i}"] for i in range(4))
+    )
+    assert chunk_hits / len(near) >= 0.7
+
+
+# ---------------------------------------------------------------------------
+# algebraic properties
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_exact_idempotent(spark):
+    once = q("op_dedup_exact", spark)
+    again = (
+        once.groupBy("content_hash")
+        .agg(
+            F.min("keeper_doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+    assert once.count() == again.count()
+    assert again.filter(F.col("n_copies") > 1).count() == 0
+
+
+def test_union_all_row_count_additive(spark):
+    c = load(spark, SF_DIR, "customer")
+    a = c.filter(F.col("c_mktsegment") == "AUTOMOBILE")
+    b = c.filter(F.col("c_acctbal") > 9000.0)
+    assert a.unionByName(b).count() == a.count() + b.count()
+
+
+def test_topk_is_subset_of_sort(spark):
+    topk = {r["o_orderkey"] for r in q("op_topk", spark).collect()}
+    full = [r["o_orderkey"] for r in q("op_sort", spark).limit(10).collect()]
+    assert topk == set(full)
+
+
+def test_semi_plus_anti_partition_customers(spark):
+    """left_semi(orders) ∪ left_anti(orders) = customers, disjoint."""
+    c = load(spark, SF_DIR, "customer")
+    o = load(spark, SF_DIR, "orders")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    assert semi.count() + anti.count() == c.count()
+    assert semi.join(anti, "c_custkey", "inner").count() == 0
+
+
+def test_rollup_totals_consistent(spark):
+    rows = q("op_agg_rollup", spark).collect()
+    grand = [r for r in rows if r["l_returnflag"] is None and r["l_linestatus"] is None]
+    assert len(grand) == 1
+    leaf_sum = sum(
+        r["n_rows"]
+        for r in rows
+        if r["l_returnflag"] is not None and r["l_linestatus"] is not None
+    )
+    assert grand[0]["n_rows"] == leaf_sum
+
+
+def test_lang_id_accuracy_on_english(spark):
+    """The stopword voter should label most docs 'en' — the corpus text
+    is English-ish word soup regardless of the lang column."""
+    out = q("op_lang_id", spark)
+    n = out.count()
+    en = out.filter(F.col("guessed_lang") == "en").count()
+    assert en / n > 0.5

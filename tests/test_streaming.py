@@ -1,0 +1,185 @@
+"""Streaming equivalence + watermark semantics (SURVEY.md §5.4).
+
+Every batch windowed aggregation must produce identical results when
+executed incrementally (availableNow); late-data handling is tested
+separately with crafted timestamps through a rate-controlled two-file
+source so the watermark actually advances between micro-batches."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from datetime import datetime as DT
+
+from pyspark.sql import functions as F
+
+from universal_data_to_orc_converter_spark.catalog import load
+from universal_data_to_orc_converter_spark.sinks.orc import read_orc
+from universal_data_to_orc_converter_spark.streaming.batch_windows import (
+    tumbling_agg,
+)
+from universal_data_to_orc_converter_spark.streaming.runner import (
+    read_events_stream,
+    run_available_now,
+    stream_to_orc,
+)
+
+from .conftest import SF_DIR
+
+
+def as_sets(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.select(*cols).collect()}
+
+
+def test_stream_tumbling_equals_batch(spark):
+    batch = tumbling_agg(load(spark, SF_DIR, "events"))
+    stream = run_available_now(tumbling_agg(read_events_stream(spark, SF_DIR)))
+    cols = ["window_start", "window_end", "event_type", "n_events", "sum_value"]
+    assert as_sets(batch, cols) == as_sets(stream, cols)
+
+
+def test_stream_session_window_equals_batch(spark):
+    def sessions(df):
+        return (
+            df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+            )
+        )
+
+    batch = sessions(load(spark, SF_DIR, "events"))
+    stream = run_available_now(
+        sessions(read_events_stream(spark, SF_DIR).withWatermark("ts", "1 hour")),
+        output_mode="append",
+    )
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    # append mode emits only watermark-finalized sessions; every emitted
+    # session must exist in the batch result, and nearly all sessions
+    # are past the final watermark for a bounded historical input.
+    b, s = as_sets(batch, cols), as_sets(stream, cols)
+    assert s <= b
+    assert len(s) >= 0.9 * len(b)
+
+
+def test_watermark_drops_late_events(spark):
+    """10:10 arrives in a micro-batch after the watermark passed 11:00
+    → its 10:00 window is final and the late row must not resurrect
+    it. Uses a live micro-batch stream with the late file written only
+    after the first batch commits (availableNow folds all files into
+    one batch, so the watermark would never advance in between)."""
+    import time
+    import uuid
+
+    tmpdir = tempfile.mkdtemp(prefix="late_")
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    on_time = spark.createDataFrame(
+        [(1, DT(2024, 1, 1, 10, 5), 1, 1.0), (2, DT(2024, 1, 1, 12, 0), 1, 1.0)],
+        schema,
+    )
+    on_time.coalesce(1).write.parquet(os.path.join(tmpdir, "f1"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(tmpdir + "/*")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_late_"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+
+        def wait_for_watermark(min_wm: str, timeout: float = 60.0) -> None:
+            deadline = time.time() + timeout
+            while time.time() < deadline:
+                p = q.lastProgress
+                if p and p["eventTime"].get("watermark", "1970") >= min_wm:
+                    return
+                time.sleep(0.3)
+            raise AssertionError(f"watermark never reached {min_wm}")
+
+        wait_for_watermark("2024-01-01T11:00:00")
+        late = spark.createDataFrame(
+            [
+                (3, DT(2024, 1, 1, 10, 10), 1, 1.0),  # < 11:00 ⇒ dropped
+                (4, DT(2024, 1, 1, 13, 30), 1, 1.0),  # advances watermark
+            ],
+            schema,
+        )
+        late.coalesce(1).write.parquet(os.path.join(tmpdir, "f2"))
+        wait_for_watermark("2024-01-01T12:30:00")
+    finally:
+        q.stop()
+    out = spark.table(name)
+    got = {(r["ws"].isoformat(), r["n"]) for r in out.collect()}
+    # the 10:00 window closed with exactly 1 event; the late event_id=3
+    # (also 10:00-11:00) was dropped, never re-emitted; the 12:00
+    # window is NOT emitted — its end (13:00) is still ahead of the
+    # final watermark (12:30), so it remains open state
+    assert ("2024-01-01T10:00:00", 1) in got
+    assert ("2024-01-01T10:00:00", 2) not in got
+    assert not any(ws == "2024-01-01T12:00:00" for ws, _ in got)
+
+
+def test_stream_dedup_with_watermark(spark):
+    """op_stream_dedup: duplicate event_ids across micro-batches are
+    dropped by stateful dedup under a watermark."""
+    tmpdir = tempfile.mkdtemp(prefix="dup_")
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    b1 = spark.createDataFrame(
+        [(1, DT(2024, 1, 1, 10, 0), 1, 1.0), (2, DT(2024, 1, 1, 10, 1), 1, 1.0)],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(2, DT(2024, 1, 1, 10, 1), 1, 1.0), (3, DT(2024, 1, 1, 10, 2), 1, 1.0)],
+        schema,
+    )
+    b1.coalesce(1).write.parquet(os.path.join(tmpdir, "b=1"))
+    b2.coalesce(1).write.parquet(os.path.join(tmpdir, "b=2"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmpdir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+    )
+    out = run_available_now(stream, output_mode="append")
+    ids = sorted(r["event_id"] for r in out.collect())
+    assert ids == [1, 2, 3]
+
+
+def test_stream_orc_sink_roundtrip(spark):
+    """The reference's conversion loop as a stream: source parquet →
+    streaming ORC sink → read back equals the batch table."""
+    outdir = tempfile.mkdtemp(prefix="orc_sink_")
+    stream = read_events_stream(spark, SF_DIR)
+    stream_to_orc(stream, os.path.join(outdir, "events"))
+    back = read_orc(spark, os.path.join(outdir, "events"))
+    batch = load(spark, SF_DIR, "events")
+    assert back.count() == batch.count()
+    assert as_sets(back, ["event_id"]) == as_sets(batch, ["event_id"])
+
+
+def test_stream_orc_sink_exactly_once_on_restart(spark):
+    """Re-running with the same checkpoint must not duplicate data."""
+    outdir = tempfile.mkdtemp(prefix="orc_once_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_once_")
+    path = os.path.join(outdir, "events")
+    stream_to_orc(read_events_stream(spark, SF_DIR), path, checkpoint=ckpt)
+    n1 = read_orc(spark, path).count()
+    # second run, same checkpoint: no new source files ⇒ no new rows
+    stream_to_orc(read_events_stream(spark, SF_DIR), path, checkpoint=ckpt)
+    n2 = read_orc(spark, path).count()
+    assert n1 == n2 == load(spark, SF_DIR, "events").count()

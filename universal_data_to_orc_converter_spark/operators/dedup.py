@@ -239,8 +239,11 @@ def op_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     reusable artifact). Pure higher-order-function expressions."""
     par = spark.sparkContext.defaultParallelism
     d = load(spark, sf_dir, "documents").repartition(par, "doc_id")
-    toks = F.array_distinct(tokens(F.col("text")))
-    h = F.transform(toks, lambda t: F.xxhash64(t))
+    # SimHash over 3-gram shingles, not unigrams: with a small
+    # vocabulary the unigram bit votes sit at the 50% margin and a
+    # handful of edits flips half the signature; shingles give near-
+    # dups ~98% feature overlap, so Hamming distance tracks Jaccard.
+    h = F.transform(shingles(tokens(F.col("text"))), lambda t: F.xxhash64(t))
 
     def bit_test(bit: int):
         return lambda x: F.shiftright(x, bit).bitwiseAND(1) == 1

@@ -130,7 +130,10 @@ def op_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = lsh.fit(unit)
     queries_df = unit.filter(F.col("vec_id") < _N_QUERY_VECS)
-    joined = model.approxSimilarityJoin(queries_df, unit, 1.2, distCol="dist")
+    # threshold 1.5 ⇔ cosine ≳ −0.13 on unit vectors: wide enough that
+    # a true top-10 neighbor of a random 64-dim query (cos ~0.2-0.4,
+    # dist ~1.1-1.27) is never cut off by the radius, only by rank
+    joined = model.approxSimilarityJoin(queries_df, unit, 1.5, distCol="dist")
     out = joined.select(
         F.col("datasetA.vec_id").alias("q_id"),
         F.col("datasetB.vec_id").alias("vec_id"),
