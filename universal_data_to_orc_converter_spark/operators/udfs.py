@@ -1,0 +1,158 @@
+"""UDF surface — SURVEY.md §2.K (op_udf_scalar / op_udaf / op_udtf).
+
+The reference's only "custom logic" is row-wise cell cleanup inside
+its generated converters (data_to_orc_converter.sh:360-363) — here the
+escape hatch is formalized as the three Spark UDF tiers, all
+Arrow-batched (never row-at-a-time Python):
+
+* scalar ``pandas_udf`` — vectorized column → column
+* grouped-agg ``pandas_udf`` — column(s) → scalar per group
+* ``applyInPandas`` — full DataFrame per group (the UDTF/grouped-map)
+
+Each query keeps its Python arithmetic exactly SQL-replicable
+(string ops, integer sums, max) so even the UDF tier is oracle-checked
+— proving the Arrow round-trip loses nothing.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+
+@query(
+    "op_udf_scalar",
+    oracle="""
+        SELECT c_custkey,
+               lower(regexp_replace(c_name, '[0-9]+', '')) AS name_clean,
+               CAST(length(c_name) AS BIGINT) AS name_len
+        FROM customer
+    """,
+    notes="Vectorized pandas_udf doing the reference's cell-cleanup "
+    "(sh:360-363); Arrow-batched, oracle-checked.",
+    tags=("udf",),
+)
+def op_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF: per-batch pandas string ops — the sanctioned
+    slow path, still ~10-100× faster than row-at-a-time Python."""
+
+    @F.pandas_udf("string")
+    def clean_name(s: pd.Series) -> pd.Series:
+        return s.str.replace(r"[0-9]+", "", regex=True).str.lower()
+
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        clean_name("c_name").alias("name_clean"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+    )
+
+
+@query(
+    "op_udaf",
+    oracle="""
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS total_k,
+               CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS max_k
+        FROM events
+        GROUP BY event_type
+    """,
+    notes="Grouped-agg pandas_udf over integers (exact, order-free) — "
+    "the custom-aggregation tier, oracle-checked.",
+    tags=("udf", "agg"),
+)
+def op_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregation as GROUPED_AGG pandas UDFs (integer sum/max,
+    so the result is engine-exact)."""
+
+    @F.pandas_udf("bigint")
+    def int_sum(v: pd.Series) -> int:
+        return int(v.sum())
+
+    @F.pandas_udf("bigint")
+    def int_max(v: pd.Series) -> int:
+        return int(v.max())
+
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(int_sum("k").alias("total_k"), int_max("k").alias("max_k"))
+    )
+
+
+@query(
+    "op_udtf_grouped_map",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        )
+        WHERE rn <= 2
+    """,
+    notes="applyInPandas grouped-map emitting each customer's top-2 "
+    "orders — pure row selection, so oracle-checked. (For top-k per se "
+    "prefer op_win_topk_group; this exercises the arbitrary-pandas-"
+    "logic tier.)",
+    tags=("udf",),
+)
+def op_udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDF: per-group pandas DataFrame in, DataFrame out.
+    State is bounded per group; groups stream through executors, so
+    the operator scales with the key cardinality, not total rows."""
+
+    def top2(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(2)
+        return out[["o_custkey", "o_orderkey", "o_totalprice"]]
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    return o.groupBy("o_custkey").applyInPandas(
+        top2, "o_custkey long, o_orderkey long, o_totalprice double"
+    )
+
+
+@query(
+    "op_pivot",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN l_linestatus = 'O'
+                        THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE)
+                   AS qty_open,
+               CAST(SUM(CASE WHEN l_linestatus = 'F'
+                        THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE)
+                   AS qty_finished
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    notes="Pivot (stretch op from SURVEY §2's 'not claimed' list): "
+    "explicit value list so no extra distinct-scan pass.",
+    tags=("agg",),
+)
+def op_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with explicit pivot values — at scale always
+    pass the value list; inferring it costs a full distinct scan."""
+    li = load(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double"))
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("O").alias("qty_open"),
+        F.col("F").alias("qty_finished"),
+    )

@@ -79,6 +79,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
     from .operators import (  # noqa: F401
         aggregates,
         dedup,
+        io,
         joins,
         multimodal,
         relational,
@@ -86,6 +87,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         similarity,
         sorts,
         text,
+        udfs,
         windows,
     )
     from .functions import scalar, semistructured  # noqa: F401

@@ -182,3 +182,69 @@ def op_stream_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.table(sink_name)
+
+
+@query(
+    "op_stream_watermark",
+    oracle="""
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+               event_type,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1, 2
+        HAVING time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR
+               <= (SELECT max(ts) - INTERVAL 10 MINUTES FROM events)
+    """,
+    notes="withWatermark + windowed agg executed via availableNow in "
+    "append mode: only windows whose end precedes the final watermark "
+    "(max ts − 10 min) are emitted — the oracle's HAVING clause states "
+    "exactly that emission rule, so even the withheld-window behavior "
+    "is hash-checked. True late-data dropping is exercised in "
+    "tests/test_streaming.py with a live two-batch stream.",
+    tags=("streaming",),
+)
+def op_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling aggregation, streaming-executed: the state
+    store evicts each window once the 10-minute watermark passes it —
+    bounded state no matter how long the stream runs."""
+    from .runner import read_events_stream, run_available_now
+
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+    return run_available_now(agg, output_mode="append")
+
+
+@query(
+    "op_stream_dedup",
+    oracle="""
+        SELECT event_id, user_id, event_type
+        FROM events
+    """,
+    notes="Streaming dedup: the source is the events table unioned "
+    "with itself (every event_id duplicated); dropDuplicates under a "
+    "watermark must reconstruct exactly the original table — checked "
+    "against the plain-events oracle.",
+    tags=("streaming",),
+)
+def op_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on event_id over a deliberately
+    duplicated stream. The state store holds one key per event inside
+    the watermark horizon; duplicates beyond it age out — the 100 TB
+    answer to exactly-once event feeds."""
+    from .runner import read_events_stream, run_available_now
+
+    s1 = read_events_stream(spark, sf_dir)
+    s2 = read_events_stream(spark, sf_dir)
+    dup = s1.unionByName(s2)
+    dedup = (
+        dup.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return run_available_now(dedup, output_mode="append")
