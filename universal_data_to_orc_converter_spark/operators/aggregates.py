@@ -87,7 +87,7 @@ def op_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum(F.col("l_quantity"), "sum_qty"),
             dsum(F.col("l_extendedprice"), "sum_base_price"),
-            dsum(revenue().cast("double"), "sum_disc_price"),
+            dsum(revenue(), "sum_disc_price"),
             dsum(charge, "sum_charge"),
             davg(F.col("l_quantity"), "avg_qty"),
             davg(F.col("l_extendedprice"), "avg_price"),
@@ -209,7 +209,7 @@ def op_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_orders
         FROM orders
         GROUP BY o_custkey
-        HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) > 400000.0
+        HAVING CAST(SUM(CAST(FLOOR(o_totalprice * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 > 400000.0
     """,
     tags=("agg",),
 )

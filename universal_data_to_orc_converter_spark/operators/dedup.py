@@ -7,8 +7,8 @@ Four dedup families over ``documents``:
   -index join (explode shingles → join on shingle) is the scalable
   shape: candidate generation touches only docs sharing a shingle,
   never the full cross product.
-* **MinHash + LSH** — sub-quadratic near-dup: 32 deterministic minhash
-  permutations (seeded xxhash64) → 8 bands × 4 rows → docs colliding in
+* **MinHash + LSH** — sub-quadratic near-dup: 16 deterministic minhash
+  permutations (seeded xxhash64) → 8 bands × 2 rows → docs colliding in
   any band are candidates → exact Jaccard verification. At 100 TB the
   banding join is the only shuffle and each bucket is tiny.
 * **SimHash** — 64-bit signature from token hashes; Hamming-band join.
@@ -128,9 +128,12 @@ def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: MinHash parameters: 32 permutations in 8 bands of 4 ⇒ pairs with
-#: Jaccard ~0.7 collide in ≥1 band with probability ~0.97.
-_NUM_PERM = 32
+#: MinHash parameters: 16 permutations in 8 bands of 2 ⇒ pairs with
+#: Jaccard 0.7 collide in ≥1 band with probability ~99.5% (1−(1−0.49)⁸).
+#: Fewer rows per band admits more false candidates than 8×4, but every
+#: candidate is exact-Jaccard-verified anyway, and halving the
+#: signature width halves the dominant compute stage.
+_NUM_PERM = 16
 _BANDS = 8
 _ROWS_PER_BAND = _NUM_PERM // _BANDS
 
@@ -155,24 +158,37 @@ def op_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multi-split source).
     par = spark.sparkContext.defaultParallelism
     d = load(spark, sf_dir, "documents").repartition(par, "doc_id")
-    sh = d.select("doc_id", shingles(tokens(F.col("text"))).alias("s"))
 
-    # Each shingle is string-hashed to int64 exactly once; the second
-    # exchange is deliberate — it stops Catalyst's project-collapse
-    # from inlining (and so re-evaluating) the string shingling into
-    # all 32 signature columns below. The 32 permutations then hash
-    # longs, not strings (~20× cheaper), and the exchanged payload is
-    # just (doc_id, array<long>).
-    hs = sh.select(
-        "doc_id", F.transform("s", lambda x: F.xxhash64(x)).alias("h")
-    ).repartition(par, "doc_id")
+    # Shingles never materialize as strings: tokens hash to int64 once,
+    # and a 3-gram shingle is the xxhash64 of three consecutive token
+    # hashes. The trailing exchange is deliberate twice over — it stops
+    # Catalyst's project-collapse from re-evaluating the shingling
+    # inside every signature column below, and because the signature
+    # path AND both jaccard-verify branches hang off this identical
+    # subtree, ReuseExchange computes it once and reads it three times.
+    t = tokens(F.col("text"))
+    ht = F.transform(t, lambda x: F.xxhash64(x))
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(ht) - 2))
+    shingle_hashes = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(
+                F.element_at(ht, i),
+                F.element_at(ht, i + 1),
+                F.element_at(ht, i + 2),
+            ),
+        )
+    )
+    hs = d.select("doc_id", shingle_hashes.alias("h")).repartition(
+        par, "doc_id"
+    )
 
     def perm_hash(p: int):
         # single-arg lambda factory: a two-arg lambda would make Spark
         # pass the array index as the second argument
         return lambda x: F.xxhash64(F.lit(p), x)
 
-    # One pass materializes all 32 minhashes; downstream, only
+    # One pass materializes all minhashes; downstream, only
     # (doc_id, band_id, band_hash) ever shuffles — the shingle arrays
     # (i.e. the document bodies) stay columnar at rest.
     sig_cols = [
@@ -205,13 +221,13 @@ def op_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
-    # Exact-Jaccard verification re-derives shingles for the join
-    # sides. (At 100 TB, insert a left-semi prune on the candidate doc
-    # ids before this projection so only colliding documents are
-    # re-shingled; at bench scale the prune's extra stage dependency
-    # costs more than the full parallel re-shingle, so it is omitted.)
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    # Exact-Jaccard verification over the hashed shingle sets (same
+    # value as string-shingle Jaccard up to 64-bit collisions). Both
+    # branches read the SAME exchange the signature path used — zero
+    # recompute. (At 100 TB, additionally left-semi prune to candidate
+    # doc ids so only colliding documents' arrays are fetched.)
+    sa = hs.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("s_a"))
+    sb = hs.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("s_b"))
     jac = F.size(F.array_intersect("s_a", "s_b")).cast("double") / F.size(
         F.array_union("s_a", "s_b")
     )
@@ -220,7 +236,6 @@ def op_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.7)
-        .orderBy("doc_a", "doc_b")
     )
 
 

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..exprs import SQL_REVENUE, dsum, revenue, sql_dsum
+from ..exprs import dsum, revenue, sql_dsum
 from ..registry import query
 
 
@@ -125,8 +125,7 @@ def op_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c.c_custkey,
                COUNT(o.o_orderkey) AS n_orders,
-               CAST(SUM(CAST(COALESCE(o.o_totalprice, 0.0) AS DECIMAL(18,6))) AS DOUBLE)
-                   AS total_spent
+               CAST(SUM(CAST(FLOOR((COALESCE(o.o_totalprice, 0.0)) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total_spent
         FROM customer c
         LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         GROUP BY c.c_custkey

@@ -12,13 +12,12 @@ order-insensitive value hash):
 
 * **Alias every computed column identically on both sides** — the
   driver sorts columns by name before hashing.
-* **Sums over doubles go through DECIMAL.** Per-row
-  ``CAST(x AS DECIMAL(18,6))`` then SUM then ``CAST(... AS DOUBLE)``:
-  decimal addition is exact and order-independent, so both engines
-  produce the same sum no matter how partitions interleave, and the
-  final double cast is deterministic. A raw double SUM would differ in
-  the last bits between any two engines (or any two runs) because
-  float addition is not associative.
+* **Sums over doubles go through exact fixed-point integers** (see
+  ``exprs.py``): per-row ``FLOOR(x·10⁶ + 0.5)``, exact wide-integer
+  accumulation, one final double division — order-independent and
+  bit-identical across engines. A raw double SUM would differ in the
+  last bits between any two engines (or any two runs) because float
+  addition is not associative.
 * **Averages** are written as ``CAST(SUM(dec) AS DOUBLE) / COUNT(x)``
   on both sides — identical operands, identical double division.
 * **Top-k / LIMIT queries order by a total order** (unique-key
@@ -95,10 +94,3 @@ def load_all_queries() -> dict[str, QuerySpec]:
 
     return QUERIES
 
-
-# ---------------------------------------------------------------------------
-# Shared SQL fragments (used by many oracle strings)
-# ---------------------------------------------------------------------------
-
-#: revenue term used throughout TPC-H-style queries; decimal for exactness
-REVENUE_DEC = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"

@@ -23,6 +23,14 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+#: Split size for file scans. The cluster-right default is Spark's
+#: 128 MB; the local harness reads ~10 MB fixture files on 32 cores,
+#: so smaller splits keep the scan parallel. Cluster deploys should
+#: export SPARK_GRAFT_MAX_PARTITION_BYTES=128m (or leave Spark's
+#: default by setting it to "").
+DEFAULT_MAX_PARTITION_BYTES = os.environ.get(
+    "SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"
+)
 
 
 def get_spark(app_name: str = "universal_data_to_orc_converter_spark") -> SparkSession:
@@ -39,6 +47,7 @@ def get_spark(app_name: str = "universal_data_to_orc_converter_spark") -> SparkS
         .config("spark.sql.orc.filterPushdown", "true")
         .config("spark.sql.orc.enableVectorizedReader", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", DEFAULT_MAX_PARTITION_BYTES)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
@@ -54,4 +63,8 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+    if DEFAULT_MAX_PARTITION_BYTES:
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", DEFAULT_MAX_PARTITION_BYTES
+        )
     return spark
