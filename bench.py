@@ -41,6 +41,31 @@ def run_query(spark, fn, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def measure_compression(spark) -> float:
+    """ORC(zlib) bytes / raw CSV bytes for lineitem — the reference's
+    headline claim is ~92% smaller than raw CSV (BASELINE.md)."""
+    import glob
+    import shutil
+    import tempfile
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    work = tempfile.mkdtemp(prefix="bench_comp_")
+    try:
+        csv_dir = os.path.join(work, "csv")
+        orc_dir = os.path.join(work, "orc")
+        li.write.option("header", "true").csv(csv_dir)
+        li.write.option("compression", "zlib").orc(orc_dir)
+        csv_bytes = sum(
+            os.path.getsize(f) for f in glob.glob(f"{csv_dir}/*.csv")
+        )
+        orc_bytes = sum(
+            os.path.getsize(f) for f in glob.glob(f"{orc_dir}/*.orc")
+        )
+        return orc_bytes / csv_bytes if csv_bytes else float("nan")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark("udoc-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -70,6 +95,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "orc_vs_csv_size_ratio": round(measure_compression(spark), 4),
     }
     print(json.dumps(out))
     sys.stdout.flush()

@@ -248,3 +248,21 @@ def test_orc_partitioned_write(spark, tmp_path):
     # partition pruning: reading one segment touches only its dir
     one = read_orc(spark, out).filter(F.col("c_mktsegment") == "BUILDING")
     assert one.count() == src.filter(F.col("c_mktsegment") == "BUILDING").count()
+
+
+def test_orc_schema_evolution_merge(spark, tmp_path):
+    """The reference README promises schema evolution via ORC
+    (reference README.md:26-29); Spark delivers it through mergeSchema:
+    old part files simply lack the new column and read back as null."""
+    out = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a")], "id long, name string")
+    v1.write.orc(out)
+    v2 = spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    )
+    v2.write.mode("append").orc(out)
+    merged = spark.read.option("mergeSchema", "true").orc(out)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None
+    assert rows[2]["score"] == 9.5

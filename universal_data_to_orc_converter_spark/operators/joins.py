@@ -278,3 +278,59 @@ def op_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(dsum(revenue(), "revenue"))
     )
+
+
+@query(
+    "op_join_asof",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               o_orderkey AS asof_orderkey,
+               o_totalprice AS asof_totalprice
+        FROM (
+          SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                    ORDER BY o.o_orderdate DESC,
+                                             o.o_orderkey DESC) AS rn
+          FROM events e
+          JOIN orders o
+            ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        )
+        WHERE rn = 1
+    """,
+    notes="As-of join (time-series staple Spark lacks natively): each "
+    "event matched to the key's most recent order at event time. "
+    "Implemented as equi+range join → per-event WindowGroupLimit "
+    "top-1; the o_orderkey tiebreak makes same-timestamp matches "
+    "total, so the oracle (same construction in SQL) is exact.",
+    tags=("join", "streaming"),
+)
+def op_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF join: latest order per (user, event-time). The equi key
+    bounds the join to per-user order history; WindowGroupLimit keeps
+    one row per event before the exchange. For long histories at
+    100 TB, pre-bucket orders by custkey and time-bucket the range so
+    each event scans O(1) buckets instead of the full history."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    j = e.join(
+        o,
+        (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts),
+    )
+    w = W.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("o_orderkey").alias("asof_orderkey"),
+            F.col("o_totalprice").alias("asof_totalprice"),
+        )
+    )
