@@ -225,3 +225,100 @@ def op_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("total_spent") > 400000.0)
     )
+
+
+@query(
+    "op_agg_percentile",
+    oracle="""
+        SELECT o_orderstatus,
+               quantile_cont(o_totalprice, 0.5) AS p50,
+               quantile_cont(o_totalprice, 0.9) AS p90,
+               MIN(o_totalprice) AS p0,
+               MAX(o_totalprice) AS p100
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    notes="Exact interpolated percentiles: Spark percentile() and "
+    "DuckDB quantile_cont() share the (1−f)·a[i] + f·a[i+1] "
+    "definition over the same sorted values — verified bit-identical. "
+    "At 100 TB swap to approx_percentile (KLL/GK sketch, rows-only).",
+    tags=("agg",),
+)
+def op_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group. Exact percentile materializes the
+    group's values — fine for bounded groups; the sketch variant is
+    the unbounded-cardinality path."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.min("o_totalprice").alias("p0"),
+        F.max("o_totalprice").alias("p100"),
+    )
+
+
+@query(
+    "op_agg_stats",
+    oracle="""
+        WITH m AS (
+          SELECT l_returnflag,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s_q,
+                 CAST(SUM(CAST(l_quantity AS BIGINT)
+                          * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS ss_q,
+                 CAST(SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+                      AS DOUBLE) AS s_d,
+                 CAST(SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)
+                          * CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+                      AS DOUBLE) AS ss_d,
+                 CAST(SUM(CAST(l_quantity AS BIGINT)
+                          * CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+                      AS DOUBLE) AS s_qd
+          FROM lineitem
+          GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               n,
+               sqrt((ss_q - s_q * s_q / n) / (n - 1)) AS stddev_qty,
+               (s_qd - s_q * s_d / n)
+                   / (sqrt(ss_q - s_q * s_q / n) * sqrt(ss_d - s_d * s_d / n))
+                   AS corr_qty_disc
+        FROM m
+    """,
+    notes="stddev / correlation from exact integer moments (quantity "
+    "is integral, discount is exact at 2dp): both engines accumulate "
+    "identical integers and apply the identical closed form, so even "
+    "second-moment statistics hash-match. Spark's own stddev/corr use "
+    "Welford updates whose float error depends on partition order — "
+    "unusable for cross-engine comparison.",
+    tags=("agg",),
+)
+def op_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-class statistics via exact moment sums: one pass, one
+    shuffle of 5 integers per group — the moment trick is also the
+    scalable way to fuse many statistics into one aggregation."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    dd = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(q).cast("double").alias("s_q"),
+        F.sum(q * q).cast("double").alias("ss_q"),
+        F.sum(dd).cast("double").alias("s_d"),
+        F.sum(dd * dd).cast("double").alias("ss_d"),
+        F.sum(q * dd).cast("double").alias("s_qd"),
+    )
+    n = F.col("n")
+    stddev_qty = F.sqrt(
+        (F.col("ss_q") - F.col("s_q") * F.col("s_q") / n) / (n - 1)
+    )
+    corr = (F.col("s_qd") - F.col("s_q") * F.col("s_d") / n) / (
+        F.sqrt(F.col("ss_q") - F.col("s_q") * F.col("s_q") / n)
+        * F.sqrt(F.col("ss_d") - F.col("s_d") * F.col("s_d") / n)
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        stddev_qty.alias("stddev_qty"),
+        corr.alias("corr_qty_disc"),
+    )

@@ -334,3 +334,50 @@ def op_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").alias("asof_totalprice"),
         )
     )
+
+
+#: salt fan-out for the skew-join demo
+_N_SALTS = 8
+
+
+@query(
+    "op_join_salted",
+    oracle="""
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(FLOOR(e.value * 1000000 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1000000.0 AS sum_value
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    notes="Manual key-salting pattern: the fact side derives a "
+    "deterministic salt (event_id % 8), the dim side replicates 8× — "
+    "a hot key spreads over 8 reducers instead of one. The oracle is "
+    "the plain unsalted join, proving salting is result-invariant. "
+    "(AQE skew-join handles this automatically for sort-merge joins; "
+    "salting remains necessary for skewed AGGREGATION keys and "
+    "pre-AQE engines.)",
+    tags=("join", "skew"),
+)
+def op_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant join via key salting, result-identical to the
+    plain join."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "salt", (F.col("event_id") % _N_SALTS).cast("int")
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    salts = spark.range(_N_SALTS).select(F.col("id").cast("int").alias("salt"))
+    c_salted = c.crossJoin(F.broadcast(salts))
+    joined = e.join(
+        c_salted,
+        (e.user_id == c_salted.c_custkey) & (e.salt == c_salted.salt),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.sum(F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("decimal(18,0)"))
+            .cast("double")
+            / 1000000.0
+        ).alias("sum_value"),
+    )
