@@ -189,13 +189,14 @@ def op_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit grouping sets via Spark SQL (the DataFrame API exposes
     only rollup/cube; GROUPING SETS is SQL-level in both engines)."""
-    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    # unique view name: never clobber a caller's own "lineitem" view
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("udoc_gsets_lineitem")
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
                COUNT(*) AS n_rows,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
-        FROM lineitem
+        FROM udoc_gsets_lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )

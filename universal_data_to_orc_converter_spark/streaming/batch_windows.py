@@ -279,3 +279,51 @@ def op_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         user_activity_stateful(stream), output_mode="update"
     )
+
+
+@query(
+    "op_time_rollup",
+    oracle="""
+        SELECT * FROM (
+          SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                 'hour' AS resolution, event_type, COUNT(*) AS n_events
+          FROM events GROUP BY 1, 3
+          UNION ALL
+          SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+                 'day' AS resolution, event_type, COUNT(*) AS n_events
+          FROM events GROUP BY 1, 3
+          UNION ALL
+          SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket,
+                 'month' AS resolution, event_type, COUNT(*) AS n_events
+          FROM events GROUP BY 1, 3
+        )
+    """,
+    notes="Hypertable-style multi-resolution rollup (hour/day/month in "
+    "one result). Implemented as a single scan with per-resolution "
+    "partial aggregation; at 100 TB the hourly tier is materialized "
+    "continuously (op_stream_tumbling) and day/month reaggregate the "
+    "hourly table — this query is the batch definition of that "
+    "cascade.",
+    tags=("streaming", "agg"),
+)
+def op_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate cascade, batch form: counts per event type
+    at hour/day/month resolutions. One scan; Spark unions the three
+    grouped aggregates and AQE coalesces the tiny outputs."""
+    e = load(spark, sf_dir, "events")
+
+    def tier(unit: str) -> DataFrame:
+        return (
+            e.groupBy(
+                F.date_trunc(unit, "ts").alias("bucket"), "event_type"
+            )
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "bucket",
+                F.lit(unit).alias("resolution"),
+                "event_type",
+                "n_events",
+            )
+        )
+
+    return tier("hour").unionByName(tier("day")).unionByName(tier("month"))
