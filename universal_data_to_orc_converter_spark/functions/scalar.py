@@ -224,3 +224,95 @@ def op_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderkey").isNull(), 1).otherwise(0).alias("is_missing"),
         F.coalesce(F.col("o_orderpriority"), F.lit("NONE")).alias("priority_filled"),
     )
+
+
+@query(
+    "op_str_funcs2",
+    oracle="""
+        SELECT p_partkey,
+               split_part(p_name, ' ', 1) AS first_word,
+               split_part(p_name, ' ', 2) AS second_word,
+               lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded,
+               rpad(p_brand, 12, '.') AS brand_padded,
+               replace(p_type, 'E', '3') AS type_leet,
+               reverse(p_name) AS name_reversed,
+               left(p_name, 3) AS name_left,
+               right(p_name, 3) AS name_right
+        FROM part
+    """,
+    tags=("scalar",),
+)
+def op_str_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string surface: split_part / lpad / rpad / replace /
+    reverse / left / right (all 1-based, engine-aligned)."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("second_word"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_padded"),
+        F.rpad("p_brand", 12, ".").alias("brand_padded"),
+        F.replace(F.col("p_type"), F.lit("E"), F.lit("3")).alias("type_leet"),
+        F.reverse("p_name").alias("name_reversed"),
+        F.substring("p_name", 1, 3).alias("name_left"),
+        F.col("p_name").substr(F.length("p_name") - 2, F.lit(3)).alias("name_right"),
+    )
+
+
+@query(
+    "op_cond_funcs",
+    oracle="""
+        SELECT s_suppkey,
+               greatest(s_acctbal, 0.0) AS bal_floor0,
+               least(s_acctbal, 5000.0) AS bal_cap5k,
+               nullif(s_nationkey, 0) AS nation_or_null,
+               CASE WHEN s_acctbal > 5000.0 THEN 'rich'
+                    WHEN s_acctbal > 0.0 THEN 'ok'
+                    ELSE 'neg' END AS tier
+        FROM supplier
+    """,
+    tags=("scalar",),
+)
+def op_cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional scalar surface: greatest / least / nullif / CASE."""
+    s = load(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.greatest("s_acctbal", F.lit(0.0)).alias("bal_floor0"),
+        F.least("s_acctbal", F.lit(5000.0)).alias("bal_cap5k"),
+        F.nullif(F.col("s_nationkey"), F.lit(0)).alias("nation_or_null"),
+        F.when(F.col("s_acctbal") > 5000.0, "rich")
+        .when(F.col("s_acctbal") > 0.0, "ok")
+        .otherwise("neg")
+        .alias("tier"),
+    )
+
+
+@query(
+    "op_date_funcs2",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+               CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS review_date,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               CAST(dayofweek(o_orderdate) AS INT) AS dow0,
+               CAST(quarter(o_orderdate) AS INT) AS q
+        FROM orders
+    """,
+    notes="dayofweek is normalized to DuckDB's 0=Sunday convention "
+    "(Spark's is 1=Sunday).",
+    tags=("scalar",),
+)
+def op_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended date surface: date_add / add_months / last_day /
+    day-of-week / quarter."""
+    o = load(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_add(d, 30).alias("due_date"),
+        F.add_months(d, 3).alias("review_date"),
+        F.last_day(d).alias("month_end"),
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow0"),
+        F.quarter("o_orderdate").cast("int").alias("q"),
+    )
