@@ -183,3 +183,25 @@ def test_stream_orc_sink_exactly_once_on_restart(spark):
     stream_to_orc(read_events_stream(spark, SF_DIR), path, checkpoint=ckpt)
     n2 = read_orc(spark, path).count()
     assert n1 == n2 == load(spark, SF_DIR, "events").count()
+
+
+def test_foreach_batch_orc_sink_idempotent(spark):
+    """foreachBatch with dynamic partition overwrite: replaying the
+    same batch (fresh checkpoint, same data) rewrites its partition
+    instead of duplicating rows."""
+    import tempfile
+
+    from universal_data_to_orc_converter_spark.streaming.runner import (
+        stream_to_orc_foreach_batch,
+    )
+
+    outdir = tempfile.mkdtemp(prefix="fb_orc_")
+    path = os.path.join(outdir, "events")
+    n_src = load(spark, SF_DIR, "events").count()
+    stream_to_orc_foreach_batch(read_events_stream(spark, SF_DIR), path)
+    assert read_orc(spark, path).count() == n_src
+    # replay with a NEW checkpoint (simulates a re-run after checkpoint
+    # loss — the classic duplication hazard): same batch_id partition
+    # is overwritten, not appended
+    stream_to_orc_foreach_batch(read_events_stream(spark, SF_DIR), path)
+    assert read_orc(spark, path).count() == n_src

@@ -15,13 +15,12 @@ import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events fixture (ns timestamps handled the
     same way as catalog.load)."""
-    from pyspark.sql import functions as F
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return (
         spark.readStream.schema(
@@ -71,6 +70,42 @@ def stream_to_orc(
         .option(
             "checkpointLocation",
             checkpoint or tempfile.mkdtemp(prefix="ckpt_orc_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+
+
+def stream_to_orc_foreach_batch(
+    result: DataFrame,
+    path: str,
+    checkpoint: str | None = None,
+    timeout_sec: int = 120,
+) -> None:
+    """foreachBatch ORC sink with idempotent per-batch commits.
+
+    The pattern for sinks that need batch-scoped logic (merge, upsert,
+    dynamic partition overwrite): each micro-batch lands in its own
+    hive partition ``batch_id=N`` via dynamic partition overwrite, so
+    a replayed batch overwrites itself instead of duplicating —
+    exactly-once without sink-side transactions."""
+    import tempfile
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .orc(path)
+        )
+
+    q = (
+        result.writeStream.foreachBatch(write_batch)
+        .option(
+            "checkpointLocation",
+            checkpoint or tempfile.mkdtemp(prefix="ckpt_fb_"),
         )
         .trigger(availableNow=True)
         .start()
