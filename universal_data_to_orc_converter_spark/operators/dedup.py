@@ -120,11 +120,16 @@ def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_shared").cast("double") / (
         F.col("size_a") + F.col("size_b") - F.col("n_shared")
     )
+    # A pair colliding in k bands appears k times; dedup AFTER the
+    # jaccard filter, when the result is hundreds of rows, instead of
+    # deduping the much larger raw candidate stream — one less shuffle
+    # over data that was about to shrink anyway.
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.7)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
@@ -218,7 +223,6 @@ def op_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
     )
 
     # Exact-Jaccard verification over the hashed shingle sets (same
@@ -231,11 +235,16 @@ def op_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.size(F.array_intersect("s_a", "s_b")).cast("double") / F.size(
         F.array_union("s_a", "s_b")
     )
+    # A pair colliding in k bands appears k times; dedup AFTER the
+    # jaccard filter, when the result is hundreds of rows, instead of
+    # deduping the much larger raw candidate stream — one less shuffle
+    # over data that was about to shrink anyway.
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.7)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
