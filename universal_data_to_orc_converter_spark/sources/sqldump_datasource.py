@@ -1,0 +1,206 @@
+"""Distributed SQL-dump reader — a Spark 4 Python DataSource.
+
+``sources/sqldump.py`` parses a dump on the driver (bounded memory,
+but serial). This module is the scale path: a custom
+``pyspark.sql.datasource.DataSource`` that splits the dump file into
+byte ranges and parses INSERT statements on the executors —
+``spark.read.format("sqldump")`` like any built-in source.
+
+Split correctness follows the Hadoop line-split protocol: a partition
+[s, e) owns every line that *starts* at offset s < pos ≤ e (the first
+partition also owns offset 0); a non-first partition discards the
+(possibly partial) line found at its seek position, and every
+partition reads its last owned statement to completion even past
+``e``. Line ownership is computed on raw bytes (binary mode — text
+tell() cookies are not comparable to byte offsets). Multi-line INSERT
+statements are read until their top-level ``;`` closes, using the same
+quote/escape-aware scanner as the driver-side parser. The table's
+schema comes from a driver-side metadata pre-scan of the CREATE TABLE
+header.
+
+Usage:
+    spark.dataSource.register(SqlDumpDataSource)
+    df = (spark.read.format("sqldump")
+          .option("path", "/data/dump.sql")
+          .option("table", "users")
+          .load())
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+from .sqldump import parse_create_table, parse_insert, split_statements
+
+#: default split size for executor-side parsing
+_SPLIT_BYTES = 8 << 20
+
+
+@dataclass
+class _Range(InputPartition):
+    start: int
+    end: int
+
+
+def _scan_header(path: str, table: str):
+    """Driver-side pre-scan: the table's CREATE TABLE statement →
+    (schema, ddl column order). Metadata-only; stops at the DDL."""
+
+    def chunks():
+        with open(path, encoding="utf-8", errors="replace") as f:
+            while True:
+                c = f.read(1 << 20)
+                if not c:
+                    return
+                yield c
+
+    for stmt in split_statements(chunks()):
+        td = parse_create_table(stmt)
+        if td is not None and td.name == table:
+            return td.schema, [c for c, _ in td.columns]
+    raise ValueError(f"table {table!r} has no CREATE TABLE in {path}")
+
+
+def _has_toplevel_semicolon(stmt: str) -> bool:
+    """True when ``stmt`` contains a ';' outside quotes/comments —
+    i.e. the statement is complete."""
+    state = None
+    escape = False
+    prev = ""
+    for ch in stmt:
+        if state in ("'", '"', "`"):
+            if escape:
+                escape = False
+            elif ch == "\\" and state in ("'", '"'):
+                escape = True
+            elif ch == state:
+                state = None
+        elif state == "--":
+            if ch == "\n":
+                state = None
+        elif state == "/*":
+            if prev == "*" and ch == "/":
+                state = None
+        elif ch == ";":
+            return True
+        elif ch in ("'", '"', "`"):
+            state = ch
+        elif prev == "-" and ch == "-":
+            state = "--"
+        elif prev == "/" and ch == "*":
+            state = "/*"
+        prev = ch
+    return False
+
+
+class SqlDumpDataSource(DataSource):
+    """spark.read.format("sqldump") — options: path, table,
+    split_bytes (optional)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sqldump"
+
+    def schema(self):
+        schema, _ = _scan_header(self.options["path"], self.options["table"])
+        return schema
+
+    def reader(self, schema: StructType) -> "SqlDumpReader":
+        return SqlDumpReader(schema, self.options)
+
+
+class SqlDumpReader(DataSourceReader):
+    def __init__(self, schema: StructType, options) -> None:
+        self.schema = schema
+        self.path = options["path"]
+        self.table = options["table"]
+        self.split_bytes = int(options.get("split_bytes", _SPLIT_BYTES))
+        _, self.columns = _scan_header(self.path, self.table)
+
+    def partitions(self):
+        import os
+
+        size = os.path.getsize(self.path)
+        ranges = []
+        start = 0
+        while start < size:
+            ranges.append(_Range(start, min(start + self.split_bytes, size)))
+            start += self.split_bytes
+        return ranges or [_Range(0, 0)]
+
+    def read(self, partition: _Range):
+        from datetime import date, datetime
+        from decimal import Decimal
+
+        types = [f.dataType.simpleString() for f in self.schema.fields]
+        width = len(self.schema.fields)
+
+        def convert(raw, t):
+            if raw is None:
+                return None
+            try:
+                if t == "bigint":
+                    return int(float(raw)) if "." in raw else int(raw)
+                if t == "double":
+                    return float(raw)
+                if t.startswith("decimal"):
+                    return Decimal(raw)
+                if t == "boolean":
+                    return raw.lower() in ("1", "true", "t")
+                if t == "date":
+                    return date.fromisoformat(raw[:10])
+                if t == "timestamp":
+                    return datetime.fromisoformat(raw)
+                if t == "binary":
+                    return raw.encode("utf-8")
+            except (ValueError, ArithmeticError):
+                return None
+            return raw
+
+        with open(self.path, "rb") as f:
+            if partition.start > 0:
+                f.seek(partition.start)
+                f.readline()  # partial line: owned by the previous split
+            while True:
+                pos = f.tell()
+                # a line starting at exactly `end` is ours (the next
+                # split discards it as its first line)
+                if pos > partition.end:
+                    break
+                bline = f.readline()
+                if not bline:
+                    break
+                line = bline.decode("utf-8", errors="replace")
+                if line.lstrip()[:6].upper() != "INSERT":
+                    continue
+                stmt = line
+                while not _has_toplevel_semicolon(stmt):
+                    nxt = f.readline()
+                    if not nxt:
+                        break
+                    stmt += nxt.decode("utf-8", errors="replace")
+                parsed = parse_insert(stmt.strip())
+                if parsed is None:
+                    continue
+                tname, cols, rows = parsed
+                if tname != self.table:
+                    continue
+                order = {c: i for i, c in enumerate(cols)} if cols else None
+                for r in rows:
+                    if order is not None:
+                        r = [
+                            r[order[c]] if c in order and order[c] < len(r) else None
+                            for c in self.columns
+                        ]
+                    r = r[:width] + [None] * (width - len(r))
+                    yield tuple(
+                        convert(v if v is None else str(v), t)
+                        for v, t in zip(r, types)
+                    )
+
+
+def register(spark) -> None:
+    spark.dataSource.register(SqlDumpDataSource)
