@@ -381,3 +381,41 @@ def op_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("sum_value"),
     )
+
+
+@query(
+    "op_join_nullsafe",
+    oracle="""
+        SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b
+        FROM (SELECT c_custkey,
+                     CASE WHEN c_acctbal < 0 THEN NULL
+                          ELSE CAST(FLOOR(c_acctbal / 1000) AS BIGINT) END AS bal_band
+              FROM customer) a
+        JOIN (SELECT c_custkey,
+                     CASE WHEN c_acctbal < 0 THEN NULL
+                          ELSE CAST(FLOOR(c_acctbal / 1000) AS BIGINT) END AS bal_band
+              FROM customer) b
+          ON a.bal_band IS NOT DISTINCT FROM b.bal_band
+         AND a.c_custkey < b.c_custkey
+    """,
+    notes="Null-safe equality (<=> / IS NOT DISTINCT FROM): NULL bands "
+    "match each other — the join semantics regular '=' silently drops.",
+    tags=("join",),
+)
+def op_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join on a nullable derived key with null-safe equality;
+    negative balances band to NULL and must pair with each other."""
+    c = load(spark, sf_dir, "customer")
+    band = F.when(F.col("c_acctbal") < 0, None).otherwise(
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+    )
+    x = c.select(F.col("c_custkey").alias("cust_a"), band.alias("band_a"))
+    y = c.select(F.col("c_custkey").alias("cust_b"), band.alias("band_b"))
+    return (
+        x.join(
+            y,
+            F.col("band_a").eqNullSafe(F.col("band_b"))
+            & (F.col("cust_a") < F.col("cust_b")),
+        )
+        .select("cust_a", "cust_b")
+    )

@@ -260,3 +260,78 @@ def op_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(winnow, "doc_id long, fingerprint long").orderBy(
         "doc_id", "fingerprint"
     )
+
+
+@query(
+    "op_token_topk",
+    oracle="""
+        SELECT tok, n FROM (
+          SELECT u.tok AS tok, COUNT(*) AS n,
+                 ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, u.tok) AS rn
+          FROM documents,
+               LATERAL unnest(list_filter(string_split(lower(text), ' '),
+                                          x -> x <> '')) AS u(tok)
+          GROUP BY u.tok
+        ) WHERE rn <= 20
+    """,
+    notes="Corpus vocabulary head: explode tokens → count → top-20 "
+    "with lexicographic tiebreak. At 100 TB this is the canonical "
+    "two-phase count (map-side partial per token) + TakeOrdered.",
+    tags=("text",),
+)
+def op_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent tokens across the corpus."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(20)
+    )
+
+
+@query(
+    "op_quality_filter",
+    oracle=r"""
+        SELECT doc_id, lang, n_chars
+        FROM (
+          SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
+                 CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+                     / length(text) AS punct_ratio,
+                 len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+                     AS n_tokens
+          FROM documents
+        )
+        WHERE n_chars >= 100
+          AND punct_ratio < 0.1
+          AND n_tokens >= 20
+    """,
+    notes="The filtering pipeline composed from the quality signals: "
+    "length / punctuation / token-count gates — the op that actually "
+    "decides what enters a training set.",
+    tags=("text",),
+)
+def op_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data quality gate: keep documents passing all signal
+    thresholds. Pure scan-side filtering — at 100 TB this runs at I/O
+    speed and shrinks everything downstream."""
+    d = load(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("bigint")
+    punct = F.size(F.regexp_extract_all("text", F.lit("[^A-Za-z0-9 ]"), F.lit(0)))
+    ntok = F.size(tokens(F.col("text")))
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            n_chars.alias("n_chars"),
+            (punct.cast("double") / F.length("text")).alias("punct_ratio"),
+            ntok.alias("n_tokens"),
+        )
+        .filter(
+            (F.col("n_chars") >= 100)
+            & (F.col("punct_ratio") < 0.1)
+            & (F.col("n_tokens") >= 20)
+        )
+        .select("doc_id", "lang", "n_chars")
+    )

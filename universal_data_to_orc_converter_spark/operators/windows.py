@@ -128,3 +128,32 @@ def op_win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice")
     )
+
+
+@query(
+    "op_win_range_frame",
+    oracle="""
+        SELECT o_orderkey, o_totalprice,
+               CAST(COUNT(*) OVER (ORDER BY o_totalprice
+                                   RANGE BETWEEN 10000.0 PRECEDING
+                                         AND CURRENT ROW) AS BIGINT)
+                   AS n_similar_cheaper
+        FROM orders
+    """,
+    notes="RANGE frame over values (not rows): the frame holds every "
+    "order within 10k below the current price — count is integer-"
+    "exact.",
+    tags=("window",),
+)
+def op_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE window frame (peers by value distance, where
+    ROWS frames count physical neighbors)."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        W.orderBy("o_totalprice").rangeBetween(-10000, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.count("*").over(w).cast("bigint").alias("n_similar_cheaper"),
+    )
