@@ -287,3 +287,112 @@ def op_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(4)
     ]
     return out.select("doc_id", "simhash", *chunks).orderBy("doc_id")
+
+
+def _exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared exact near-dup pair generation (the op_dedup_ngram_jaccard
+    pipeline), reused by the cluster resolver."""
+    return op_dedup_ngram_jaccard(spark, sf_dir)
+
+
+@query(
+    "op_dedup_clusters",
+    oracle="""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(
+                   CASE WHEN len(t) >= 3
+                        THEN list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                        ELSE [array_to_string(t, ' ')]
+                   END) AS s
+          FROM toks
+        ),
+        ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT c.doc_a, c.doc_b
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b
+          WHERE CAST(c.n_shared AS DOUBLE)
+                    / (len(sa.s) + len(sb.s) - c.n_shared) >= 0.7
+        ),
+        edges AS (
+          SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        )
+        SELECT u AS doc_id,
+               LEAST(u, MIN(v)) AS cluster_id,
+               CAST(u = LEAST(u, MIN(v)) AS BOOLEAN) AS is_keeper
+        FROM reach
+        GROUP BY u
+    """,
+    notes="Near-dup CLUSTER resolution: connected components over the "
+    "exact-Jaccard pair graph, cluster id = min doc id in the "
+    "component. Spark side is iterative min-label propagation (the "
+    "iterative-algorithm tier); the oracle is a recursive-CTE "
+    "transitive closure — two completely different algorithms, same "
+    "fixpoint, hash-matched.",
+    tags=("dedup",),
+)
+def op_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Groups of mutual near-duplicates, resolved to one keeper per
+    connected component by iterative label propagation.
+
+    Scale posture: iteration happens on the PAIR GRAPH (post-LSH,
+    orders of magnitude smaller than the corpus), each round is one
+    join + one aggregate, and rounds needed = graph diameter (near-dup
+    clusters are tiny, so 2-4 in practice, capped at 20)."""
+    pairs = _exact_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(20):
+        neigh = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("label").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("neigh_min", F.col("label"))
+                ).alias("label"),
+                (F.col("label") != F.least(
+                    F.col("label"), F.coalesce("neigh_min", F.col("label"))
+                )).alias("changed"),
+            )
+        ).cache()
+        n_changed = new_labels.filter(F.col("changed")).count()
+        labels = new_labels.select("doc_id", "label")
+        if n_changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_keeper"),
+    )
