@@ -323,3 +323,40 @@ def op_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stddev_qty.alias("stddev_qty"),
         corr.alias("corr_qty_disc"),
     )
+
+
+@query(
+    "op_agg_mode",
+    oracle="""
+        SELECT c_nationkey, c_mktsegment AS mode_segment
+        FROM (
+          SELECT c_nationkey, c_mktsegment,
+                 ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                    ORDER BY COUNT(*) DESC, c_mktsegment) AS rn
+          FROM customer
+          GROUP BY c_nationkey, c_mktsegment
+        )
+        WHERE rn = 1
+    """,
+    notes="Mode (most frequent value) per group with a lexicographic "
+    "tiebreak — Spark's mode() picks an arbitrary value among ties, "
+    "so the deterministic count+rank formulation is used on both "
+    "sides.",
+    tags=("agg",),
+)
+def op_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common market segment per nation (deterministic mode)."""
+    from pyspark.sql import Window as W
+
+    c = load(spark, sf_dir, "customer")
+    counts = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("cnt")
+    )
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("cnt").desc(), "c_mktsegment"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_nationkey", F.col("c_mktsegment").alias("mode_segment"))
+    )

@@ -388,7 +388,10 @@ def op_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cache()
         n_changed = new_labels.filter(F.col("changed")).count()
+        prev = labels
         labels = new_labels.select("doc_id", "label")
+        if hasattr(prev, "unpersist"):
+            prev.unpersist()
         if n_changed == 0:
             break
     return labels.select(

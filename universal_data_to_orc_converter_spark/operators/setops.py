@@ -83,3 +83,41 @@ def op_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select("c_custkey")
     o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
     return c.exceptAll(o.distinct()).distinct()
+
+
+@query(
+    "op_union_mixed_schema",
+    oracle="""
+        SELECT c_custkey AS entity_key, c_name AS entity_name,
+               c_acctbal AS acctbal, NULL AS totalprice
+        FROM customer WHERE c_acctbal > 9500.0
+        UNION ALL
+        SELECT o_orderkey AS entity_key, NULL AS entity_name,
+               NULL AS acctbal, o_totalprice AS totalprice
+        FROM orders WHERE o_totalprice > 520000.0
+    """,
+    notes="Schema-evolution union: unionByName(allowMissingColumns) "
+    "null-fills the columns each side lacks — the DataFrame analogue "
+    "of reading mixed-schema part files.",
+    tags=("setop",),
+)
+def op_union_mixed_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of differently-shaped entity tables by column name."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9500.0)
+        .select(
+            F.col("c_custkey").alias("entity_key"),
+            F.col("c_name").alias("entity_name"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 520000.0)
+        .select(
+            F.col("o_orderkey").alias("entity_key"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+    )
+    return c.unionByName(o, allowMissingColumns=True)
