@@ -164,3 +164,16 @@ def test_lang_id_accuracy_on_english(spark):
     n = out.count()
     en = out.filter(F.col("guessed_lang") == "en").count()
     assert en / n > 0.5
+
+
+def test_ivf_ann_recall_vs_brute_force(spark):
+    """IVF with 16 cells / 4 probes should recover most true top-10
+    neighbors; misses are vectors whose cell wasn't probed."""
+    exact = {
+        (r["q_id"], r["vec_id"]) for r in q("op_sim_topk", spark).collect()
+    }
+    ivf = {
+        (r["q_id"], r["vec_id"]) for r in q("op_sim_ann_ivf", spark).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} vs brute force"

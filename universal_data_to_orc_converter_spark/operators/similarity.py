@@ -238,3 +238,101 @@ def op_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("nn_cos") >= 0.95).alias("is_dup"),
         )
     )
+
+
+@query(
+    "op_sim_ann_ivf",
+    oracle=None,
+    notes="IVF-Flat ANN: KMeans(seed=42) coarse quantizer → queries "
+    "probe the nprobe=4 nearest cells → exact cosine within probed "
+    "cells. Deterministic (seeded init over a deterministic input "
+    "partitioning) but model-dependent — rows-only; recall vs "
+    "op_sim_topk asserted in tests/test_quality.py. Note: the random "
+    "fixture vectors are IVF's worst case (no cluster structure, so "
+    "true neighbors scatter uniformly — recall ~53% at 25% of cells "
+    "probed ≈ the information-theoretic floor); real embedding "
+    "corpora cluster, which is the regime IVF exists for.",
+    tags=("similarity", "approx"),
+)
+def op_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-file ANN: the corpus is partitioned into Voronoi cells
+    by a trained coarse quantizer; a query scores only the few cells
+    whose centroids are nearest. At 100 TB the cell id becomes the
+    table's partition key, so a query's probe set maps to partition
+    pruning — the scan never touches the other cells."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window as W
+
+    n_cells, n_probe = 16, 4
+
+    par = spark.sparkContext.defaultParallelism
+    em = load(spark, sf_dir, "embeddings").repartition(par, "vec_id")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    unit = em.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / norm).alias("u"),
+    ).cache()
+
+    km = KMeans(k=n_cells, seed=42, maxIter=5, featuresCol="features")
+    model = km.fit(unit.select(array_to_vector("u").alias("features")))
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    centers_df = F.broadcast(
+        spark.createDataFrame(centers, "cell int, center array<double>")
+    )
+
+    # assign each corpus vector to its nearest cell (dot product on
+    # unit vectors ⇔ cosine; centroids need not be unit for argmax)
+    scored_cells = unit.crossJoin(centers_df).select(
+        "vec_id",
+        "u",
+        "cell",
+        _dot(F.col("u"), F.col("center")).alias("cell_score"),
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(
+        F.col("cell_score").desc(), "cell"
+    )
+    assigned = (
+        scored_cells.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "u", "cell")
+    )
+
+    # queries probe their n_probe best cells
+    queries_df = assigned.filter(F.col("vec_id") < _N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("u").alias("q_u")
+    )
+    probe = (
+        queries_df.crossJoin(centers_df)
+        .select(
+            "q_id", "q_u", "cell",
+            _dot(F.col("q_u"), F.col("center")).alias("cell_score"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.col("cell_score").desc(), "cell")
+            ),
+        )
+        .filter(F.col("rn") <= n_probe)
+        .select("q_id", "q_u", "cell")
+    )
+
+    # exact cosine, but only within probed cells
+    cand = probe.join(assigned, "cell").filter(F.col("vec_id") != F.col("q_id"))
+    cos = _dot(F.col("q_u"), F.col("u"))
+    w_rank = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        cand.select("q_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("q_id", "vec_id", "cosine")
+    )
