@@ -205,3 +205,57 @@ def test_foreach_batch_orc_sink_idempotent(spark):
     # is overwritten, not appended
     stream_to_orc_foreach_batch(read_events_stream(spark, SF_DIR), path)
     assert read_orc(spark, path).count() == n_src
+
+
+def test_stateful_processing_time_timeout_evicts_idle_users(spark):
+    """A user absent from the stream past the timeout is emitted once
+    as 'evicted' and their state removed (TODO_r2 item 4)."""
+    import time
+    import uuid
+
+    from universal_data_to_orc_converter_spark.streaming.stateful import (
+        user_presence_with_timeout,
+    )
+
+    tmpdir = tempfile.mkdtemp(prefix="sto_")
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    b1 = spark.createDataFrame(
+        [(1, DT(2024, 1, 1, 10, 0), 1, 1.0), (2, DT(2024, 1, 1, 10, 0), 2, 1.0)],
+        schema,
+    )
+    b1.coalesce(1).write.parquet(os.path.join(tmpdir, "f1"))
+    stream = (
+        spark.readStream.schema(schema).parquet(tmpdir + "/*")
+    )
+    out = user_presence_with_timeout(stream, timeout_ms=8000)
+    name = f"sto_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_sto_"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        # refresh user 2 immediately; user 1 goes idle and times out
+        spark.createDataFrame(
+            [(3, DT(2024, 1, 1, 10, 1), 2, 1.0)], schema
+        ).coalesce(1).write.parquet(os.path.join(tmpdir, "f2"))
+        deadline = time.time() + 90
+        evicted, n2_max = set(), 0
+        while time.time() < deadline:
+            rows = spark.table(name).collect()
+            evicted = {
+                r["user_id"] for r in rows if r["status"] == "evicted"
+            }
+            n2_max = max(
+                [r["n_events"] for r in rows if r["user_id"] == 2], default=0
+            )
+            if 1 in evicted and n2_max >= 2:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert 1 in evicted, "idle user 1 should have been evicted by timeout"
+    assert n2_max >= 2, "user 2's refresh batch should have counted"

@@ -110,3 +110,49 @@ def decode_image(payload: bytes) -> "bytes":
         "media decoding libraries are not available in this container; "
         "op_multimodal_decode uses the deterministic stub instead"
     )
+
+
+@query(
+    "op_multimodal_frames",
+    oracle="""
+        SELECT doc_id,
+               CAST(u.frame_idx AS INT) AS frame_idx,
+               sha256(text || ':' || CAST(u.frame_idx AS VARCHAR))
+                   AS frame_sha256
+        FROM (
+          SELECT doc_id, text,
+                 CAST(octet_length(encode(text)) % 5 + 1 AS INT) AS n_frames
+          FROM documents
+        ),
+        LATERAL (SELECT unnest(generate_series(0, n_frames - 1)) AS frame_idx) u
+    """,
+    notes="Frame-sampling plumbing for video-like payloads: a "
+    "deterministic per-payload frame count fans each row out to one "
+    "row per frame (posexplode over a sequence), with per-frame "
+    "content digests. The fan-out shape, schema, and digests are the "
+    "real pipeline; only the frame decode itself is stubbed (see "
+    "op_multimodal_decode). Fully oracle-checked.",
+    tags=("multimodal",),
+)
+def op_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per sampled frame per payload — the explode pattern that
+    turns media blobs into per-frame training rows. At 100 TB the
+    fan-out multiplies rows, never payload bytes (frames reference
+    offsets into the blob; here digests stand in for pixels)."""
+    d = load(spark, sf_dir, "documents")
+    n_frames = (
+        F.octet_length(F.encode("text", "UTF-8")) % 5 + 1
+    ).cast("int")
+    frames = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    )
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.sha2(
+            F.concat(F.col("text"), F.lit(":"), F.col("frame_idx").cast("string")),
+            256,
+        ).alias("frame_sha256"),
+    )

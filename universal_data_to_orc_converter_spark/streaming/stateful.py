@@ -52,3 +52,38 @@ def user_activity_stateful(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def user_presence_with_timeout(
+    events_stream: DataFrame, timeout_ms: int = 2000
+) -> DataFrame:
+    """Per-user presence tracker with ProcessingTimeTimeout eviction:
+    active users accumulate counts; a user idle for ``timeout_ms`` is
+    emitted once as 'evicted' and their state removed — the pattern
+    for session cleanup, TTL caches, and abandoned-flow detection."""
+    import pandas as pd
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            (n,) = state.get if state.exists else (0,)
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "status": ["evicted"]}
+            )
+        else:
+            (n,) = state.get if state.exists else (0,)
+            for pdf in pdfs:
+                n += len(pdf)
+            state.update((n,))
+            state.setTimeoutDuration(timeout_ms)
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "status": ["active"]}
+            )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, status string",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
