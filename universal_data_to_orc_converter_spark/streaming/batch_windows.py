@@ -327,3 +327,113 @@ def op_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return tier("hour").unionByName(tier("day")).unionByName(tier("month"))
+
+
+@query(
+    "op_funnel",
+    oracle="""
+        WITH v AS (
+          SELECT user_id, MIN(ts) AS t_view
+          FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+          SELECT e.user_id, MIN(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY e.user_id
+        ),
+        p AS (
+          SELECT e.user_id, MIN(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY e.user_id
+        )
+        SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+               CAST(p.user_id IS NOT NULL AS BOOLEAN) AS converted
+        FROM v
+        LEFT JOIN c ON v.user_id = c.user_id
+        LEFT JOIN p ON c.user_id = p.user_id
+    """,
+    notes="Ordered funnel (view → click → purchase): each stage's "
+    "timestamp is the first occurrence strictly after the previous "
+    "stage. Three grouped MIN aggregations chained by joins — no "
+    "row-by-row state, so it scales as three shuffles on user_id "
+    "(co-partitioned, AQE reuses the exchange).",
+    tags=("streaming", "agg"),
+)
+def op_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event funnel analysis — the canonical product-analytics query
+    over the reference's 'user event data' use-case."""
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.col("t_purchase").isNotNull().alias("converted"),
+        )
+    )
+
+
+@query(
+    "op_retention_cohorts",
+    oracle="""
+        WITH firsts AS (
+          SELECT user_id,
+                 CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort_date
+          FROM events GROUP BY user_id
+        )
+        SELECT f.cohort_date,
+               CAST(date_diff('day', f.cohort_date,
+                              CAST(date_trunc('day', e.ts) AS DATE)) AS INT)
+                   AS day_offset,
+               COUNT(DISTINCT e.user_id) AS active_users
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        GROUP BY 1, 2
+    """,
+    notes="Retention cohort matrix: users grouped by first-seen day, "
+    "activity counted per day offset. first-seen is one agg; the "
+    "matrix is one more — both shuffle only on user_id / tiny keys.",
+    tags=("streaming", "agg"),
+)
+def op_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohorted retention — the second canonical event-analytics
+    query."""
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("cohort_date")
+    )
+    j = e.join(firsts, "user_id")
+    return (
+        j.select(
+            "user_id",
+            "cohort_date",
+            F.datediff(F.to_date(F.date_trunc("day", "ts")), F.col("cohort_date"))
+            .cast("int")
+            .alias("day_offset"),
+        )
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
