@@ -157,3 +157,63 @@ def op_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.count("*").over(w).cast("bigint").alias("n_similar_cheaper"),
     )
+
+
+@query(
+    "op_win_rank_family",
+    oracle="""
+        SELECT s_suppkey,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd,
+               CAST(ntile(4) OVER w AS INT) AS quartile
+        FROM supplier
+        WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
+    """,
+    notes="percent_rank / cume_dist / ntile — the remaining rank "
+    "family; (rank-1)/(n-1) and rank/n divisions are identical "
+    "integer-ratio doubles on both engines.",
+    tags=("window",),
+)
+def op_win_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank functions over a total order."""
+    w = W.orderBy("s_acctbal", "s_suppkey")
+    s = load(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+@query(
+    "op_win_first_last",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               first_value(o_orderkey) OVER w AS first_order,
+               last_value(o_orderkey)
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING) AS last_order,
+               nth_value(o_orderkey, 2) OVER w AS second_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    notes="first_value / last_value / nth_value with explicit full "
+    "frame for last_value (the default frame ends at CURRENT ROW — "
+    "the classic silent-wrong-answer both engines share).",
+    tags=("window",),
+)
+def op_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional window values per customer order history."""
+    o = load(spark, sf_dir, "orders")
+    base = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = base.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(base).alias("first_order"),
+        F.last("o_orderkey").over(full).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(base).alias("second_order"),
+    )
