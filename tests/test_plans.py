@@ -88,3 +88,29 @@ def test_topk_avoids_global_sort(spark):
     assert "TakeOrderedAndProject" in simple_plan(df), (
         "ORDER BY + LIMIT should be per-partition heaps, not a full sort"
     )
+
+
+def test_orc_readback_pushes_filters(spark, tmp_path):
+    """The reference README's 'built-in indexing and statistics'
+    claim (README:17-18), made checkable: a filter on re-read ORC
+    output reaches the ORC scan as a pushed filter (stripe-level
+    min/max skipping follows from there)."""
+    from universal_data_to_orc_converter_spark.plans.inspect import (
+        formatted_plan,
+    )
+    from universal_data_to_orc_converter_spark.sinks.orc import (
+        read_orc,
+        write_orc,
+    )
+    from .conftest import SF_DIR
+
+    src = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    out = str(tmp_path / "orders_orc")
+    write_orc(src, out)
+    from pyspark.sql import functions as F
+
+    back = read_orc(spark, out).filter(F.col("o_totalprice") > 400000.0)
+    plan = formatted_plan(back)
+    assert "PushedFilters" in plan and "o_totalprice" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0], plan
