@@ -70,3 +70,68 @@ def op_orc_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
     )
     return back.groupBy("c_mktsegment").agg(F.count("*").alias("n_customers"))
+
+
+@query(
+    "op_cdc_merge",
+    oracle="""
+        WITH changes AS (
+          SELECT o_orderkey, 'D' AS op, NULL AS new_price
+          FROM orders WHERE o_orderkey % 100 = 0
+          UNION ALL
+          SELECT o_orderkey, 'U' AS op,
+                 CAST(FLOOR(o_totalprice * 1.1 * 100 + 0.5) AS BIGINT) / 100.0
+                     AS new_price
+          FROM orders WHERE o_orderkey % 100 = 1
+          UNION ALL
+          SELECT o_orderkey + 1000000000, 'I' AS op, 99.99 AS new_price
+          FROM orders WHERE o_orderkey % 100 = 2
+        )
+        SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+               CASE WHEN c.op = 'U' THEN c.new_price
+                    WHEN c.op = 'I' THEN c.new_price
+                    ELSE b.o_totalprice END AS o_totalprice
+        FROM orders b
+        FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+        WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+    notes="CDC apply / SCD-1 merge without a table format: base FULL "
+    "OUTER JOIN changes, deletes filtered, updates/inserts projected. "
+    "The change set is derived deterministically from orders so the "
+    "oracle can replicate it. At 100 TB: partition the base by key "
+    "range and rewrite only partitions the change set touches "
+    "(dynamic partition overwrite, as in the foreachBatch sink) — or "
+    "adopt Delta/Iceberg for file-level merge-on-read.",
+    tags=("io",),
+)
+def op_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a change stream (insert/update/delete) to a snapshot —
+    the merge operation that keeps an ORC lake current."""
+    o = load(spark, sf_dir, "orders")
+    deletes = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", F.lit("D").alias("op"), F.lit(None).cast("double").alias("new_price")
+    )
+    updates = o.filter(F.col("o_orderkey") % 100 == 1).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        (
+            F.floor(F.col("o_totalprice") * 1.1 * 100 + F.lit(0.5)).cast("bigint")
+            / 100.0
+        ).alias("new_price"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 100 == 2).select(
+        (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+        F.lit("I").alias("op"),
+        F.lit(99.99).alias("new_price"),
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    base = o.select(F.col("o_orderkey").alias("b_key"), "o_totalprice")
+    merged = base.join(
+        changes, base.b_key == changes.o_orderkey, "full_outer"
+    ).filter(F.col("op").isNull() | (F.col("op") != "D"))
+    return merged.select(
+        F.coalesce(F.col("b_key"), F.col("o_orderkey")).alias("o_orderkey"),
+        F.when(F.col("op").isin("U", "I"), F.col("new_price"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
