@@ -335,3 +335,134 @@ def op_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@query(
+    "op_dataset_split",
+    oracle="""
+        SELECT doc_id,
+               CASE
+                 WHEN bucket < 8 THEN 'train'
+                 WHEN bucket = 8 THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+                                      1, 8)) AS BIGINT) % 10 AS bucket
+          FROM documents
+        )
+    """,
+    notes="Deterministic content-hash dataset split (80/10/10): the "
+    "assignment depends only on (doc_id, content) — stable across "
+    "runs, machines, and engines (md5 is md5 everywhere), immune to "
+    "row order and partitioning. The reproducible-split primitive "
+    "every training pipeline needs; rand()-based splits are none of "
+    "these things.",
+    tags=("text",),
+)
+def op_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment by content hash."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+    )
+    return d.select(
+        "doc_id",
+        F.when(bucket < 8, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
+    "op_collocations",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+          FROM documents
+        ),
+        uni AS (
+          SELECT u.tok, COUNT(*) AS n
+          FROM toks, LATERAL unnest(t) AS u(tok)
+          GROUP BY u.tok
+        ),
+        tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS n_tokens FROM uni),
+        bi AS (
+          SELECT t[u.i] AS w1, t[u.i + 1] AS w2, COUNT(*) AS n_ab
+          FROM toks,
+               LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) u
+          GROUP BY 1, 2
+        )
+        SELECT b.w1, b.w2, b.n_ab,
+               (CAST(b.n_ab AS DOUBLE) * t.n_tokens)
+                   / (CAST(a1.n AS DOUBLE) * a2.n) AS pmi_ratio
+        FROM bi b
+        JOIN uni a1 ON b.w1 = a1.tok
+        JOIN uni a2 ON b.w2 = a2.tok
+        CROSS JOIN tot t
+        WHERE b.n_ab >= 20
+    """,
+    notes="Collocation strength as the PMI ratio p(ab)/(p(a)p(b)) — "
+    "kept as a ratio of exact integer counts (one double expression, "
+    "identical on both engines) instead of log-PMI, whose libm last "
+    "ulp differs across engines.",
+    tags=("text",),
+)
+def op_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocations: which word pairs co-occur far more than
+    their unigram frequencies predict. Counts shuffle as (token, n)
+    pairs — corpus-size-independent state per key."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    idx = F.sequence(F.lit(1), F.size("t") - 1)
+    bi = (
+        toks.select(
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at(F.col("t"), i).alias("w1"),
+                        F.element_at(F.col("t"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 20)
+    )
+    total = uni.agg(F.sum("n").cast("double").alias("n_tokens"))
+    a1 = uni.select(F.col("tok").alias("w1"), F.col("n").alias("n_a"))
+    a2 = uni.select(F.col("tok").alias("w2"), F.col("n").alias("n_b"))
+    return (
+        bi.join(a1, "w1")
+        .join(a2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            (
+                (F.col("n_ab").cast("double") * F.col("n_tokens"))
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("pmi_ratio"),
+        )
+    )
