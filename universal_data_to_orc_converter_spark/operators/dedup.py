@@ -399,3 +399,82 @@ def op_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_id"),
         (F.col("doc_id") == F.col("label")).alias("is_keeper"),
     )
+
+
+@query(
+    "op_split_contamination",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(
+                   CASE WHEN len(t) >= 3
+                        THEN list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                        ELSE [array_to_string(t, ' ')]
+                   END) AS s
+          FROM toks
+        ),
+        ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT c.doc_a, c.doc_b
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b
+          WHERE CAST(c.n_shared AS DOUBLE)
+                    / (len(sa.s) + len(sb.s) - c.n_shared) >= 0.7
+        ),
+        splits AS (
+          SELECT doc_id,
+                 CASE
+                   WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+                                             1, 8)) AS BIGINT) % 10 < 8 THEN 'train'
+                   WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+                                             1, 8)) AS BIGINT) % 10 = 8 THEN 'val'
+                   ELSE 'test'
+                 END AS split
+          FROM documents
+        )
+        SELECT p.doc_a, p.doc_b,
+               sa.split AS split_a, sb.split AS split_b
+        FROM pairs p
+        JOIN splits sa ON sa.doc_id = p.doc_a
+        JOIN splits sb ON sb.doc_id = p.doc_b
+        WHERE sa.split <> sb.split
+    """,
+    notes="Eval-contamination detection: near-duplicate pairs whose "
+    "members landed in different dataset splits — the leakage that "
+    "silently inflates benchmark scores. Composes op_dedup_ngram_"
+    "jaccard's pair graph with op_dataset_split's assignment; the "
+    "clean pipeline deduplicates BEFORE splitting (op_dedup_clusters "
+    "keepers), and this operator is the audit that catches when it "
+    "didn't.",
+    tags=("dedup", "text"),
+)
+def op_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split near-duplicate audit (train/test leakage)."""
+    from .text import op_dataset_split
+
+    pairs = op_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    splits = op_dataset_split(spark, sf_dir)
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b")
+    )
