@@ -466,3 +466,69 @@ def op_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi_ratio"),
         )
     )
+
+
+@query(
+    "op_vocab_encode",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+          FROM documents
+        ),
+        vocab AS (
+          SELECT u.tok,
+                 CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, u.tok) - 1
+                      AS BIGINT) AS token_id
+          FROM toks, LATERAL unnest(t) AS u(tok)
+          GROUP BY u.tok
+        )
+        SELECT s.doc_id, CAST(s.pos AS INT) AS pos, v.token_id
+        FROM (
+          SELECT doc_id, u.i AS pos, t[u.i] AS tok
+          FROM toks,
+               LATERAL (SELECT unnest(generate_series(1, least(len(t), 16))) AS i) u
+        ) s
+        JOIN vocab v ON s.tok = v.tok
+        WHERE s.doc_id < 50
+    """,
+    notes="Tokenizer-to-ids: vocabulary built by frequency rank "
+    "(deterministic tiebreak), then documents encoded to (pos, "
+    "token_id) rows — the preprocessing step before any training "
+    "batch is packed. Truncated to 16 positions / 50 docs to keep the "
+    "gate output bounded; the pipeline itself is unbounded.",
+    tags=("text",),
+)
+def op_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary + positional token-id encoding.
+    The vocab (small) broadcasts; encoding is a map-side join — at
+    100 TB the corpus never shuffles, only its token stream joins
+    against the broadcast dictionary."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    vocab = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "token_id",
+            (
+                F.row_number().over(W.orderBy(F.col("n").desc(), "tok")) - 1
+            ).cast("bigint"),
+        )
+        .select("tok", "token_id")
+    )
+    prefix = toks.filter(F.col("doc_id") < 50).select(
+        "doc_id",
+        F.posexplode(F.slice("t", 1, 16)).alias("pos0", "tok"),
+    )
+    return (
+        prefix.join(F.broadcast(vocab), "tok")
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("int").alias("pos"),
+            "token_id",
+        )
+    )
