@@ -532,3 +532,56 @@ def op_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_id",
         )
     )
+
+
+@query(
+    "op_pack_sequences",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        run AS (
+          SELECT doc_id, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM toks
+        )
+        SELECT doc_id, n_tokens,
+               CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / 2048) AS BIGINT)
+                   AS bin_id,
+               cum - n_tokens
+                   - CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / 2048) AS BIGINT)
+                     * 2048 AS bin_offset
+        FROM run
+    """,
+    notes="Contiguous sequence packing: documents stream in doc_id "
+    "order into 2048-token bins, each doc's bin and offset derived "
+    "from the exclusive running token count — all integer window "
+    "arithmetic, so both engines agree exactly. The packing that "
+    "turns a ragged corpus into fixed-length training sequences; at "
+    "scale the running sum is one range-partitioned window over "
+    "(doc_id, n_tokens) pairs, never the text.",
+    tags=("text",),
+)
+def op_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each document a training-bin id + offset by contiguous
+    greedy packing over the deterministic doc order."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    run = toks.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    bin_id = F.floor(start.cast("double") / 2048).cast("bigint")
+    return run.select(
+        "doc_id",
+        "n_tokens",
+        bin_id.alias("bin_id"),
+        (start - bin_id * 2048).alias("bin_offset"),
+    )
