@@ -266,3 +266,27 @@ def test_orc_schema_evolution_merge(spark, tmp_path):
     rows = {r["id"]: r for r in merged.collect()}
     assert rows[1]["score"] is None
     assert rows[2]["score"] == 9.5
+
+
+def test_csv_malformed_row_policies(spark, tmp_path):
+    """The reference's 'auto-retry and error handling' claim, made
+    concrete for bad rows: PERMISSIVE null-fills, DROPMALFORMED drops,
+    FAILFAST raises."""
+    p = tmp_path / "bad.csv"
+    p.write_text("id,qty\n1,10\nnot_an_int,20\n3,30\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField("qty", T.LongType(), True),
+        ]
+    )
+    permissive = read_csv(spark, str(p), schema=schema, mode="PERMISSIVE")
+    rows = {r["id"]: r["qty"] for r in permissive.collect()}
+    assert rows == {1: 10, None: 20, 3: 30}
+
+    dropped = read_csv(spark, str(p), schema=schema, mode="DROPMALFORMED")
+    assert sorted(r["id"] for r in dropped.collect()) == [1, 3]
+
+    failfast = read_csv(spark, str(p), schema=schema, mode="FAILFAST")
+    with pytest.raises(Exception, match="Malformed|FAILFAST"):
+        failfast.collect()
