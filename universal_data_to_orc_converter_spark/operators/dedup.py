@@ -173,16 +173,24 @@ def op_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtree, ReuseExchange computes it once and reads it three times.
     t = tokens(F.col("text"))
     ht = F.transform(t, lambda x: F.xxhash64(x))
-    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(ht) - 2))
+    idx = F.sequence(F.lit(1), F.size(ht) - 2)
+    # Documents with <3 tokens collapse to one whole-document shingle
+    # (the hash of the full token-hash array), mirroring
+    # textprep.shingles. CASE WHEN evaluates per-row, so the
+    # element_at(ht, i+2) branch never runs past the array end under
+    # ANSI mode on short docs.
     shingle_hashes = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.xxhash64(
-                F.element_at(ht, i),
-                F.element_at(ht, i + 1),
-                F.element_at(ht, i + 2),
+        F.when(
+            F.size(ht) >= 3,
+            F.transform(
+                idx,
+                lambda i: F.xxhash64(
+                    F.element_at(ht, i),
+                    F.element_at(ht, i + 1),
+                    F.element_at(ht, i + 2),
+                ),
             ),
-        )
+        ).otherwise(F.array(F.xxhash64(ht)))
     )
     hs = d.select("doc_id", shingle_hashes.alias("h")).repartition(
         par, "doc_id"

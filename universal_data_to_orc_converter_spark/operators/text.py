@@ -432,18 +432,23 @@ def op_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     idx = F.sequence(F.lit(1), F.size("t") - 1)
+    # Guarded for 1-token docs: sequence(1, 0) would DESCEND in Spark
+    # (step -1) and element_at(t, 0) throws under ANSI, while DuckDB's
+    # generate_series(1, 0) is empty. CASE WHEN evaluates per-row;
+    # the un-matched branch yields NULL, which explode drops — exactly
+    # the oracle's empty-series behavior.
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(F.col("t"), i).alias("w1"),
+                F.element_at(F.col("t"), i + 1).alias("w2"),
+            ),
+        ),
+    )
     bi = (
-        toks.select(
-            F.explode(
-                F.transform(
-                    idx,
-                    lambda i: F.struct(
-                        F.element_at(F.col("t"), i).alias("w1"),
-                        F.element_at(F.col("t"), i + 1).alias("w2"),
-                    ),
-                )
-            ).alias("bg")
-        )
+        toks.select(F.explode(bigrams).alias("bg"))
         .select("bg.w1", "bg.w2")
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("n_ab"))

@@ -71,13 +71,17 @@ def op_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom aggregation as GROUPED_AGG pandas UDFs (integer sum/max,
     so the result is engine-exact)."""
 
+    # SUM/MAX null semantics: an empty or all-NULL group aggregates to
+    # NULL, not 0 (and int(NaN) would raise) — return None for those.
     @F.pandas_udf("bigint")
-    def int_sum(v: pd.Series) -> int:
-        return int(v.sum())
+    def int_sum(v: pd.Series) -> int | None:
+        v = v.dropna()
+        return None if v.empty else int(v.sum())
 
     @F.pandas_udf("bigint")
-    def int_max(v: pd.Series) -> int:
-        return int(v.max())
+    def int_max(v: pd.Series) -> int | None:
+        v = v.dropna()
+        return None if v.empty else int(v.max())
 
     e = load(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")

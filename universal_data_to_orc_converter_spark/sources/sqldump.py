@@ -67,18 +67,28 @@ def mysql_type_to_spark(type_sql: str) -> T.DataType:
 # ---------------------------------------------------------------------------
 
 
-def split_statements(chunks: Iterator[str]) -> Iterator[str]:
-    """Yield complete SQL statements from a stream of text chunks.
-    Semicolons inside 'single', "double", `backtick` quotes (with
-    backslash and doubled-quote escapes), -- line comments, and
-    /* block comments */ do NOT terminate a statement — exactly the
-    cases the reference's regex splitter corrupts."""
-    buf: list[str] = []
-    state = None  # None | "'" | '"' | '`' | '--' | '/*'
-    escape = False
-    prev = ""
-    for chunk in chunks:
-        for ch in chunk:
+class StatementSplitter:
+    """Incremental quote/escape/comment-aware statement splitter.
+
+    ``feed(text)`` returns the statements completed (by a top-level
+    ``;``) within the text fed so far; ``pending`` is the unterminated
+    tail still buffered. State persists across ``feed`` calls, so a
+    caller can stream a file line-by-line without re-scanning — the
+    distributed dump reader uses this to handle multiple statements on
+    one physical line (and statements spanning several lines) without
+    dropping or duplicating any.
+    """
+
+    def __init__(self) -> None:
+        self._buf: list[str] = []
+        self._state: str | None = None  # None | "'" | '"' | '`' | '--' | '/*'
+        self._escape = False
+        self._prev = ""
+
+    def feed(self, text: str) -> list[str]:
+        out: list[str] = []
+        buf, state, escape, prev = self._buf, self._state, self._escape, self._prev
+        for ch in text:
             if state in ("'", '"', "`"):
                 buf.append(ch)
                 if escape:
@@ -96,9 +106,9 @@ def split_statements(chunks: Iterator[str]) -> Iterator[str]:
                     state = None
             elif ch == ";":
                 stmt = "".join(buf).strip()
-                buf = []
+                buf.clear()
                 if stmt:
-                    yield stmt
+                    out.append(stmt)
             else:
                 if ch in ("'", '"', "`"):
                     state = ch
@@ -114,7 +124,24 @@ def split_statements(chunks: Iterator[str]) -> Iterator[str]:
                 else:
                     buf.append(ch)
             prev = ch
-    tail = "".join(buf).strip()
+        self._state, self._escape, self._prev = state, escape, prev
+        return out
+
+    @property
+    def pending(self) -> str:
+        return "".join(self._buf).strip()
+
+
+def split_statements(chunks: Iterator[str]) -> Iterator[str]:
+    """Yield complete SQL statements from a stream of text chunks.
+    Semicolons inside 'single', "double", `backtick` quotes (with
+    backslash and doubled-quote escapes), -- line comments, and
+    /* block comments */ do NOT terminate a statement — exactly the
+    cases the reference's regex splitter corrupts."""
+    sp = StatementSplitter()
+    for chunk in chunks:
+        yield from sp.feed(chunk)
+    tail = sp.pending
     if tail:
         yield tail
 
@@ -219,22 +246,42 @@ def parse_create_table(stmt: str) -> TableDef | None:
     return td
 
 
+_ESCAPES = {
+    "n": "\n",
+    "t": "\t",
+    "r": "\r",
+    "0": "\x00",
+    "b": "\b",
+    "Z": "\x1a",
+}
+
+
 def _parse_value(tok: str):
     tok = tok.strip()
     if not tok or tok.upper() == "NULL":
         return None
     if tok[0] in ("'", '"') and tok[-1] == tok[0] and len(tok) >= 2:
+        # Single left-to-right scan: backslash escapes and doubled-quote
+        # escapes are consumed together, so the output of one rule can
+        # never be re-consumed by another ('a\'\'b' is a''b, not a'b —
+        # MySQL semantics, where \x for unknown x is x).
+        q = tok[0]
         inner = tok[1:-1]
-        inner = inner.replace("\\\\", "\x00")
-        inner = (
-            inner.replace("\\'", "'")
-            .replace('\\"', '"')
-            .replace("\\n", "\n")
-            .replace("\\t", "\t")
-            .replace("\\r", "\r")
-            .replace(tok[0] * 2, tok[0])
-        )
-        return inner.replace("\x00", "\\")
+        out: list[str] = []
+        i, n = 0, len(inner)
+        while i < n:
+            ch = inner[i]
+            if ch == "\\" and i + 1 < n:
+                nxt = inner[i + 1]
+                out.append(_ESCAPES.get(nxt, nxt))
+                i += 2
+            elif ch == q and i + 1 < n and inner[i + 1] == q:
+                out.append(q)
+                i += 2
+            else:
+                out.append(ch)
+                i += 1
+        return "".join(out)
     return tok  # numeric / literal — cast later against the schema
 
 

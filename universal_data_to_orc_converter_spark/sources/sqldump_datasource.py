@@ -13,10 +13,19 @@ partition also owns offset 0); a non-first partition discards the
 partition reads its last owned statement to completion even past
 ``e``. Line ownership is computed on raw bytes (binary mode — text
 tell() cookies are not comparable to byte offsets). Multi-line INSERT
-statements are read until their top-level ``;`` closes, using the same
-quote/escape-aware scanner as the driver-side parser. The table's
-schema comes from a driver-side metadata pre-scan of the CREATE TABLE
-header.
+statements are read until their top-level ``;`` closes, and a physical
+line carrying several top-level statements yields ALL of them, using
+the same quote/escape-aware incremental scanner
+(``StatementSplitter``) as the driver-side parser. The table's schema
+comes from a driver-side metadata pre-scan of the CREATE TABLE header.
+
+Known limitation (inherent to offset-based resync): a RAW newline
+inside a string literal whose next line happens to start with
+``INSERT`` can be re-parsed by the split that resyncs there.
+``mysqldump`` always escapes newlines in literals as ``\\n``, so every
+mysqldump-produced file is safe; for hand-written dumps with raw
+in-literal newlines, use the serial driver-side parser
+(``sources/sqldump.py``), which scans from offset 0 with full state.
 
 Usage:
     spark.dataSource.register(SqlDumpDataSource)
@@ -33,7 +42,12 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from pyspark.sql.types import StructType
 
-from .sqldump import parse_create_table, parse_insert, split_statements
+from .sqldump import (
+    StatementSplitter,
+    parse_create_table,
+    parse_insert,
+    split_statements,
+)
 
 #: default split size for executor-side parsing
 _SPLIT_BYTES = 8 << 20
@@ -62,38 +76,6 @@ def _scan_header(path: str, table: str):
         if td is not None and td.name == table:
             return td.schema, [c for c, _ in td.columns]
     raise ValueError(f"table {table!r} has no CREATE TABLE in {path}")
-
-
-def _has_toplevel_semicolon(stmt: str) -> bool:
-    """True when ``stmt`` contains a ';' outside quotes/comments —
-    i.e. the statement is complete."""
-    state = None
-    escape = False
-    prev = ""
-    for ch in stmt:
-        if state in ("'", '"', "`"):
-            if escape:
-                escape = False
-            elif ch == "\\" and state in ("'", '"'):
-                escape = True
-            elif ch == state:
-                state = None
-        elif state == "--":
-            if ch == "\n":
-                state = None
-        elif state == "/*":
-            if prev == "*" and ch == "/":
-                state = None
-        elif ch == ";":
-            return True
-        elif ch in ("'", '"', "`"):
-            state = ch
-        elif prev == "-" and ch == "-":
-            state = "--"
-        elif prev == "/" and ch == "*":
-            state = "/*"
-        prev = ch
-    return False
 
 
 class SqlDumpDataSource(DataSource):
@@ -160,6 +142,26 @@ class SqlDumpReader(DataSourceReader):
                 return None
             return raw
 
+        def emit(stmt: str):
+            parsed = parse_insert(stmt.strip())
+            if parsed is None:
+                return
+            tname, cols, rows = parsed
+            if tname != self.table:
+                return
+            order = {c: i for i, c in enumerate(cols)} if cols else None
+            for r in rows:
+                if order is not None:
+                    r = [
+                        r[order[c]] if c in order and order[c] < len(r) else None
+                        for c in self.columns
+                    ]
+                r = r[:width] + [None] * (width - len(r))
+                yield tuple(
+                    convert(v if v is None else str(v), t)
+                    for v, t in zip(r, types)
+                )
+
         with open(self.path, "rb") as f:
             if partition.start > 0:
                 f.seek(partition.start)
@@ -176,30 +178,20 @@ class SqlDumpReader(DataSourceReader):
                 line = bline.decode("utf-8", errors="replace")
                 if line.lstrip()[:6].upper() != "INSERT":
                     continue
-                stmt = line
-                while not _has_toplevel_semicolon(stmt):
+                # Quote-aware incremental split: a physical line may
+                # carry SEVERAL top-level statements (all are emitted,
+                # none dropped), and a statement may span MANY lines
+                # (read to its closing top-level ';', even past `end`).
+                sp = StatementSplitter()
+                stmts = sp.feed(line)
+                while sp.pending:
                     nxt = f.readline()
                     if not nxt:
+                        stmts.append(sp.pending)
                         break
-                    stmt += nxt.decode("utf-8", errors="replace")
-                parsed = parse_insert(stmt.strip())
-                if parsed is None:
-                    continue
-                tname, cols, rows = parsed
-                if tname != self.table:
-                    continue
-                order = {c: i for i, c in enumerate(cols)} if cols else None
-                for r in rows:
-                    if order is not None:
-                        r = [
-                            r[order[c]] if c in order and order[c] < len(r) else None
-                            for c in self.columns
-                        ]
-                    r = r[:width] + [None] * (width - len(r))
-                    yield tuple(
-                        convert(v if v is None else str(v), t)
-                        for v, t in zip(r, types)
-                    )
+                    stmts.extend(sp.feed(nxt.decode("utf-8", errors="replace")))
+                for stmt in stmts:
+                    yield from emit(stmt)
 
 
 def register(spark) -> None:
