@@ -1,0 +1,52 @@
+"""The driver's correctness harness only records the first 50 queries
+returned by ``queries()`` (round-1 finding). Pin that window: exactly
+50 priority names, all registered, and at least one representative of
+every SURVEY.md §2 family inside it."""
+
+from __future__ import annotations
+
+from universal_data_to_orc_converter_spark.registry import (
+    DRIVER_PRIORITY,
+    load_all_queries,
+)
+
+FAMILY_REPS = {
+    "A_io": {"op_orc_roundtrip"},
+    "B_relational": {"op_filter"},
+    "C_joins": {"flagship_revenue_by_nation"},
+    "D_aggregates": {"op_agg_groupby"},
+    "E_windows": {"op_win_rank", "op_win_lag_lead", "op_win_frame",
+                  "op_win_topk_group"},
+    "F_sorts": {"op_sort", "op_topk", "op_limit_offset"},
+    "G_setops": {"op_union_all"},
+    "H_scalar": {"op_str_funcs", "op_date_funcs", "op_math_funcs"},
+    "H_semistructured": {"op_json_funcs", "op_array_funcs", "op_map_funcs"},
+    "I_dedup": {"op_dedup_embedding", "op_dedup_minhash_lsh"},
+    "I_similarity": {"op_sim_ann_ivf"},
+    "I_multimodal": {"op_multimodal_meta"},
+    "J_streaming": {"op_stream_tumbling", "op_stream_watermark"},
+    "K_udf": {"op_udf_scalar", "op_udaf"},
+    "text": {"op_text_stats", "op_lang_id", "op_vocab_encode"},
+}
+
+
+def test_priority_window_is_exactly_50():
+    assert len(DRIVER_PRIORITY) == 50
+    assert len(set(DRIVER_PRIORITY)) == 50
+
+
+def test_priority_names_lead_registration_order():
+    names = list(load_all_queries())
+    assert tuple(names[:50]) == DRIVER_PRIORITY
+
+
+def test_every_family_inside_driver_window():
+    window = set(list(load_all_queries())[:50])
+    for family, reps in FAMILY_REPS.items():
+        assert reps & window, f"family {family} has no query in the first 50"
+
+
+def test_no_queries_lost_by_reordering():
+    names = list(load_all_queries())
+    assert len(names) == len(set(names))
+    assert len(names) >= 102
