@@ -18,6 +18,10 @@ def q(name, spark):
     return SPECS[name].fn(spark, SF_DIR)
 
 
+def q_dir(name, spark, sf_dir):
+    return SPECS[name].fn(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # approximate vs exact
 # ---------------------------------------------------------------------------
@@ -177,3 +181,61 @@ def test_ivf_ann_recall_vs_brute_force(spark):
     }
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.5, f"IVF recall {recall:.2f} vs brute force"
+
+
+def test_cell_blocked_embedding_dedup_recall(spark, tmp_path):
+    """On a corpus with PLANTED near-dup pairs (cos >= 0.95), the
+    IVF-cell-blocked pass must recover what the exact label-blocked
+    pass finds: near-identical vectors share a cell (2-cell multi-probe
+    covers Voronoi-boundary pairs). The driver fixtures are random
+    vectors with no dups, so the dup structure is planted here."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(120, 64)).astype("float32")
+    # 40 planted near-dups: tiny perturbation of base vector i -> cos ~0.999
+    dup = base[:40] + rng.normal(scale=0.02, size=(40, 64)).astype("float32")
+    vecs = np.vstack([base, dup])
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(vecs), dtype="int64"),
+            "embedding": [v.tolist() for v in vecs],
+            # same label for a planted pair, so the exact pass sees it too
+            "label": np.int32([i % 4 for i in range(120)]
+                              + [i % 4 for i in range(40)]),
+        }
+    )
+    sdf = spark.createDataFrame(pdf).selectExpr(
+        "CAST(vec_id AS BIGINT) vec_id",
+        "CAST(embedding AS ARRAY<FLOAT>) embedding",
+        "CAST(label AS INT) label",
+    )
+    sdf.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    sf = str(tmp_path)
+    exact_dups = {
+        frozenset((r["vec_id"], r["nn_vec_id"]))
+        for r in q_dir("op_dedup_embedding", spark, sf).collect()
+        if r["is_dup"]
+    }
+    cell_dups = {
+        frozenset((r["vec_id"], r["nn_vec_id"]))
+        for r in q_dir("op_dedup_embedding_cell", spark, sf).collect()
+        if r["is_dup"]
+    }
+    assert len(exact_dups) >= 40, f"planting failed: {len(exact_dups)}"
+    recall = len(exact_dups & cell_dups) / len(exact_dups)
+    assert recall >= 0.9, f"cell-blocked dup recall {recall:.2f}"
+
+
+def test_cell_block_neighbor_at_least_label_block(spark):
+    """Directional blocks should usually contain a closer neighbor
+    than arbitrary label blocks — the cell-blocked NN cosine is >= the
+    label-blocked NN cosine for the large majority of vectors."""
+    ex = {r["vec_id"]: r["nn_cos"] for r in q("op_dedup_embedding", spark).collect()}
+    ce = {r["vec_id"]: r["nn_cos"] for r in q("op_dedup_embedding_cell", spark).collect()}
+    assert set(ce) == set(ex)
+    better = sum(1 for v, c in ex.items() if ce[v] >= c - 1e-9)
+    assert better / len(ex) >= 0.85, f"only {better}/{len(ex)} at least as close"

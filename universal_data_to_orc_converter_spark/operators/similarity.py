@@ -205,8 +205,9 @@ def op_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space near-duplicate detection: per vector, its most
     similar neighbor within the same label block, flagged as duplicate
     above a cosine threshold. Blocking bounds the join to Σ|block|²
-    instead of n² — swap the label for an LSH/IVF cell id to tighten
-    blocks at scale."""
+    instead of n². Label blocks are exact-oracle-checkable but their
+    size follows label skew; op_dedup_embedding_cell is the same
+    pipeline with the IVF cell id as the block — the scale path."""
     from pyspark.sql import Window as W
 
     par = spark.sparkContext.defaultParallelism
@@ -240,6 +241,114 @@ def op_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unit_vectors(em: DataFrame) -> DataFrame:
+    """L2-normalized embeddings: (vec_id, u array<double>)."""
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return em.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / norm).alias("u"),
+    )
+
+
+def _ivf_index(
+    spark: SparkSession, unit: DataFrame, n_cells: int, n_assign: int = 1
+) -> tuple[DataFrame, DataFrame]:
+    """Coarse IVF quantizer: KMeans(seed=42) centroids over the unit
+    vectors, each vector assigned to its ``n_assign`` nearest cells
+    (n_assign>1 = index-side multi-probe: a vector near a Voronoi
+    boundary lands in both adjacent cells, so boundary-straddling
+    near-dup pairs still share a block). Returns (assigned
+    [vec_id, u, cell], broadcast centers [cell, center])."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window as W
+
+    km = KMeans(k=n_cells, seed=42, maxIter=5, featuresCol="features")
+    model = km.fit(unit.select(array_to_vector("u").alias("features")))
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    centers_df = F.broadcast(
+        spark.createDataFrame(centers, "cell int, center array<double>")
+    )
+    # nearest cell(s) by dot product (unit vectors ⇔ cosine argmax)
+    scored_cells = unit.crossJoin(centers_df).select(
+        "vec_id",
+        "u",
+        "cell",
+        _dot(F.col("u"), F.col("center")).alias("cell_score"),
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(
+        F.col("cell_score").desc(), "cell"
+    )
+    assigned = (
+        scored_cells.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= n_assign)
+        .select("vec_id", "u", "cell")
+    )
+    return assigned, centers_df
+
+
+@query(
+    "op_dedup_embedding_cell",
+    oracle=None,
+    notes="Scale path for op_dedup_embedding: blocking key is the IVF "
+    "cell id (KMeans seed=42 → deterministic) instead of the data's "
+    "label, so block size is bounded by cell population — which the "
+    "quantizer balances — rather than by label skew. Model-dependent "
+    "blocking ⇒ rows-only; recall of its is_dup pairs vs the exact "
+    "label-blocked op_dedup_embedding is asserted in "
+    "tests/test_quality.py.",
+    tags=("similarity", "dedup", "approx"),
+)
+def op_dedup_embedding_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup detection blocked by IVF cell id. Same
+    pipeline shape as op_dedup_embedding (block → score → top-1 →
+    threshold) with Σ|block|² bounded by cell size: n_cells grows with
+    the corpus (√n is the usual rule), keeping every block
+    shuffle-partition-sized at 100 TB, where a label/source block can
+    be a constant fraction of the corpus. Vectors are assigned to their
+    2 nearest cells so boundary-straddling near-dup pairs still meet."""
+    from pyspark.sql import Window as W
+
+    n_cells = 16
+
+    par = spark.sparkContext.defaultParallelism
+    em = load(spark, sf_dir, "embeddings").repartition(par, "vec_id")
+    unit = _unit_vectors(em).cache()
+    assigned, _ = _ivf_index(spark, unit, n_cells, n_assign=2)
+
+    a = assigned.select("vec_id", "u", "cell")
+    b = assigned.select(
+        F.col("vec_id").alias("nn_vec_id"),
+        F.col("u").alias("u_b"),
+        "cell",
+    )
+    pairs = a.join(b, "cell").filter(F.col("vec_id") != F.col("nn_vec_id"))
+    # unit vectors: dot product IS the cosine. A pair sharing several
+    # cells scores identically each time; the top-1 row_number keeps one.
+    scored = pairs.select(
+        "vec_id", "nn_vec_id", _dot(F.col("u"), F.col("u_b")).alias("nn_cos")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("nn_cos").desc(), "nn_vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "nn_vec_id",
+            "nn_cos",
+            (F.col("nn_cos") >= 0.95).alias("is_dup"),
+        )
+    )
+
+
 @query(
     "op_sim_ann_ivf",
     oracle=None,
@@ -260,51 +369,15 @@ def op_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose centroids are nearest. At 100 TB the cell id becomes the
     table's partition key, so a query's probe set maps to partition
     pruning — the scan never touches the other cells."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window as W
 
     n_cells, n_probe = 16, 4
 
     par = spark.sparkContext.defaultParallelism
     em = load(spark, sf_dir, "embeddings").repartition(par, "vec_id")
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    unit = em.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double") / norm).alias("u"),
-    ).cache()
-
-    km = KMeans(k=n_cells, seed=42, maxIter=5, featuresCol="features")
-    model = km.fit(unit.select(array_to_vector("u").alias("features")))
-    centers = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
-    centers_df = F.broadcast(
-        spark.createDataFrame(centers, "cell int, center array<double>")
-    )
-
-    # assign each corpus vector to its nearest cell (dot product on
-    # unit vectors ⇔ cosine; centroids need not be unit for argmax)
-    scored_cells = unit.crossJoin(centers_df).select(
-        "vec_id",
-        "u",
-        "cell",
-        _dot(F.col("u"), F.col("center")).alias("cell_score"),
-    )
-    w_assign = W.partitionBy("vec_id").orderBy(
-        F.col("cell_score").desc(), "cell"
-    )
-    assigned = (
-        scored_cells.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "u", "cell")
-    )
+    unit = _unit_vectors(em).cache()
+    # each corpus vector in exactly its nearest cell
+    assigned, centers_df = _ivf_index(spark, unit, n_cells, n_assign=1)
 
     # queries probe their n_probe best cells
     queries_df = assigned.filter(F.col("vec_id") < _N_QUERY_VECS).select(
