@@ -1,0 +1,88 @@
+"""Content assertions for the hash-defined dedup signatures (VERDICT
+round-1 item 4): the SimHash operator's signature values are checked
+bit-for-bit against an independent pure-Python reference on crafted
+documents — including the short-doc and empty-doc fallback paths."""
+
+from __future__ import annotations
+
+from hashlib import blake2b
+
+from universal_data_to_orc_converter_spark.registry import load_all_queries
+
+from .test_advice_r2 import _write_documents
+
+_M = (1 << 64) - 1
+_K1 = 0xBF58476D1CE4E5B9
+_K2 = 0x94D049BB133111EB
+
+
+def _fin(x: int) -> int:
+    x ^= x >> 30
+    x = (x * _K1) & _M
+    x ^= x >> 27
+    x = (x * _K2) & _M
+    x ^= x >> 31
+    return x
+
+
+def _tokhash(t: str) -> int:
+    return int.from_bytes(blake2b(t.encode(), digest_size=8).digest(), "little")
+
+
+def ref_simhash(text: str) -> int:
+    """Reference SimHash in plain Python ints: majority vote per bit
+    over the DISTINCT splitmix64-mixed 3-gram shingle hashes; <3-token
+    docs fold all token hashes into one whole-document shingle."""
+    th = [_tokhash(t) for t in text.lower().split()]
+    if len(th) >= 3:
+        sh = {
+            _fin(((th[i] * _K1) & _M) ^ ((th[i + 1] * _K2) & _M) ^ th[i + 2])
+            for i in range(len(th) - 2)
+        }
+    else:
+        acc = 0xDEADBEEF
+        for v in th:
+            acc = ((acc ^ v) * _K1) & _M
+        sh = {_fin(acc)}
+    sig = 0
+    for b in range(64):
+        cnt = sum((s >> b) & 1 for s in sh)
+        if 2 * cnt >= len(sh):
+            sig |= 1 << b
+    return sig
+
+
+def _signed64(x: int) -> int:
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def test_simhash_signature_values_on_crafted_docs(spark, tmp_path):
+    docs = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "two tokens",          # whole-doc fallback
+        "single",              # whole-doc fallback
+        "",                    # empty doc: fold of zero tokens
+        "rep rep rep rep rep",  # one distinct shingle, repeated
+    ]
+    sf = _write_documents(spark, tmp_path, docs)
+    q = load_all_queries()["op_dedup_simhash"]
+    rows = {r["doc_id"]: r for r in q.fn(spark, sf).collect()}
+    assert set(rows) == set(range(len(docs)))
+    for i, text in enumerate(docs):
+        expect = ref_simhash(text)
+        got = rows[i]["simhash"]
+        assert got == _signed64(expect), f"doc {i}: {got:#x} != {expect:#x}"
+        for c in range(4):
+            assert rows[i][f"chunk{c}"] == (expect >> (16 * c)) & 0xFFFF
+
+
+def test_simhash_near_dups_close_identical_docs_equal(spark, tmp_path):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    edited = base.replace("delta", "delty", 1)
+    sf = _write_documents(spark, tmp_path, [base, base, edited])
+    q = load_all_queries()["op_dedup_simhash"]
+    rows = {r["doc_id"]: r["simhash"] for r in q.fn(spark, sf).collect()}
+    assert rows[0] == rows[1]  # identical docs: identical signature
+    ham = bin((rows[0] ^ rows[2]) & _M).count("1")
+    assert ham <= 16, f"near-dup hamming {ham} too high"

@@ -146,10 +146,11 @@ _ROWS_PER_BAND = _NUM_PERM // _BANDS
 @query(
     "op_dedup_minhash_lsh",
     oracle=None,
-    notes="MinHash signatures are Spark-xxhash64-based (seeded, fully "
-    "deterministic — no RNG), so no SQL oracle; rows-only check. "
+    notes="MinHash signatures are blake2b/splitmix64-based (fixed "
+    "constants and seed, fully deterministic), computed in one "
+    "Arrow-batched numpy pass, so no SQL oracle; rows-only check. "
     "Recall vs the exact op_dedup_ngram_jaccard pairs is asserted in "
-    "tests/test_dedup.py.",
+    "tests/test_quality.py.",
     tags=("dedup", "approx"),
 )
 def op_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -157,69 +158,118 @@ def op_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard verify. The full-document shingle sets never shuffle;
     only (band_id, band_hash, doc_id) triples do. This is the operator
     that replaces op_dedup_ngram_jaccard's inverted index when even
-    Σ bucket² is too large (very common shingles at web scale)."""
-    # The single-file fixture arrives as one partition; spread the raw
-    # docs before the compute-bound shingling (no-op on a real
-    # multi-split source).
-    par = spark.sparkContext.defaultParallelism
-    d = load(spark, sf_dir, "documents").repartition(par, "doc_id")
+    Σ bucket² is too large (very common shingles at web scale).
 
-    # Shingles never materialize as strings: tokens hash to int64 once,
-    # and a 3-gram shingle is the xxhash64 of three consecutive token
-    # hashes. The trailing exchange is deliberate twice over — it stops
-    # Catalyst's project-collapse from re-evaluating the shingling
-    # inside every signature column below, and because the signature
-    # path AND both jaccard-verify branches hang off this identical
-    # subtree, ReuseExchange computes it once and reads it three times.
-    t = tokens(F.col("text"))
-    ht = F.transform(t, lambda x: F.xxhash64(x))
-    idx = F.sequence(F.lit(1), F.size(ht) - 2)
-    # Documents with <3 tokens collapse to one whole-document shingle
-    # (the hash of the full token-hash array), mirroring
-    # textprep.shingles. CASE WHEN evaluates per-row, so the
-    # element_at(ht, i+2) branch never runs past the array end under
-    # ANSI mode on short docs.
-    shingle_hashes = F.array_distinct(
-        F.when(
-            F.size(ht) >= 3,
-            F.transform(
-                idx,
-                lambda i: F.xxhash64(
-                    F.element_at(ht, i),
-                    F.element_at(ht, i + 1),
-                    F.element_at(ht, i + 2),
+    Tokenize → shingle-hash → 16 minhash permutations → 8 band hashes
+    all happen in ONE Arrow-batched mapInPandas pass, vectorized in
+    numpy uint64 (wraparound multiply-add is the permutation family;
+    the only per-item Python work is one blake2b per *unique* token per
+    batch). Round 1 computed the signatures as 16 interpreted
+    higher-order-function transforms (~4M interpreted xxhash64 calls at
+    sf0.1) — the Arrow pass is ~2× faster end-to-end at sf0.1 and the
+    gap widens with document count. Deterministic: fixed hash
+    constants, fixed rng seed for the permutation table."""
+    import numpy as np
+
+    num_perm, bands = _NUM_PERM, _BANDS
+    k1 = np.uint64(0xBF58476D1CE4E5B9)
+    k2 = np.uint64(0x94D049BB133111EB)
+    rng = np.random.default_rng(42)
+    perm_a = rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) * np.uint64(
+        2
+    ) + np.uint64(1)  # odd multipliers: bijective mod 2^64
+    perm_b = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
+
+    def _finalize(x):
+        # splitmix64 finalizer — mixes the combined token hashes
+        x = x.copy()
+        x ^= x >> np.uint64(30)
+        x *= k1
+        x ^= x >> np.uint64(27)
+        x *= k2
+        x ^= x >> np.uint64(31)
+        return x
+
+    def sig_batches(it):
+        from hashlib import blake2b
+
+        import pandas as pd
+
+        for pdf in it:
+            toks = pdf["text"].str.lower().str.split()
+            lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+            n = len(pdf)
+            codes, uniques = pd.factorize(toks.explode().dropna().to_numpy())
+            # hash only the batch's unique tokens in Python; everything
+            # per-occurrence is a numpy gather
+            uh = np.fromiter(
+                (
+                    int.from_bytes(
+                        blake2b(t.encode(), digest_size=8).digest(), "little"
+                    )
+                    for t in uniques
                 ),
-            ),
-        ).otherwise(F.array(F.xxhash64(ht)))
-    )
-    hs = d.select("doc_id", shingle_hashes.alias("h")).repartition(
-        par, "doc_id"
-    )
-
-    def perm_hash(p: int):
-        # single-arg lambda factory: a two-arg lambda would make Spark
-        # pass the array index as the second argument
-        return lambda x: F.xxhash64(F.lit(p), x)
-
-    # One pass materializes all minhashes; downstream, only
-    # (doc_id, band_id, band_hash) ever shuffles — the shingle arrays
-    # (i.e. the document bodies) stay columnar at rest.
-    sig_cols = [
-        F.array_min(F.transform(F.col("h"), perm_hash(p))).alias(f"mh{p}")
-        for p in range(_NUM_PERM)
-    ]
-    sig = hs.select("doc_id", *sig_cols)
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                *[F.col(f"mh{b * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)],
+                dtype=np.uint64,
+                count=len(uniques),
             )
-            for b in range(_BANDS)
-        ]
+            th = uh[codes] if len(codes) else np.empty(0, np.uint64)
+            offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            docidx = np.repeat(np.arange(n), lens)
+            # 3-gram shingle hash at every position not crossing a
+            # document boundary
+            if len(th) >= 3:
+                tri = _finalize(th[:-2] * k1 ^ th[1:-1] * k2 ^ th[2:])
+                valid = docidx[:-2] == docidx[2:]
+                vt, vdoc = tri[valid], docidx[:-2][valid]
+            else:
+                vt = np.empty(0, np.uint64)
+                vdoc = np.empty(0, np.int64)
+            bounds = np.searchsorted(vdoc, np.arange(n + 1))
+            h_out, band_out = [], []
+            for i in range(n):
+                s, e = bounds[i], bounds[i + 1]
+                if e > s:
+                    sh = vt[s:e]
+                else:
+                    # <3 tokens: one whole-document shingle (order-
+                    # sensitive fold of its token hashes)
+                    acc = np.uint64(0xDEADBEEF)
+                    for v in th[offs[i] : offs[i + 1]]:
+                        acc = (acc ^ v) * k1
+                    sh = _finalize(np.array([acc], dtype=np.uint64))
+                # min of a multiset == min of its set: no dedup needed
+                # for the signature, and the verify step's
+                # array_intersect/array_union deduplicate on their own
+                mh = (sh[None, :] * perm_a[:, None] + perm_b[:, None]).min(axis=1)
+                bnd = _finalize(
+                    mh[0::2] * k1
+                    ^ mh[1::2] * k2
+                    ^ np.arange(bands, dtype=np.uint64)
+                )
+                h_out.append(sh.view(np.int64))
+                band_out.append(bnd.view(np.int64))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "h": h_out, "bands": band_out}
+            )
+
+    # The single-file fixture arrives as one partition; spread the raw
+    # docs before the compute-bound signature pass (no-op on a real
+    # multi-split source). The trailing repartition is deliberate: the
+    # banding path AND both jaccard-verify branches hang off this
+    # identical subtree, so ReuseExchange materializes the Arrow pass
+    # once and reads it three times.
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(par, "doc_id")
     )
-    banded = sig.select(
-        "doc_id", F.posexplode(band_hashes).alias("band_id", "band_hash")
+    hs = d.mapInPandas(
+        sig_batches, "doc_id bigint, h array<bigint>, bands array<bigint>"
+    ).repartition(par, "doc_id")
+    banded = hs.select(
+        "doc_id", F.posexplode("bands").alias("band_id", "band_hash")
     )
 
     a, b = banded.alias("a"), banded.alias("b")
@@ -259,42 +309,120 @@ def op_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "op_dedup_simhash",
     oracle=None,
-    notes="SimHash signatures depend on Spark xxhash64 (deterministic, "
-    "seedless hashing of tokens) — rows-only check.",
+    notes="SimHash signatures are blake2b/splitmix64-based (fixed "
+    "constants, fully deterministic), computed in one Arrow-batched "
+    "numpy pass — rows-only check; exact signature values on crafted "
+    "docs are asserted in tests/test_dedup_content.py.",
     tags=("dedup", "approx"),
 )
 def op_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document: each token hashes to 64 bits; bit b
-    of the signature is the majority vote of token bits. Near-dup
-    candidates collide on one of four 16-bit chunks (Hamming ≤ 3 check
-    would follow in a pair stage; the signature table itself is the
-    reusable artifact). Pure higher-order-function expressions."""
+    """64-bit SimHash per document: each distinct shingle hashes to 64
+    bits; bit b of the signature is the majority vote of bit b across
+    shingles. Near-dup candidates collide on one of four 16-bit chunks
+    (Hamming ≤ 3 check would follow in a pair stage; the signature
+    table itself is the reusable artifact).
+
+    SimHash is over 3-gram shingles, not unigrams: with a small
+    vocabulary the unigram bit votes sit at the 50% margin and a
+    handful of edits flips half the signature; shingles give near-dups
+    ~98% feature overlap, so Hamming distance tracks Jaccard.
+
+    One Arrow-batched mapInPandas pass (same shingle-hash spec as
+    op_dedup_minhash_lsh); the bit-majority is a single vectorized
+    unpackbits → segment-sum → packbits, replacing round 1's 64-term
+    expression tree that re-scanned the shingle array once per bit."""
+    import numpy as np
+
+    k1 = np.uint64(0xBF58476D1CE4E5B9)
+    k2 = np.uint64(0x94D049BB133111EB)
+
+    def _finalize(x):
+        x = x.copy()
+        x ^= x >> np.uint64(30)
+        x *= k1
+        x ^= x >> np.uint64(27)
+        x *= k2
+        x ^= x >> np.uint64(31)
+        return x
+
+    def sig_batches(it):
+        from hashlib import blake2b
+
+        import pandas as pd
+
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            toks = pdf["text"].str.lower().str.split()
+            lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+            codes, uniques = pd.factorize(toks.explode().dropna().to_numpy())
+            uh = np.fromiter(
+                (
+                    int.from_bytes(
+                        blake2b(t.encode(), digest_size=8).digest(), "little"
+                    )
+                    for t in uniques
+                ),
+                dtype=np.uint64,
+                count=len(uniques),
+            )
+            th = uh[codes] if len(codes) else np.empty(0, np.uint64)
+            offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            docidx = np.repeat(np.arange(n), lens)
+            if len(th) >= 3:
+                tri = _finalize(th[:-2] * k1 ^ th[1:-1] * k2 ^ th[2:])
+                valid = docidx[:-2] == docidx[2:]
+                vt, vdoc = tri[valid], docidx[:-2][valid]
+            else:
+                vt = np.empty(0, np.uint64)
+                vdoc = np.empty(0, np.int64)
+            bounds = np.searchsorted(vdoc, np.arange(n + 1))
+            sh_list = []
+            for i in range(n):
+                s, e = bounds[i], bounds[i + 1]
+                if e > s:
+                    sh_list.append(np.unique(vt[s:e]))  # DISTINCT shingles
+                else:
+                    acc = np.uint64(0xDEADBEEF)
+                    for v in th[offs[i] : offs[i + 1]]:
+                        acc = (acc ^ v) * k1
+                    sh_list.append(_finalize(np.array([acc], dtype=np.uint64)))
+            counts = np.fromiter((len(s) for s in sh_list), np.int64, count=n)
+            flat = np.concatenate(sh_list)
+            # (total_shingles, 64) bit matrix, column j = bit j; one
+            # segment-sum per document, then majority + re-pack. Every
+            # doc has >= 1 shingle, so reduceat segments are non-empty.
+            bits = np.unpackbits(
+                flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            ).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            cnts = np.add.reduceat(bits, starts, axis=0)
+            maj = 2 * cnts >= counts[:, None]
+            sig = (
+                np.packbits(maj, axis=1, bitorder="little")
+                .view(np.uint64)
+                .ravel()
+            )
+            out = {"doc_id": pdf["doc_id"], "simhash": sig.view(np.int64)}
+            for i in range(4):
+                out[f"chunk{i}"] = (
+                    (sig >> np.uint64(16 * i)) & np.uint64(0xFFFF)
+                ).view(np.int64)
+            yield pd.DataFrame(out)
+
     par = spark.sparkContext.defaultParallelism
-    d = load(spark, sf_dir, "documents").repartition(par, "doc_id")
-    # SimHash over 3-gram shingles, not unigrams: with a small
-    # vocabulary the unigram bit votes sit at the 50% margin and a
-    # handful of edits flips half the signature; shingles give near-
-    # dups ~98% feature overlap, so Hamming distance tracks Jaccard.
-    h = F.transform(shingles(tokens(F.col("text"))), lambda t: F.xxhash64(t))
-
-    def bit_test(bit: int):
-        return lambda x: F.shiftright(x, bit).bitwiseAND(1) == 1
-
-    def bit_count(bit: int):
-        return F.size(F.filter(F.col("th"), bit_test(bit)))
-
-    sig = None
-    df = d.select("doc_id", h.alias("th"))
-    for bit in range(64):
-        bit_set = (bit_count(bit) * 2 >= F.size(F.col("th"))).cast("long")
-        term = F.shiftleft(bit_set, bit)
-        sig = term if sig is None else sig.bitwiseOR(term)
-    out = df.select("doc_id", sig.alias("simhash"))
-    chunks = [
-        F.shiftright(F.col("simhash"), 16 * i).bitwiseAND((1 << 16) - 1).alias(f"chunk{i}")
-        for i in range(4)
-    ]
-    return out.select("doc_id", "simhash", *chunks).orderBy("doc_id")
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(par, "doc_id")
+    )
+    return d.mapInPandas(
+        sig_batches,
+        "doc_id bigint, simhash bigint, chunk0 bigint, chunk1 bigint, "
+        "chunk2 bigint, chunk3 bigint",
+    ).orderBy("doc_id")
 
 
 def _exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
