@@ -49,6 +49,53 @@ def op_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "op_jdbc_roundtrip",
+    oracle=f"""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_customers,
+               {sql_dsum("c_acctbal", "total_acctbal")}
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+    notes="LIVE JDBC round-trip (src_jdbc_scan + jdbc sink — the "
+    "reference's primary converter path, sh:176-295): customer → "
+    "embedded Apache Derby over JDBC → range-partitioned JDBC scan "
+    "back → aggregate, hash-matched against the ORIGINAL parquet. "
+    "Derby's driver ships in Spark's jars, so this is a real database "
+    "engine, not a stub; the scan splits on c_custkey exactly as the "
+    "MySQL path would.",
+    tags=("io", "jdbc"),
+)
+def op_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live JDBC write + range-partitioned read-back, hash-checked.
+    Replaces the reference's LIMIT/OFFSET pagination with bounded key
+    ranges (deterministic, O(n) server-side, one connection per
+    partition)."""
+    from ..sources.jdbc import DerbyConfig, read_table, write_table
+
+    c = load(spark, sf_dir, "customer")
+    cfg = DerbyConfig(
+        path=os.path.join(tempfile.mkdtemp(prefix="derby_rt_"), "db"),
+        create=True,
+    )
+    write_table(spark, cfg, c, "customer")
+    lo, hi = c.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+    back = read_table(
+        spark,
+        DerbyConfig(path=cfg.path),
+        "customer",
+        partition_column="c_custkey",
+        lower_bound=lo,
+        upper_bound=hi + 1,
+        num_partitions=8,
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        dsum(F.col("c_acctbal"), "total_acctbal"),
+    )
+
+
+@query(
     "op_orc_partitioned_scan",
     oracle="""
         SELECT c_mktsegment, COUNT(*) AS n_customers

@@ -137,9 +137,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "op_collocations",
     "op_vocab_encode",
     "op_pack_sequences",
-    # remaining §J rotation fillers (swap out as new ops land)
+    # live JDBC round-trip (new in round 2 — embedded Derby)
+    "op_jdbc_roundtrip",
+    # remaining §J rotation filler (swap out as new ops land)
     "op_stream_dedup",
-    "op_retention_cohorts",
 )
 
 

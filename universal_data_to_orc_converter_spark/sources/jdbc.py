@@ -11,10 +11,14 @@ executor opens its own connection and reads a bounded key range
 (deterministic, O(n) server-side, as parallel as numPartitions).
 Credentials travel in reader options, never argv.
 
-No database exists in the test environment, so these are exercised by
-unit tests on option construction plus an (optional, skipped) live
-round-trip; the conversion pipeline itself is covered end-to-end by
-the CSV / dump / parquet paths, which share everything downstream.
+No MySQL server exists in the test environment, so the MySQL config is
+exercised by unit tests on option construction; the LIVE JDBC path is
+proven end-to-end against embedded Apache Derby (``DerbyConfig``),
+whose driver ships inside Spark's own jars — a real database engine
+behind a real JDBC round-trip (write → range-partitioned read), run in
+the correctness gate as ``op_jdbc_roundtrip``. Embedded Derby is
+single-JVM (fine under local[*]; a cluster would use the Derby network
+server or any served database — the Spark-side code is identical).
 """
 
 from __future__ import annotations
@@ -32,6 +36,8 @@ class JdbcConfig:
     user: str
     password: str
     driver: str = "com.mysql.cj.jdbc.Driver"
+    #: 1-row liveness probe (dialect-specific)
+    ping_query: str = "SELECT 1 AS ok"
 
     @property
     def url(self) -> str:
@@ -47,9 +53,32 @@ class JdbcConfig:
         }
 
 
+@dataclass
+class DerbyConfig:
+    """Embedded Apache Derby — the in-environment live JDBC target.
+    ``path`` is the database directory; ``create=True`` on first use."""
+
+    path: str
+    create: bool = False
+    driver: str = "org.apache.derby.jdbc.EmbeddedDriver"
+    #: Derby has no FROM-less SELECT; SYSDUMMY1 is its DUAL
+    ping_query: str = "SELECT 1 AS ok FROM SYSIBM.SYSDUMMY1"
+
+    @property
+    def url(self) -> str:
+        return f"jdbc:derby:{self.path}" + (";create=true" if self.create else "")
+
+    def reader_options(self, fetchsize: int = 10_000) -> dict[str, str]:
+        return {
+            "url": self.url,
+            "driver": self.driver,
+            "fetchsize": str(fetchsize),
+        }
+
+
 def read_table(
     spark: SparkSession,
-    cfg: JdbcConfig,
+    cfg,
     table: str,
     partition_column: str | None = None,
     lower_bound: int | None = None,
@@ -71,13 +100,20 @@ def read_table(
     return reader.load()
 
 
-def list_tables(spark: SparkSession, cfg: JdbcConfig) -> DataFrame:
+def list_tables(spark: SparkSession, cfg) -> DataFrame:
     """src_jdbc_catalog — the reference shells out to the mysql CLI for
-    SHOW TABLES (sh:573); information_schema is the engine-native way."""
-    query = (
-        "SELECT table_name FROM information_schema.tables "
-        f"WHERE table_schema = '{cfg.database}'"
-    )
+    SHOW TABLES (sh:573); the engine catalog is the native way
+    (information_schema for MySQL, SYS.SYSTABLES for Derby)."""
+    if isinstance(cfg, DerbyConfig):
+        query = (
+            "SELECT TABLENAME AS table_name FROM SYS.SYSTABLES "
+            "WHERE TABLETYPE = 'T'"
+        )
+    else:
+        query = (
+            "SELECT table_name FROM information_schema.tables "
+            f"WHERE table_schema = '{cfg.database}'"
+        )
     return (
         spark.read.format("jdbc")
         .options(**cfg.reader_options())
@@ -86,20 +122,37 @@ def list_tables(spark: SparkSession, cfg: JdbcConfig) -> DataFrame:
     )
 
 
-def ping(spark: SparkSession, cfg: JdbcConfig) -> bool:
+def ping(spark: SparkSession, cfg) -> bool:
     """src_jdbc_ping — 1-row probe replacing the reference's
     ``USE db`` shell-out (sh:583-589)."""
     try:
         (
             spark.read.format("jdbc")
             .options(**cfg.reader_options())
-            .option("query", "SELECT 1 AS ok")
+            .option("query", cfg.ping_query)
             .load()
             .collect()
         )
         return True
     except Exception:
         return False
+
+
+def write_table(
+    spark: SparkSession,
+    cfg,
+    df: DataFrame,
+    table: str,
+    mode: str = "overwrite",
+) -> None:
+    """JDBC sink: each partition writes over its own connection."""
+    (
+        df.write.format("jdbc")
+        .options(**cfg.reader_options())
+        .option("dbtable", table)
+        .mode(mode)
+        .save()
+    )
 
 
 def export_tables(
