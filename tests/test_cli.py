@@ -54,3 +54,70 @@ def test_cli_mysql_requires_env_password(tmp_path):
 def test_cli_rejects_unknown_command():
     r = run_cli("nope")
     assert r.returncode != 0
+
+
+def test_wizard_csv_flow_subprocess(tmp_path):
+    """Drive the interactive wizard end-to-end through a pipe, the way
+    a user answers the reference script's prompts (sh:84-173)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "users.csv").write_text("id,name\n1,ann\n2,bo\n")
+    out = tmp_path / "orc"
+    answers = "\n".join(
+        ["3", str(src), "", "y", "y", str(out), "", ""]
+    ) + "\n"
+    r = subprocess.run(
+        [sys.executable, "-m", "universal_data_to_orc_converter_spark", "wizard"],
+        input=answers,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Select input data type:" in r.stdout
+    # input() leaves the last prompt unterminated, so the JSON shares
+    # its line — parse from the payload marker
+    payload = json.loads(r.stdout[r.stdout.rindex('{"tables"'):])
+    assert "users" in payload["tables"]
+    assert list(out.glob("users/*.orc"))
+
+
+def test_wizard_dump_flow_inprocess(spark, tmp_path):
+    from universal_data_to_orc_converter_spark.wizard import run_wizard
+
+    dump = tmp_path / "d.sql"
+    dump.write_text(
+        "CREATE TABLE a (x INT); INSERT INTO a VALUES (1);"
+        "CREATE TABLE b (y INT); INSERT INTO b VALUES (2);"
+    )
+    out = tmp_path / "orc"
+    answers = iter(["2", str(dump), "y", "a", str(out), "zstd", "4"])
+    lines = []
+    rc = run_wizard(
+        spark,
+        ask=lambda prompt: next(answers),
+        ask_secret=lambda prompt: "",
+        say=lines.append,
+    )
+    assert rc == 0
+    payload = json.loads(lines[-1])
+    assert set(payload["tables"]) == {"a"}
+    assert list(out.glob("a/*.orc"))
+
+
+def test_wizard_missing_dump_errors(spark, tmp_path):
+    import pytest
+
+    from universal_data_to_orc_converter_spark.wizard import (
+        WizardError,
+        run_wizard,
+    )
+
+    answers = iter(["2", str(tmp_path / "nope.sql")])
+    with pytest.raises(WizardError, match="not found"):
+        run_wizard(
+            spark,
+            ask=lambda p: next(answers),
+            ask_secret=lambda p: "",
+            say=lambda s: None,
+        )

@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--tables", default=None, help="comma list (default all)")
     d.add_argument("--compression", default="snappy")
 
+    sub.add_parser(
+        "wizard",
+        help="interactive prompt flow (reference data_to_orc_converter.sh parity)",
+    )
+
     m = sub.add_parser("mysql", help="MySQL database → ORC")
     m.add_argument("output")
     m.add_argument("--host", required=True)
@@ -77,6 +82,10 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def _dispatch(args, spark, tables) -> int:
+    if args.cmd == "wizard":
+        from .wizard import run_wizard
+
+        return run_wizard(spark)
     if args.cmd == "csv":
         from .converter import convert_csv
 
