@@ -79,10 +79,10 @@ def main() -> None:
     for name in HEADLINE:
         fn = specs[name].fn
         run_query(spark, fn, SF_DIR)  # warm (file listing, codegen)
-        # min of two timed runs: local runs show ±15% scheduler noise,
+        # min of three timed runs: local runs show ±15% scheduler noise,
         # and the minimum is the stable estimator of achievable latency
         timings[name] = round(
-            min(run_query(spark, fn, SF_DIR), run_query(spark, fn, SF_DIR)), 4
+            min(run_query(spark, fn, SF_DIR) for _ in range(3)), 4
         )
 
     sf = None
