@@ -239,3 +239,18 @@ def test_cell_block_neighbor_at_least_label_block(spark):
     assert set(ce) == set(ex)
     better = sum(1 for v, c in ex.items() if ce[v] >= c - 1e-9)
     assert better / len(ex) >= 0.85, f"only {better}/{len(ex)} at least as close"
+
+
+def test_ivfpq_recall_vs_exact_scoring_same_cells(spark):
+    """IVF-PQ (ADC + exact re-rank) must recover most of what
+    exact-scoring IVF finds over the same probed cells — quantization
+    plus re-ranking should cost little recall."""
+    ivf = {
+        (r["q_id"], r["vec_id"]) for r in q("op_sim_ann_ivf", spark).collect()
+    }
+    pq = {
+        (r["q_id"], r["vec_id"]) for r in q("op_sim_ann_ivfpq", spark).collect()
+    }
+    assert ivf, "IVF baseline should return results"
+    recall = len(ivf & pq) / len(ivf)
+    assert recall >= 0.8, f"IVF-PQ recall {recall:.2f} vs exact-scoring IVF"

@@ -156,3 +156,93 @@ def op_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             256,
         ).alias("frame_sha256"),
     )
+
+
+@query(
+    "op_multimodal_audio",
+    oracle="""
+        WITH base AS (
+          SELECT doc_id, text,
+                 CAST(octet_length(encode(text)) % 4 + 2 AS INT) AS n_win
+          FROM documents
+        ),
+        win AS (
+          SELECT doc_id, CAST(u.w AS INT) AS window_idx,
+                 sha256(text || ':w' || CAST(u.w AS VARCHAR)) AS d
+          FROM base,
+               LATERAL (SELECT unnest(generate_series(0, n_win - 1)) AS w) u
+        ),
+        byt AS (
+          SELECT doc_id, window_idx,
+                 list_transform(range(1, 33),
+                     i -> CAST('0x' || substr(d, 2*i - 1, 2) AS BIGINT)) AS b
+          FROM win
+        )
+        SELECT doc_id, window_idx,
+               CAST(list_sum(list_transform(b, x -> x * x)) AS BIGINT)
+                   AS energy,
+               CAST(list_max(b) AS BIGINT) AS peak,
+               CAST(len(list_filter(range(1, 32),
+                    i -> (b[i] - 128) * (b[i + 1] - 128) < 0)) AS BIGINT)
+                   AS zero_crossings
+        FROM byt
+    """,
+    notes="Audio-window feature extraction plumbing: each payload fans "
+    "out to 2-5 fixed-size windows; per window, integer features "
+    "(energy = sum of squared samples, peak, zero-crossing count) over "
+    "the window's sample bytes. The 'samples' are a deterministic fake "
+    "(the window digest's 32 bytes — no audio libs in this container); "
+    "the oracle replicates the arithmetic byte-for-byte, so the whole "
+    "fan-out + feature pipeline is hash-checked. A real deployment "
+    "swaps the digest for PCM frames; schema, batching, and the "
+    "integer feature math are unchanged.",
+    tags=("multimodal", "udf"),
+)
+def op_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio features via Arrow-batched mapInPandas: one row
+    per (payload, window) with exact integer features, vectorized in
+    numpy per window. At 100 TB this is the map stage that turns audio
+    blobs into model-ready frame features — rows multiply, payload
+    bytes never shuffle."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(par, "doc_id")
+    )
+
+    def audio_features(batches):
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "window_idx": [],
+                "energy": [],
+                "peak": [],
+                "zero_crossings": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = text.encode("utf-8")
+                n_win = len(payload) % 4 + 2
+                for w in range(n_win):
+                    dig = hashlib.sha256(
+                        (text + f":w{w}").encode("utf-8")
+                    ).digest()
+                    b = np.frombuffer(dig, dtype=np.uint8).astype(np.int64)
+                    s = b - 128
+                    out["doc_id"].append(doc_id)
+                    out["window_idx"].append(w)
+                    out["energy"].append(int((b * b).sum()))
+                    out["peak"].append(int(b.max()))
+                    out["zero_crossings"].append(int(((s[:-1] * s[1:]) < 0).sum()))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        audio_features,
+        "doc_id long, window_idx int, energy long, peak long, "
+        "zero_crossings long",
+    )

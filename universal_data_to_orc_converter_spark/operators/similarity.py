@@ -409,3 +409,172 @@ def op_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TOP_K)
         .select("q_id", "vec_id", "cosine")
     )
+
+
+@query(
+    "op_sim_ann_ivfpq",
+    oracle=None,
+    notes="IVF-PQ ANN: coarse quantizer (KMeans seed=42) + per-subspace "
+    "product-quantization codebooks (seeded numpy Lloyd on a "
+    "deterministic sample) -> 8-byte codes per vector -> ADC "
+    "(asymmetric distance computation) candidate scoring -> exact "
+    "re-rank of the ADC top-3k. Deterministic but model-dependent => "
+    "rows-only; recall vs the exact-scoring op_sim_ann_ivf over the "
+    "same probed cells is asserted in tests/test_quality.py.",
+    tags=("similarity", "approx"),
+)
+def op_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the 100 TB shape for ANN candidate scoring. Vectors are
+    stored as (cell, 8 sub-codes) — 8 bytes instead of 256+ — so the
+    probe stage streams codes, not vectors; ADC turns each query into
+    8 lookup tables of 16 entries and scores candidates with gathers;
+    only the ADC top-3k per query fetch their full vectors for the
+    exact re-rank. Codebooks train on a bounded deterministic sample
+    (standard practice — Lloyd on the corpus would be a driver-side
+    collect of everything)."""
+    import numpy as np
+    from pyspark.sql import Window as W
+
+    n_cells, n_probe, n_sub, n_codes = 16, 4, 8, 16
+    rerank = 3 * _TOP_K
+
+    par = spark.sparkContext.defaultParallelism
+    em = load(spark, sf_dir, "embeddings").repartition(par, "vec_id")
+    unit = _unit_vectors(em).cache()
+    assigned, centers_df = _ivf_index(spark, unit, n_cells, n_assign=1)
+    centers = {
+        r["cell"]: np.array(r["center"], dtype=np.float64)
+        for r in centers_df.collect()
+    }
+    dim = len(next(iter(centers.values())))
+    sub = dim // n_sub
+
+    # --- train PQ codebooks on a deterministic bounded sample of
+    # residuals (vector - its cell centroid), one codebook per subspace
+    samp = (
+        assigned.orderBy("vec_id")
+        .limit(2048)
+        .select("vec_id", "u", "cell")
+        .collect()
+    )
+    res = np.stack(
+        [np.array(r["u"], dtype=np.float64) - centers[r["cell"]] for r in samp]
+    )
+    rng = np.random.default_rng(42)
+
+    def lloyd(x, k, iters=10):
+        cb = x[rng.choice(len(x), size=k, replace=False)]
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for j in range(k):
+                m = a == j
+                if m.any():
+                    cb[j] = x[m].mean(axis=0)
+        return cb
+
+    codebooks = np.stack(
+        [
+            lloyd(res[:, m * sub : (m + 1) * sub], n_codes)
+            for m in range(n_sub)
+        ]
+    )  # (n_sub, n_codes, sub)
+
+    # --- encode every vector: 8 sub-codes via nearest codeword on the
+    # residual, vectorized per Arrow batch
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            u = np.stack(pdf["u"].to_numpy())
+            cell = pdf["cell"].to_numpy()
+            cent = np.stack([centers[c] for c in cell])
+            r = u - cent
+            codes = np.empty((len(pdf), n_sub), dtype=np.int32)
+            for m in range(n_sub):
+                xm = r[:, m * sub : (m + 1) * sub]
+                d2 = (
+                    (xm[:, None, :] - codebooks[m][None, :, :]) ** 2
+                ).sum(axis=2)
+                codes[:, m] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": cell,
+                    "codes": list(codes),
+                }
+            )
+
+    encoded = assigned.mapInPandas(
+        encode, "vec_id bigint, cell int, codes array<int>"
+    )
+
+    # --- queries probe their n_probe nearest cells
+    qdf = assigned.filter(F.col("vec_id") < _N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("u").alias("q_u")
+    )
+    probe = (
+        qdf.crossJoin(centers_df)
+        .select(
+            "q_id", "q_u", "cell",
+            _dot(F.col("q_u"), F.col("center")).alias("cell_score"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.col("cell_score").desc(), "cell")
+            ),
+        )
+        .filter(F.col("rn") <= n_probe)
+        .select("q_id", "q_u", "cell")
+    )
+
+    # --- ADC: score = q . center_cell + sum_m lut[m][code_m], where
+    # lut[m][j] = q_m . codebook[m][j]; gathers only, no vector reads
+    cand = probe.join(encoded, "cell").filter(F.col("vec_id") != F.col("q_id"))
+
+    def adc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qu = np.stack(pdf["q_u"].to_numpy())
+            cell = pdf["cell"].to_numpy()
+            codes = np.stack(pdf["codes"].to_numpy())
+            cent = np.stack([centers[c] for c in cell])
+            base = (qu * cent).sum(axis=1)
+            score = base
+            for m in range(n_sub):
+                qm = qu[:, m * sub : (m + 1) * sub]
+                # (rows, n_codes) lut for this subspace, then gather
+                lut = qm @ codebooks[m].T
+                score = score + lut[np.arange(len(pdf)), codes[:, m]]
+            yield pd.DataFrame(
+                {
+                    "q_id": pdf["q_id"],
+                    "vec_id": pdf["vec_id"],
+                    "adc": score,
+                }
+            )
+
+    scored = cand.mapInPandas(adc, "q_id bigint, vec_id bigint, adc double")
+    w_adc = W.partitionBy("q_id").orderBy(F.col("adc").desc(), "vec_id")
+    short = (
+        scored.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= rerank)
+        .select("q_id", "vec_id")
+    )
+
+    # --- exact re-rank: only the ADC short-list fetches full vectors
+    qv = qdf.select("q_id", F.col("q_u").alias("qq"))
+    uv = unit.select("vec_id", F.col("u").alias("uu"))
+    w_rank = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        short.join(F.broadcast(qv), "q_id")
+        .join(uv, "vec_id")
+        .select("q_id", "vec_id", _dot(F.col("qq"), F.col("uu")).alias("cosine"))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("q_id", "vec_id", "cosine")
+    )

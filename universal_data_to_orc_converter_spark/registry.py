@@ -137,10 +137,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "op_collocations",
     "op_vocab_encode",
     "op_pack_sequences",
-    # live JDBC round-trip (new in round 2 — embedded Derby)
+    # new in round 2: live JDBC round-trip (embedded Derby) and
+    # audio-window feature extraction
     "op_jdbc_roundtrip",
-    # remaining §J rotation filler (swap out as new ops land)
-    "op_stream_dedup",
+    "op_multimodal_audio",
 )
 
 
