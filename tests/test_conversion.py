@@ -197,7 +197,7 @@ def test_mysql_type_mapping():
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("codec", ["snappy", "zlib", "none", "zstd"])
+@pytest.mark.parametrize("codec", ["snappy", "zlib", "none", "lzo", "lz4", "zstd"])
 def test_orc_codec_roundtrip(spark, tmp_path, codec):
     src = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
     out = str(tmp_path / f"orc_{codec}")

@@ -6,9 +6,12 @@ Reference parity, Spark-native:
   files in a directory make up one table!" (data_to_orc_converter.sh:623,
   reference README.md:176-189). Spark's native ORC layout is exactly
   this convention.
-* **codec**: snappy / zlib / none (wizard sh:168-169, writer sh:245);
-  Spark additionally offers lzo / lz4 / zstd — exposed, since the
-  reference README lists LZO as intended (README.md:241-246).
+* **codec**: snappy / zlib / none (wizard sh:168-169, writer sh:245)
+  plus lzo / lz4 / zstd. The reference README lists LZO as a choice
+  (README.md:241-246) its own pyarrow writer cannot produce
+  (BASELINE.md); Spark's ORC writer ships a pure-JVM LZO codec, so
+  here it actually works — round-trip-tested with the rest of the
+  matrix.
 * **chunking**: the reference writes one file per 50k-row chunk
   (chunk_size, sh:192). ``max_records_per_file`` reproduces the
   capability without the reference's driver-side pagination loop —
@@ -27,8 +30,9 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-#: codecs the reference wizard offers (sh:168-169) plus Spark extras
-CODECS = ("snappy", "zlib", "none", "lz4", "zstd")
+#: codecs the reference wizard offers (sh:168-169) plus Spark extras —
+#: including the LZO the reference claims but cannot write
+CODECS = ("snappy", "zlib", "none", "lzo", "lz4", "zstd")
 
 #: the reference's chunk_size default (sh:192); README documents tuning
 #: to 100k via CHUNK_SIZE (README.md:162-163)
