@@ -86,3 +86,45 @@ def test_simhash_near_dups_close_identical_docs_equal(spark, tmp_path):
     assert rows[0] == rows[1]  # identical docs: identical signature
     ham = bin((rows[0] ^ rows[2]) & _M).count("1")
     assert ham <= 16, f"near-dup hamming {ham} too high"
+
+
+def test_pii_redaction_on_crafted_docs(spark, tmp_path):
+    """Fixture text carries no PII, so prove the redaction behavior on
+    crafted docs: emails and phone-like digit runs are replaced and
+    counted; clean text passes through untouched."""
+    docs = [
+        "contact me at jane.doe+spam@example.co.uk for details",
+        "call +1 (555) 123-4567 or 555 867 5309 now",
+        "bob@site.org and carol@site.org share 020 7946 0958",
+        "no pii here at all",
+    ]
+    sf = _write_documents(spark, tmp_path, docs)
+    q = load_all_queries()["op_pii_redact"]
+    rows = {r["doc_id"]: r for r in q.fn(spark, sf).collect()}
+    assert rows[0]["n_emails"] == 1 and rows[0]["n_phones"] == 0
+    assert "<EMAIL>" in rows[0]["redacted"]
+    assert "jane" not in rows[0]["redacted"]
+    assert rows[1]["n_emails"] == 0 and rows[1]["n_phones"] == 2
+    assert rows[1]["redacted"].count("<PHONE>") == 2
+    assert rows[2]["n_emails"] == 2 and rows[2]["n_phones"] == 1
+    assert rows[3]["redacted"] == docs[3]
+    assert rows[3]["n_emails"] == 0 and rows[3]["n_phones"] == 0
+
+
+def test_repetition_signals_on_crafted_docs(spark, tmp_path):
+    """A keyword-stuffed doc scores near 1.0 on repetition fractions; a
+    varied doc scores low; short docs get NULLs."""
+    docs = [
+        "buy now " * 30,                                   # stuffed
+        "the quick brown fox jumps over the lazy dog today",  # varied
+        "solo",                                            # too short
+    ]
+    sf = _write_documents(spark, tmp_path, docs)
+    q = load_all_queries()["op_text_repetition"]
+    rows = {r["doc_id"]: r for r in q.fn(spark, sf).collect()}
+    assert rows[0]["top_bigram_frac"] > 0.49
+    assert rows[0]["dup_trigram_frac"] > 0.9
+    assert rows[1]["top_bigram_frac"] <= 0.2
+    assert rows[1]["dup_bigram_frac"] == 0.0
+    assert rows[2]["top_bigram_frac"] is None
+    assert rows[2]["dup_trigram_frac"] is None

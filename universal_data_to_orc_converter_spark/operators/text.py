@@ -590,3 +590,135 @@ def op_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         bin_id.alias("bin_id"),
         (start - bin_id * 2048).alias("bin_offset"),
     )
+
+
+@query(
+    "op_text_repetition",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, len(t) AS n_tokens,
+                 CASE WHEN len(t) >= 2
+                      THEN list_transform(range(1, len(t)),
+                             i -> t[i] || ' ' || t[i+1])
+                 END AS bg,
+                 CASE WHEN len(t) >= 3
+                      THEN list_transform(range(1, len(t) - 1),
+                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                 END AS tg
+          FROM toks
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(list_max(list_transform(list_distinct(bg),
+                        d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE)
+                   / len(bg) AS top_bigram_frac,
+               CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+                   AS dup_bigram_frac,
+               CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg)
+                   AS dup_trigram_frac
+        FROM grams
+    """,
+    notes="Gopher-style repetition signals, adapted to token level "
+    "(fixture docs are single-line, so line-level fractions would be "
+    "degenerate): the fraction of all bigrams taken by the most "
+    "frequent bigram, and the duplicate-bigram/trigram fractions. "
+    "Exact integer counts, one double division per column — "
+    "hash-matched. Docs too short for an n-gram get NULL (both "
+    "engines).",
+    tags=("text",),
+)
+def op_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals: heavily repeated n-grams are
+    the classic marker of boilerplate/spam/keyword-stuffing in
+    training-data filtering. Per-row array work only — a pure map
+    stage at scan speed; the per-doc cost is O(distinct_bigrams ·
+    bigrams), bounded by document length, not corpus size."""
+    d = load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n = F.size(t)
+
+    def grams(col, k):
+        idx = F.sequence(F.lit(1), F.size(col) - (k - 1))
+        return F.when(
+            F.size(col) >= k,
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(col, i + j) for j in range(k)]
+                ),
+            ),
+        )
+
+    df = d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        grams(t, 2).alias("bg"),
+        grams(t, 3).alias("tg"),
+    )
+    bg, tg = F.col("bg"), F.col("tg")
+    top_bg = F.array_max(
+        F.transform(
+            F.array_distinct(bg),
+            lambda d_: F.size(F.filter(bg, lambda x: x == d_)),
+        )
+    )
+    return df.select(
+        "doc_id",
+        "n_tokens",
+        (top_bg.cast("double") / F.size(bg)).alias("top_bigram_frac"),
+        (
+            (F.size(bg) - F.size(F.array_distinct(bg))).cast("double")
+            / F.size(bg)
+        ).alias("dup_bigram_frac"),
+        (
+            (F.size(tg) - F.size(F.array_distinct(tg))).cast("double")
+            / F.size(tg)
+        ).alias("dup_trigram_frac"),
+    )
+
+
+#: PII patterns — Java-regex and RE2 compatible (no lookarounds)
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9][0-9 ()\-]{7,}[0-9]"
+
+
+@query(
+    "op_pii_redact",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(
+                        regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+               regexp_replace(
+                   regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+        FROM documents
+    """,
+    notes="PII scrubbing — the redaction pass every public training "
+    "corpus runs. Emails first, then phone-like digit runs on the "
+    "already-email-redacted text (so a phone inside an email is not "
+    "double-counted); counts + redacted text hash-matched. Patterns "
+    "are RE2/Java-compatible so both engines execute the same regex.",
+    tags=("text",),
+)
+def op_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/phone redaction with match counts. Pure regexp_replace /
+    regexp_count — codegen'd, scan-speed, no shuffle; at 100 TB this is
+    a map-only rewrite of the corpus."""
+    d = load(spark, sf_dir, "documents")
+    after_email = F.regexp_replace("text", _EMAIL_RE, "<EMAIL>")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(after_email, F.lit(_PHONE_RE))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.regexp_replace(after_email, _PHONE_RE, "<PHONE>").alias("redacted"),
+    )
