@@ -259,3 +259,31 @@ def test_stateful_processing_time_timeout_evicts_idle_users(spark):
         q.stop()
     assert 1 in evicted, "idle user 1 should have been evicted by timeout"
     assert n2_max >= 2, "user 2's refresh batch should have counted"
+
+
+def test_stream_interval_join_equals_batch(spark):
+    """True stream-stream join: two watermarked readStream sources,
+    time-range predicate, append mode — inner interval joins emit every
+    match for a bounded input, so the result must equal batch."""
+    from universal_data_to_orc_converter_spark.streaming.batch_windows import (
+        interval_join,
+    )
+
+    e = load(spark, SF_DIR, "events")
+    batch = interval_join(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "purchase"),
+    )
+    sv = (
+        read_events_stream(spark, SF_DIR)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "1 hour")
+    )
+    sp = (
+        read_events_stream(spark, SF_DIR)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+    )
+    stream = run_available_now(interval_join(sv, sp), output_mode="append")
+    cols = ["user_id", "view_id", "purchase_id", "view_ts", "purchase_ts"]
+    assert as_sets(batch, cols) == as_sets(stream, cols)

@@ -437,3 +437,63 @@ def op_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_date", "day_offset")
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+def interval_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """view → purchase attribution within 30 minutes, shared by the
+    batch query below and the stream-stream join test. The time-range
+    predicate is what lets Structured Streaming bound join state: with
+    watermarks on both sides, matched rows age out of state once the
+    30-minute window passes."""
+    v = views.select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return v.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+    ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+
+
+@query(
+    "op_stream_interval_join",
+    oracle="""
+        SELECT v.user_id,
+               v.event_id AS view_id,
+               p.event_id AS purchase_id,
+               v.ts AS view_ts,
+               p.ts AS purchase_ts
+        FROM events v
+        JOIN events p
+          ON v.user_id = p.user_id
+         AND p.ts >= v.ts
+         AND p.ts < v.ts + INTERVAL 30 MINUTE
+        WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+    notes="Stream-stream interval join (batch semantics, oracle-"
+    "checked); tests/test_streaming.py runs the IDENTICAL "
+    "transformation as a true two-stream watermarked join under "
+    "availableNow and asserts result equality. The range predicate "
+    "bounds streaming state to 30 minutes + watermark delay per side.",
+    tags=("streaming", "join"),
+)
+def op_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution join: purchases within 30 minutes after a view by
+    the same user. At scale both sides shuffle on user_id once; state
+    per key is bounded by the interval, not the stream length."""
+    e = load(spark, sf_dir, "events")
+    return interval_join(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "purchase"),
+    )
