@@ -104,7 +104,8 @@ def op_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS DOUBLE)
                    / len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
                    AS stopword_ratio,
-               CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.5 END
+               CAST(CASE WHEN length(text) BETWEEN 100 AND 2000
+                         THEN 1.0 ELSE 0.5 END AS DOUBLE)
                    AS length_score
         FROM documents
     """,
@@ -557,7 +558,7 @@ def op_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, n_tokens,
                CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / 2048) AS BIGINT)
                    AS bin_id,
-               cum - n_tokens
+               CAST(cum - n_tokens AS BIGINT)
                    - CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / 2048) AS BIGINT)
                      * 2048 AS bin_offset
         FROM run
