@@ -76,6 +76,41 @@ def test_datasource_split_boundaries(registered, tmp_path, split_bytes):
     )
 
 
+@pytest.mark.parametrize("split_bytes", [64, 100000])
+def test_datasource_midline_insert_after_statement(
+    registered, tmp_path, split_bytes
+):
+    """An INSERT that begins mid-line after another top-level statement
+    ('CREATE TABLE t(...); INSERT INTO t ...') is kept by the
+    distributed reader, matching the driver-side parser (ADVICE r2:
+    the old resync anchor only accepted INSERT-led lines and dropped
+    it). Multi-line CREATE TABLE bodies at a resync point must also
+    stay inert."""
+    spark = registered
+    p = tmp_path / "d.sql"
+    p.write_text(
+        "CREATE TABLE items (\n"
+        "  id INT,\n"
+        "  label VARCHAR(40)\n"
+        "); INSERT INTO items VALUES (1, 'one; tricky'), (2, 'two');\n"
+        "INSERT INTO items VALUES (3, 'three');\n"
+        "DROP TABLE IF EXISTS junk; INSERT INTO items VALUES (4, 'four');\n"
+    )
+    df = (
+        spark.read.format("sqldump")
+        .option("path", str(p))
+        .option("table", "items")
+        .option("split_bytes", str(split_bytes))
+        .load()
+    )
+    rows = sorted(map(tuple, df.collect()))
+    assert rows == [(1, "one; tricky"), (2, "two"), (3, "three"), (4, "four")]
+    via_driver = sorted(
+        map(tuple, parse_dump(spark, str(p))["items"].collect())
+    )
+    assert rows == via_driver
+
+
 def test_datasource_missing_table_errors(registered, tmp_path):
     spark = registered
     p = tmp_path / "d.sql"

@@ -68,8 +68,15 @@ def convert_mysql(
     tables: list[str] | None = None,
     compression: str = "snappy",
     partition_columns: dict[str, str] | None = None,
+    num_partitions: int = 8,
 ) -> dict[str, str]:
     """MySQL → ORC via range-partitioned JDBC (see sources/jdbc.py)."""
     return export_tables(
-        spark, cfg, output_dir, tables, compression, partition_columns
+        spark,
+        cfg,
+        output_dir,
+        tables,
+        compression,
+        partition_columns,
+        num_partitions,
     )

@@ -19,6 +19,18 @@ from ..exprs import dsum, sql_dsum
 from ..registry import query
 from ..sinks.orc import read_orc, write_orc
 
+#: per-process scratch roots, one per prefix — repeat invocations
+#: (the determinism test, bench laps) reuse the same directory instead
+#: of accumulating orphans; every writer below overwrites, and Derby's
+#: ``create=true`` is connect-or-create, so reuse is idempotent.
+_SCRATCH: dict[str, str] = {}
+
+
+def _scratch(prefix: str) -> str:
+    if prefix not in _SCRATCH:
+        _SCRATCH[prefix] = tempfile.mkdtemp(prefix=prefix)
+    return _SCRATCH[prefix]
+
 
 @query(
     "op_orc_roundtrip",
@@ -39,7 +51,7 @@ def op_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's whole raison d'être (source → ORC → query) as a
     single checked query."""
     o = load(spark, sf_dir, "orders")
-    out = os.path.join(tempfile.mkdtemp(prefix="orc_rt_"), "orders")
+    out = os.path.join(_scratch("orc_rt_"), "orders")
     write_orc(o, out, compression="snappy")
     back = read_orc(spark, out)
     return back.groupBy("o_orderstatus").agg(
@@ -75,7 +87,7 @@ def op_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = load(spark, sf_dir, "customer")
     cfg = DerbyConfig(
-        path=os.path.join(tempfile.mkdtemp(prefix="derby_rt_"), "db"),
+        path=os.path.join(_scratch("derby_rt_"), "db"),
         create=True,
     )
     write_table(spark, cfg, c, "customer")
@@ -111,7 +123,7 @@ def op_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_orc_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """snk_partitioned_write + partition pruning, hash-checked."""
     c = load(spark, sf_dir, "customer")
-    out = os.path.join(tempfile.mkdtemp(prefix="orc_part_"), "customer")
+    out = os.path.join(_scratch("orc_part_"), "customer")
     write_orc(c, out, partition_by=["c_mktsegment"])
     back = read_orc(spark, out).filter(
         F.col("c_mktsegment").isin("BUILDING", "MACHINERY")

@@ -486,6 +486,8 @@ def op_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             u = np.stack(pdf["u"].to_numpy())
             cell = pdf["cell"].to_numpy()
             cent = np.stack([centers[c] for c in cell])

@@ -162,10 +162,13 @@ def export_tables(
     tables: list[str] | None = None,
     compression: str = "snappy",
     partition_columns: dict[str, str] | None = None,
+    num_partitions: int = 8,
 ) -> dict[str, str]:
     """The reference's EP2 end-to-end (mysql_to_orc_converter.py,
     sh:280-289): every table (or a subset) → ORC dir per table. Spark
-    schedules tables' partitions concurrently — no 4-thread pool."""
+    schedules tables' partitions concurrently — no 4-thread pool.
+    ``num_partitions`` bounds the per-table JDBC read parallelism
+    (the wizard's "Parallel workers" answer lands here)."""
     import os
 
     from ..sinks.orc import write_orc
@@ -184,7 +187,13 @@ def export_tables(
                 .collect()[0]
             )
             df = read_table(
-                spark, cfg, t, pc, bounds["lo"], bounds["hi"], num_partitions=8
+                spark,
+                cfg,
+                t,
+                pc,
+                bounds["lo"],
+                bounds["hi"],
+                num_partitions=num_partitions,
             )
         else:
             df = read_table(spark, cfg, t)

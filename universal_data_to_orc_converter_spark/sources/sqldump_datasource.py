@@ -13,10 +13,15 @@ partition also owns offset 0); a non-first partition discards the
 partition reads its last owned statement to completion even past
 ``e``. Line ownership is computed on raw bytes (binary mode — text
 tell() cookies are not comparable to byte offsets). Multi-line INSERT
-statements are read until their top-level ``;`` closes, and a physical
-line carrying several top-level statements yields ALL of them, using
-the same quote/escape-aware incremental scanner
-(``StatementSplitter``) as the driver-side parser. The table's schema
+statements are read until their top-level ``;`` closes, and a
+statement-led physical line carrying several top-level statements
+yields ALL of them — an INSERT that begins mid-line after another
+statement (``CREATE TABLE t(...); INSERT INTO t ...``) included —
+using the same quote/escape-aware incremental scanner
+(``StatementSplitter``) as the driver-side parser. Lines that do not
+begin a statement (VALUES continuations, comments) are skipped at
+resync; their owning statement is read to completion by the split
+that owns its first line. The table's schema
 comes from a driver-side metadata pre-scan of the CREATE TABLE header.
 
 Known limitation (inherent to offset-based resync): a RAW newline
@@ -176,12 +181,22 @@ class SqlDumpReader(DataSourceReader):
                 if not bline:
                     break
                 line = bline.decode("utf-8", errors="replace")
-                if line.lstrip()[:6].upper() != "INSERT":
+                # Resync anchor: any statement-led line (first char
+                # alphabetic — INSERT/CREATE/DROP/...). Continuation
+                # lines of a multi-line VALUES list start with '(' and
+                # comments with '-'/'/' — both skipped, so a split
+                # never re-parses the middle of a statement another
+                # split owns. emit() keeps only INSERTs for our table,
+                # so non-INSERT statements fed here cost one scan and
+                # produce nothing.
+                if not line.lstrip()[:1].isalpha():
                     continue
                 # Quote-aware incremental split: a physical line may
                 # carry SEVERAL top-level statements (all are emitted,
-                # none dropped), and a statement may span MANY lines
-                # (read to its closing top-level ';', even past `end`).
+                # none dropped — including an INSERT that begins
+                # mid-line after a non-INSERT statement), and a
+                # statement may span MANY lines (read to its closing
+                # top-level ';', even past `end`).
                 sp = StatementSplitter()
                 stmts = sp.feed(line)
                 while sp.pending:

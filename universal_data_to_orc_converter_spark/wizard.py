@@ -12,9 +12,11 @@ Differences, both deliberate:
 * the MySQL password is read with ``getpass`` (the reference's
   ``read -s``) and never echoed or placed in argv (sh:537 passes it on
   the command line);
-* "Parallel workers" is accepted for parity but Spark schedules
-  partitions itself — the answer maps to the JDBC read's
-  ``num_partitions`` and is otherwise informational.
+* "Parallel workers" maps to the JDBC read's ``num_partitions`` on
+  the MySQL path (range-partitioned tables read with that many
+  concurrent queries); the dump/CSV paths have no worker knob —
+  Spark schedules their file splits itself, so the answer is
+  accepted for parity and unused there.
 
 Testable by construction: prompts go through ``ask``/``say``
 callables, so tests drive the full flow expect-style with string
@@ -124,7 +126,12 @@ def run_wizard(
             params["password"],
         )
         written = convert_mysql(
-            spark, cfg, out_dir, params["tables"], compression
+            spark,
+            cfg,
+            out_dir,
+            params["tables"],
+            compression,
+            num_partitions=workers,
         )
     elif dtype == "2":
         from .converter import convert_sql_dump
@@ -144,6 +151,5 @@ def run_wizard(
             infer_schema=params["infer"],
             compression=compression,
         )
-    del workers  # parity-only prompt: Spark schedules its own tasks
     say(json.dumps({"tables": written}))
     return 0
