@@ -360,3 +360,48 @@ def op_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("c_nationkey", F.col("c_mktsegment").alias("mode_segment"))
     )
+
+
+@query(
+    "op_agg_salted_twophase",
+    oracle=f"""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               {sql_dsum("o_totalprice", "total_price")}
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    notes="Explicit two-phase (salted) aggregation: partial sums per "
+    "(key, salt) then a final merge per key — the oracle is the plain "
+    "GROUP BY, proving the salted plan is semantically transparent. "
+    "Because the partials are exact fixed-point integers, regrouping "
+    "is lossless (a double partial sum would NOT be).",
+    tags=("agg", "skew"),
+)
+def op_agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof aggregation for hot keys: salt the key into 16
+    subgroups, aggregate, then merge the partials.
+
+    Scale posture: with a pathological key distribution (one status
+    holding 90% of rows), a plain groupBy sends the hot key's entire
+    volume to one reducer; salting bounds any reducer at 1/16 of the
+    hot key. Spark's own partial aggregation usually makes this moot —
+    this operator is the explicit form for aggregates where map-side
+    combine is disabled (e.g. collect_list-class) or where AQE skew
+    handling doesn't apply (it only splits JOIN partitions)."""
+    o = load(spark, sf_dir, "orders")
+    scaled = F.floor(F.col("o_totalprice") * 1_000_000 + F.lit(0.5)).cast(
+        "decimal(18,0)"
+    )
+    partial = (
+        o.withColumn("salt", F.pmod(F.col("o_orderkey"), F.lit(16)))
+        .groupBy("o_orderstatus", "salt")
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum(scaled).alias("ps"),
+        )
+    )
+    return partial.groupBy("o_orderstatus").agg(
+        F.sum("pn").alias("n_orders"),
+        (F.sum("ps").cast("double") / 1_000_000.0).alias("total_price"),
+    )

@@ -614,3 +614,100 @@ def op_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "doc_b", "split_a", "split_b")
     )
+
+
+@query(
+    "op_cluster_representative",
+    oracle="""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(
+                   CASE WHEN len(t) >= 3
+                        THEN list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                        ELSE [array_to_string(t, ' ')]
+                   END) AS s
+          FROM toks
+        ),
+        ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT c.doc_a, c.doc_b
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b
+          WHERE CAST(c.n_shared AS DOUBLE)
+                    / (len(sa.s) + len(sb.s) - c.n_shared) >= 0.7
+        ),
+        edges AS (
+          SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ),
+        memb AS (
+          SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+          FROM reach GROUP BY u
+        ),
+        ranked AS (
+          SELECT m.cluster_id, m.doc_id, d.n_chars,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY m.cluster_id
+                   ORDER BY d.n_chars DESC, m.doc_id ASC
+                 ) AS rk,
+                 COUNT(*) OVER (PARTITION BY m.cluster_id) AS n_members
+          FROM memb m JOIN documents d ON m.doc_id = d.doc_id
+        )
+        SELECT cluster_id,
+               doc_id AS rep_doc_id,
+               CAST(n_chars AS BIGINT) AS rep_chars,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM ranked WHERE rk = 1
+    """,
+    notes="Canonical-document selection per near-dup cluster: keep the "
+    "LONGEST member (ties to lowest doc_id) instead of the arbitrary "
+    "min-id keeper — the policy real dedup pipelines want (the longest "
+    "near-duplicate usually dominates its truncations). Builds on the "
+    "op_dedup_clusters fixpoint; the oracle re-derives the clusters "
+    "via the recursive CTE and applies the same integer ordering.",
+    tags=("dedup", "text"),
+)
+def op_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pick one representative per near-duplicate cluster by content
+    quality (longest text, deterministic tiebreak).
+
+    Scale posture: the cluster table is pair-graph-sized (tiny vs the
+    corpus); the documents join brings only n_chars; the per-cluster
+    pick is a WindowGroupLimit over groups whose size is bounded by
+    near-dup cluster size (single digits in practice)."""
+    from pyspark.sql import Window as W
+
+    labels = op_dedup_clusters(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        labels.join(d, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(W.partitionBy("cluster_id")))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_chars").cast("bigint").alias("rep_chars"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+    )

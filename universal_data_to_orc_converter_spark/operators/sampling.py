@@ -1,0 +1,172 @@
+"""Deterministic sampling, domain mixing, and shard assignment — the
+dataset-construction stage of a training-data pipeline.
+
+After filtering and dedup, a corpus is (a) rebalanced across domains
+(per-language / per-source sampling rates), (b) assigned mixture
+weights, and (c) written out as fixed-count shards. All three are
+expressed with pure integer arithmetic on the document key so the
+DuckDB oracle reproduces them bit-for-bit — no RNG: a Knuth
+multiplicative hash of ``doc_id`` stands in for the uniform draw,
+which also makes every sample reproducible across runs and engines
+(the property an actual training pipeline wants from its sampler).
+
+Scale posture: each op is one small aggregate (per-domain counts —
+dozens of rows) broadcast back over a scan-speed map stage; nothing
+shuffles the corpus itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+#: Knuth multiplicative hash constant (2^32 / phi) and modulus. The
+#: product doc_id * KNUTH stays under 2^63 for doc_id < ~3.5e9; for
+#: larger id spaces swap in xxhash64 (rows-only — Spark and DuckDB
+#: don't share a 64-bit hash), or pre-fold the id with a modulus.
+_KNUTH = 2654435761
+_MOD = 1_000_000
+
+#: per-language target: keep at most this many documents per lang
+_TARGET_PER_LANG = 60
+
+
+def _selector() -> F.Column:
+    """Uniform-looking deterministic draw in [0, 1_000_000)."""
+    return F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(_MOD))
+
+
+_SQL_SELECTOR = f"((doc_id * {_KNUTH}) % {_MOD} + {_MOD}) % {_MOD}"
+
+
+@query(
+    "op_stratified_sample",
+    oracle=f"""
+        WITH counts AS (
+          SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN counts c ON d.lang = c.lang
+        WHERE {_SQL_SELECTOR}
+              < {_MOD}.0 * LEAST(1.0, {_TARGET_PER_LANG}.0 / c.n_lang)
+    """,
+    notes="Deterministic stratified downsampling: per-language keep "
+    "rate = min(1, target/n), applied via a Knuth multiplicative hash "
+    "of doc_id — reproducible across engines and runs, unlike "
+    "rand()-based sampling. The rate table is a tiny aggregate "
+    "broadcast into a scan-speed filter.",
+    tags=("sampling", "text"),
+)
+def op_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance a corpus by capping each language stratum at a target
+    count, keeping a deterministic pseudo-uniform subset.
+
+    Scale posture: counts is |languages| rows → broadcast; the corpus
+    is filtered in place, never shuffled."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    rate = F.least(
+        F.lit(1.0), F.lit(float(_TARGET_PER_LANG)) / F.col("n_lang")
+    )
+    return (
+        d.join(F.broadcast(counts), "lang")
+        .filter(_selector() < F.lit(float(_MOD)) * rate)
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "op_domain_mixture",
+    oracle="""
+        WITH counts AS (
+          SELECT lang, COUNT(*) AS n_docs,
+                 CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          FROM documents GROUP BY lang
+        ),
+        tot AS (
+          SELECT COUNT(*) AS n_langs,
+                 CAST(SUM(n_docs) AS BIGINT) AS n_total
+          FROM counts
+        )
+        SELECT c.lang, c.n_docs, c.total_chars,
+               CAST(c.n_docs AS DOUBLE) / t.n_total AS actual_frac,
+               1.0 / t.n_langs AS target_frac,
+               (1.0 / t.n_langs)
+                   / (CAST(c.n_docs AS DOUBLE) / t.n_total) AS weight
+        FROM counts c CROSS JOIN tot t
+    """,
+    notes="Domain-mixture weighting: per-language document/char "
+    "counts, actual vs uniform target proportions, and the sampling "
+    "weight (target/actual) a data loader would apply per domain. "
+    "Integer counts + one double division chain, written identically "
+    "on both sides.",
+    tags=("sampling", "agg", "text"),
+)
+def op_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compute per-domain mixture weights toward a uniform target —
+    the table that drives weighted interleaving of training domains.
+
+    Scale posture: one per-domain aggregate (dozens of rows), one
+    single-row total, both broadcast — corpus scanned once."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    tot = counts.agg(
+        F.count("*").alias("n_langs"),
+        F.sum("n_docs").alias("n_total"),
+    )
+    actual = F.col("n_docs").cast("double") / F.col("n_total")
+    target = F.lit(1.0) / F.col("n_langs")
+    return counts.join(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "total_chars",
+        actual.alias("actual_frac"),
+        target.alias("target_frac"),
+        (target / actual).alias("weight"),
+    )
+
+
+@query(
+    "op_shard_assign",
+    oracle=f"""
+        SELECT ((doc_id * {_KNUTH}) % 64 + 64) % 64 AS shard_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
+               MIN(doc_id) AS min_doc,
+               MAX(doc_id) AS max_doc
+        FROM documents
+        GROUP BY 1
+    """,
+    notes="Training-shard assignment: hash-distribute documents over "
+    "64 output shards and report per-shard row/char balance — the "
+    "manifest a shard writer (df.write.partitionBy('shard_id')) "
+    "produces. Hashing (not doc_id ranges) keeps shards balanced "
+    "when ids are clustered by source.",
+    tags=("sampling", "io"),
+)
+def op_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard ids + balance audit for sharded output.
+
+    Scale posture: one groupBy over 64 keys (map-side partials make
+    the shuffle 64 rows per task); the actual shard WRITE would use
+    the same expression as a partition column, giving 64 parallel
+    writers with no skew."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.withColumn(
+            "shard_id", F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(64))
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("shard_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

@@ -1,0 +1,131 @@
+"""Subquery-shaped queries — scalar and correlated decorrelation.
+
+The reference's query surface (README:194-218) is flat SELECTs over
+converted ORC, but any SQL engine a reference user migrates toward
+(Presto in its own examples) runs subqueries; these two are the
+canonical decorrelation shapes, written the way Catalyst wants them:
+a scalar subquery becomes a broadcast of a 1-row aggregate, a
+correlated aggregate subquery becomes a group-agg joined back on the
+correlation key. Semi/anti (IN / EXISTS) shapes live in
+operators/joins.py.
+
+Exactness: every average is the exact fixed-point sum divided by the
+count (see exprs.py) so the filter threshold is bit-identical across
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..exprs import dsum, sql_dsum
+from ..registry import query
+
+#: exact average as a SQL fragment (no alias — used inline)
+_SQL_AVG_TOTALPRICE = (
+    "CAST(SUM(CAST(FLOOR(o_totalprice * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)"
+    " / 1000000.0 / COUNT(o_totalprice)"
+)
+_SQL_AVG_QTY = (
+    "CAST(SUM(CAST(FLOOR(l_quantity * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)"
+    " / 1000000.0 / COUNT(l_quantity)"
+)
+
+
+@query(
+    "op_subquery_scalar",
+    oracle=f"""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_above,
+               {sql_dsum("o_totalprice", "revenue_above")}
+        FROM orders
+        WHERE o_totalprice > (SELECT {_SQL_AVG_TOTALPRICE} FROM orders)
+        GROUP BY o_orderstatus
+    """,
+    notes="Scalar subquery (orders above the global average price), "
+    "decorrelated to a 1-row aggregate broadcast-joined into the "
+    "filter — the plan Catalyst produces for an uncorrelated scalar "
+    "subquery. The average goes through the exact fixed-point sum so "
+    "the threshold is bit-identical across engines.",
+    tags=("subquery", "filter", "agg"),
+)
+def op_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE x > (SELECT AVG(x) FROM t) as a broadcast of one row.
+
+    Scale posture: the subquery side is a full-table aggregate that
+    reduces to ONE row (map-side partials, single final row) and then
+    broadcasts; the outer side is a scan+filter with no shuffle."""
+    o = load(spark, sf_dir, "orders")
+    threshold = o.agg(
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 1_000_000 + F.lit(0.5)).cast("decimal(18,0)"))
+            .cast("double")
+            / 1_000_000.0
+            / F.count("o_totalprice")
+        ).alias("avg_price")
+    )
+    return (
+        o.join(F.broadcast(threshold))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_above"),
+            dsum(F.col("o_totalprice"), "revenue_above"),
+        )
+    )
+
+
+@query(
+    "op_subquery_correlated",
+    oracle=f"""
+        WITH per_part AS (
+          SELECT l_partkey, {_SQL_AVG_QTY} AS avg_qty
+          FROM lineitem
+          GROUP BY l_partkey
+        )
+        SELECT p.p_brand,
+               COUNT(*) AS n_small,
+               {sql_dsum("l.l_extendedprice", "small_revenue")}
+        FROM lineitem l
+        JOIN per_part a ON l.l_partkey = a.l_partkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_quantity < 0.2 * a.avg_qty
+        GROUP BY p.p_brand
+    """,
+    notes="Correlated aggregate subquery (TPC-H Q17 shape: lineitems "
+    "below 20% of their part's average quantity), decorrelated to a "
+    "per-key aggregate joined back on the correlation key — the "
+    "standard rewrite every optimizer applies. Exact fixed-point "
+    "averages keep the 0.2*avg threshold bit-identical.",
+    tags=("subquery", "join", "agg"),
+)
+def op_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE qty < 0.2 * (SELECT AVG(qty) ... WHERE same part) via
+    group-agg + self-join.
+
+    Scale posture: the per-part aggregate is ~|part| rows (partial
+    aggregation map-side); the join back to lineitem shuffles both
+    sides on l_partkey ONCE and AQE flips it to broadcast when the
+    aggregate side fits. part (the dimension) broadcasts."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    per_part = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.floor(F.col("l_quantity") * 1_000_000 + F.lit(0.5)).cast("decimal(18,0)"))
+            .cast("double")
+            / 1_000_000.0
+            / F.count("l_quantity")
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_small"),
+            dsum(F.col("l_extendedprice"), "small_revenue"),
+        )
+    )

@@ -723,3 +723,84 @@ def op_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_phones"),
         F.regexp_replace(after_email, _PHONE_RE, "<PHONE>").alias("redacted"),
     )
+
+
+@query(
+    "op_tfidf_topterms",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, unnest(t) AS term FROM toks
+        ),
+        tfc AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM tf GROUP BY doc_id, term
+        ),
+        df AS (
+          SELECT term, COUNT(DISTINCT doc_id) AS df FROM tfc GROUP BY term
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT c.doc_id, c.term,
+                 CAST(c.tf AS BIGINT) AS tf,
+                 CAST(d.df AS BIGINT) AS df,
+                 CAST(c.tf * n.n_docs AS DOUBLE) / d.df AS score,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY c.doc_id
+                   ORDER BY CAST(c.tf * n.n_docs AS DOUBLE) / d.df DESC,
+                            c.term ASC
+                 ) AS rk
+          FROM tfc c JOIN df d ON c.term = d.term CROSS JOIN n
+          WHERE c.doc_id < 100
+        )
+        SELECT doc_id, term, tf, df, score
+        FROM scored WHERE rk <= 3
+    """,
+    notes="TF-IDF-style term salience (rational form tf*N/df — no "
+    "log, so the score is one exact integer product and one double "
+    "division, bit-identical across engines), top-3 terms per doc "
+    "with a total-order tiebreak. Restricted to doc_id < 100 to "
+    "bound gate output; the pipeline is unbounded.",
+    tags=("text",),
+)
+def op_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most distinctive terms per document by tf·N/df.
+
+    Scale posture: tf is a map-side-combinable count over
+    (doc_id, term); df is a second small aggregate over terms that
+    joins back BROADCAST (vocabulary ≪ corpus); top-3 per doc runs as
+    a WindowGroupLimit below the exchange, so ≤3 rows per doc leave
+    each task."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()  # driver-side scalar: one count, reused as a literal
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    score = (F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")
+    w = W.partitionBy("doc_id").orderBy(
+        score.desc(), F.col("term").asc()
+    )
+    return (
+        tf.filter(F.col("doc_id") < 100)
+        .join(F.broadcast(df), "term")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            score.alias("score"),
+        )
+    )

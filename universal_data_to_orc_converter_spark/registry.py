@@ -156,9 +156,11 @@ def load_all_queries() -> dict[str, QuerySpec]:
         joins,
         multimodal,
         relational,
+        sampling,
         setops,
         similarity,
         sorts,
+        subqueries,
         text,
         udfs,
         windows,
