@@ -114,3 +114,16 @@ def test_orc_readback_pushes_filters(spark, tmp_path):
     assert "PushedFilters" in plan and "o_totalprice" in plan.split(
         "PushedFilters"
     )[1].split("]")[0], plan
+
+
+def test_bloom_join_injects_runtime_filter(spark):
+    """op_join_bloom's whole point: Catalyst's InjectRuntimeFilter
+    plants a bloom_filter_agg on the selective orders side and a
+    might_contain() predicate on lineitem's scan side, pruning fact
+    rows before the join shuffle. Also: the temporary confs the op
+    sets at plan time must be restored afterwards."""
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    df = q("op_join_bloom", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in plan and "bloom_filter_agg" in plan, plan[:2000]
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before

@@ -419,3 +419,116 @@ def op_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("cust_a", "cust_b")
     )
+
+
+@query(
+    "op_join_bloom",
+    oracle=f"""
+        SELECT o.o_orderpriority,
+               COUNT(*) AS n_items,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F' AND o.o_totalprice > 150000
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """,
+    notes="Runtime bloom-filter join pruning: Catalyst's "
+    "InjectRuntimeFilter plants bloom_filter_agg over the selective "
+    "orders side and a might_contain() filter on lineitem's scan side, "
+    "so non-matching fact rows die before the shuffle. Bloom false "
+    "positives are removed by the exact join that follows — the result "
+    "is exact, hence the full SQL oracle. Plan shape asserted in "
+    "tests/test_plans.py.",
+    tags=("join", "scale"),
+)
+def op_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact join with a runtime bloom filter pruning the big side.
+
+    At 100 TB neither lineitem nor filtered orders broadcasts; the win
+    is dropping ~2/3 of lineitem BEFORE its shuffle for the sort-merge
+    join, at the cost of one 1 MB bloom broadcast. Locally the
+    injection thresholds are lowered (the fixture scan is tiny) and
+    broadcast is disabled for THIS plan only — the physical plan is
+    materialized under the temporary confs and cached on the returned
+    DataFrame, then the session confs are restored, so sibling queries
+    keep their dimension broadcasts. On a real cluster the only conf
+    that matters is `runtime.bloomFilter.enabled` (default true) —
+    orders at 10 TB trips the default thresholds by itself.
+    """
+    tmp = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tmp}
+    for k, v in tmp.items():
+        spark.conf.set(k, v)
+    try:
+        li = load(spark, sf_dir, "lineitem")
+        o = load(spark, sf_dir, "orders").filter(
+            (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000)
+        )
+        out = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_items"),
+                dsum(revenue(), "revenue"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        # Materialize (and cache) the physical plan while the confs are
+        # active; .collect() later reuses it.
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+@query(
+    "op_tpch_q3_shipping_priority",
+    oracle=f"""
+        SELECT l.l_orderkey,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+               o.o_orderdate,
+               o.o_orderpriority
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+          AND l.l_shipdate  > TIMESTAMP '1997-01-01'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+        LIMIT 10
+    """,
+    notes="TPC-H Q3 shape (shipping priority): selective dim filter -> "
+    "two joins -> group -> global top-10 by revenue. Total order via "
+    "(revenue, o_orderdate, l_orderkey) tiebreak so both engines pick "
+    "identical rows. customer broadcasts; lineitem never shuffles "
+    "until the aggregate.",
+    tags=("join", "agg", "composite"),
+)
+def op_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite query: the classic 'unshipped orders by revenue'."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue(), "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
