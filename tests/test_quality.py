@@ -254,3 +254,38 @@ def test_ivfpq_recall_vs_exact_scoring_same_cells(spark):
     assert ivf, "IVF baseline should return results"
     recall = len(ivf & pq) / len(ivf)
     assert recall >= 0.8, f"IVF-PQ recall {recall:.2f} vs exact-scoring IVF"
+
+
+def test_approx_quantile_within_gk_bound(spark):
+    """Every approx_percentile(accuracy=1e4) value must be an actual
+    element whose RANK sits within ±n/accuracy of the target rank —
+    the Greenwald-Khanna guarantee, checked against the exact sorted
+    values per group."""
+    from .conftest import SF_DIR
+
+    rows = {
+        r["o_orderstatus"]: r
+        for r in q("op_agg_approx_quantile", spark).collect()
+    }
+    from universal_data_to_orc_converter_spark.catalog import load
+
+    o = load(spark, SF_DIR, "orders").select("o_orderstatus", "o_totalprice")
+    import collections
+
+    vals = collections.defaultdict(list)
+    for r in o.collect():
+        vals[r["o_orderstatus"]].append(r["o_totalprice"])
+    for status, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        eps = n / 10000 + 1
+        for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            got = rows[status][col]
+            import bisect
+
+            lo = bisect.bisect_left(xs, got)
+            hi = bisect.bisect_right(xs, got) - 1
+            target = p * n
+            assert lo - eps <= target <= hi + eps + 1, (
+                status, p, got, lo, hi, target
+            )

@@ -405,3 +405,28 @@ def op_agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_orders"),
         (F.sum("ps").cast("double") / 1_000_000.0).alias("total_price"),
     )
+
+
+@query(
+    "op_agg_approx_quantile",
+    oracle=None,
+    notes="approx_percentile (Greenwald-Khanna sketch, accuracy 1e4) "
+    "per order status — the unbounded-cardinality sibling of "
+    "op_agg_percentile's exact interpolation. No SQL oracle (DuckDB's "
+    "approx_quantile uses t-digest, a different sketch); instead "
+    "tests/test_quality.py asserts every approx value sits within the "
+    "GK rank-error bound of the exact percentile, and the driver's "
+    "rows-only check asserts run-to-run determinism (GK merge is "
+    "deterministic for a fixed partitioning).",
+    tags=("agg", "approx"),
+)
+def op_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles: the 100 TB path where exact
+    percentile's per-group sort is unaffordable."""
+    o = load(spark, sf_dir, "orders")
+    acc = 10000
+    return o.groupBy("o_orderstatus").agg(
+        F.expr(f"approx_percentile(o_totalprice, 0.5, {acc})").alias("p50"),
+        F.expr(f"approx_percentile(o_totalprice, 0.9, {acc})").alias("p90"),
+        F.expr(f"approx_percentile(o_totalprice, 0.99, {acc})").alias("p99"),
+    )

@@ -194,3 +194,37 @@ def op_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("o_totalprice"))
         .alias("o_totalprice"),
     )
+
+
+@query(
+    "op_jsonl_roundtrip",
+    oracle="""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS total_chars,
+               CAST(MAX(length(text)) AS BIGINT) AS max_len
+        FROM documents
+        GROUP BY lang
+    """,
+    notes="JSONL sink+source round-trip: documents -> newline-"
+    "delimited JSON (the interchange format every scraping/annotation "
+    "pipeline speaks) -> read back with an EXPLICIT schema (inference "
+    "would cost a second full scan at 100 TB) -> aggregate. The "
+    "oracle aggregates the original table directly, so any "
+    "encode/decode asymmetry (escaping, unicode, nulls) breaks the "
+    "hash. Reference parity: the converter's any-format-in -> "
+    "columnar-out contract (data_to_orc_converter.sh:176-295), here "
+    "with JSON as the 'any' format.",
+    tags=("io",),
+)
+def op_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents as JSONL, read back, aggregate per lang."""
+    d = load(spark, sf_dir, "documents")
+    out = os.path.join(_scratch("jsonl_rt_"), "documents")
+    d.write.mode("overwrite").json(out)
+    back = spark.read.schema(d.schema).json(out)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.max(F.length("text")).cast("bigint").alias("max_len"),
+    )

@@ -107,3 +107,46 @@ def op_filter_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     ).select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+
+
+@query(
+    "op_unpivot",
+    oracle="""
+        SELECT metric, COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(val * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1000000.0 AS total
+        FROM (
+          SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+          UNION ALL
+          SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+          UNION ALL
+          SELECT 'l_discount', l_discount FROM lineitem
+          UNION ALL
+          SELECT 'l_tax', l_tax FROM lineitem
+        )
+        GROUP BY metric
+    """,
+    notes="Wide->long unpivot (melt) of lineitem's four measures, "
+    "aggregated per metric. Spark's native unpivot is a zero-shuffle "
+    "projection (each input row emits 4 rows in the scan stage); only "
+    "the 4-group aggregate exchanges. The UNION ALL oracle is the "
+    "ANSI-SQL equivalent.",
+    tags=("relational",),
+)
+def op_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt lineitem measures to (metric, value) and summarize."""
+    li = load(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return long.groupBy("metric").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.floor(F.col("val") * 1000000 + F.lit(0.5)).cast("decimal(18,0)"))
+            .cast("double")
+            / 1000000.0
+        ).alias("total"),
+    )

@@ -804,3 +804,55 @@ def op_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             score.alias("score"),
         )
     )
+
+
+@query(
+    "op_heavy_hitters",
+    oracle="""
+        SELECT tok, n FROM (
+          SELECT u.tok AS tok, COUNT(*) AS n,
+                 ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, u.tok) AS rn
+          FROM documents,
+               LATERAL unnest(list_filter(string_split(lower(text), ' '),
+                                          x -> x <> '')) AS u(tok)
+          GROUP BY u.tok
+        ) WHERE rn <= 10
+    """,
+    notes="Heavy hitters via two-pass candidate generation + exact "
+    "recount — the shape that beats op_token_topk's full token shuffle "
+    "when vocabulary is huge: pass 1 keeps a per-input-partition "
+    "Counter (Arrow-batched, zero shuffle) and emits only each "
+    "partition's local top-64; pass 2 broadcast-semi-joins the tiny "
+    "candidate set back and recounts exactly, so only candidate "
+    "tokens ever shuffle. Exact as long as every true global top-10 "
+    "token is a local top-64 somewhere — guaranteed for Zipfian text "
+    "where head tokens dominate every split (asserted vs the exact "
+    "oracle).",
+    tags=("text", "scale"),
+)
+def op_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 corpus tokens without shuffling the full vocabulary."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+
+    local_m = 64
+
+    def local_top(batches):
+        from collections import Counter
+
+        c: Counter = Counter()
+        for pdf in batches:
+            c.update(pdf["tok"])
+        if c:
+            head = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:local_m]
+            yield pd.DataFrame({"tok": [t for t, _ in head]})
+
+    cand = toks.mapInPandas(local_top, "tok string").distinct()
+    exact = (
+        toks.join(F.broadcast(cand), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    return exact.orderBy(F.desc("n"), "tok").limit(10)

@@ -105,6 +105,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "op_retention_cohorts",
     "op_stream_interval_join",
     # (a) never driver-verified: new in round 3
+    "op_join_bloom",
+    "op_heavy_hitters",
+    "op_time_gapfill",
     "op_subquery_scalar",
     "op_subquery_correlated",
     "op_stratified_sample",
@@ -121,12 +124,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "op_orc_partitioned_scan",  # scratch-dir reuse
     # (c) stalest: last verified in round 1
     "op_join_asof",
-    "op_join_salted",
     "op_join_multiway",
     "op_join_range_bucketized",
     "op_agg_percentile",
     "op_agg_stats",
-    "op_agg_mode",
     "op_dedup_exact",
     "op_dedup_clusters",
     "op_split_contamination",
@@ -137,7 +138,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "op_multimodal_frames",
     "op_cdc_merge",
     "op_filter_date",
-    "op_topk",
 )
 
 

@@ -497,3 +497,75 @@ def op_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("event_type") == "view"),
         e.filter(F.col("event_type") == "purchase"),
     )
+
+
+@query(
+    "op_time_gapfill",
+    oracle="""
+        WITH bounds AS (
+          SELECT CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS lo,
+                 CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP) AS hi
+          FROM events
+        ),
+        cal AS (
+          SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+          FROM bounds
+        ),
+        types AS (SELECT DISTINCT event_type FROM events),
+        counts AS (
+          SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 event_type, COUNT(*) AS n,
+                 CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 1000000.0 AS sum_value
+          FROM events GROUP BY 1, 2
+        )
+        SELECT t.event_type, c.day,
+               COALESCE(x.n, 0) AS n,
+               COALESCE(x.sum_value, 0.0) AS sum_value
+        FROM types t
+        CROSS JOIN cal c
+        LEFT JOIN counts x ON x.event_type = t.event_type AND x.day = c.day
+    """,
+    notes="Hypertable-style gap filling: the dense (event_type x day) "
+    "grid with zero-filled missing days. The calendar is generated "
+    "from the global [min,max] day via sequence()+explode (two tiny "
+    "single-row aggregates broadcast into a cross join, never a "
+    "driver-side loop), so a 10-year 100 TB table still builds its "
+    "calendar distributed. DuckDB generate_series is the oracle "
+    "equivalent.",
+    tags=("streaming", "timeseries"),
+)
+def op_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled daily counts per event type over the full span."""
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    counts = e.groupBy(
+        day.alias("day"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("decimal(18,0)"))
+            .cast("double")
+            / 1000000.0
+        ).alias("sum_value"),
+    )
+    bounds = e.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    cal = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    types = e.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(cal))
+    return (
+        grid.join(counts, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+    )
