@@ -121,3 +121,51 @@ def test_wizard_missing_dump_errors(spark, tmp_path):
             ask_secret=lambda p: "",
             say=lambda s: None,
         )
+
+
+def test_wizard_answers_file_replay(spark, tmp_path, capsys):
+    """--answers-file replays a recorded session: same prompts, no TTY.
+    Blank lines take defaults, # lines are comments, and a truncated
+    file fails loudly naming the unanswered prompt."""
+    from universal_data_to_orc_converter_spark.wizard import (
+        WizardError,
+        answers_from_file,
+        run_wizard,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "users.csv").write_text("id,name\n1,ann\n2,bo\n")
+    out = tmp_path / "orc"
+    af = tmp_path / "answers.txt"
+    af.write_text(
+        "# recorded wizard session: CSV path, defaults for the rest\n"
+        "3\n"
+        f"{src}\n"
+        "\n"   # delimiter -> default ','
+        "\n"   # header -> default yes
+        "\n"   # infer -> default yes
+        f"{out}\n"
+        "\n"   # compression -> snappy
+        "\n"   # workers -> 4
+    )
+    lines = []
+    ask = answers_from_file(str(af))
+    rc = run_wizard(spark, ask=ask, ask_secret=ask, say=lines.append)
+    assert rc == 0
+    payload = json.loads(lines[-1])
+    assert "users" in payload["tables"]
+    assert list(out.glob("users/*.orc"))
+
+    # truncated file -> loud failure naming the prompt
+    af2 = tmp_path / "short.txt"
+    af2.write_text("3\n")
+    import pytest
+
+    with pytest.raises(WizardError, match="exhausted at prompt"):
+        run_wizard(
+            spark,
+            ask=answers_from_file(str(af2)),
+            ask_secret=lambda p: "",
+            say=lines.append,
+        )

@@ -46,9 +46,15 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--tables", default=None, help="comma list (default all)")
     d.add_argument("--compression", default="snappy")
 
-    sub.add_parser(
+    w = sub.add_parser(
         "wizard",
         help="interactive prompt flow (reference data_to_orc_converter.sh parity)",
+    )
+    w.add_argument(
+        "--answers-file",
+        default=None,
+        help="replay wizard answers from a file (one per line, blank = "
+        "default, # = comment) instead of prompting a TTY",
     )
 
     m = sub.add_parser("mysql", help="MySQL database → ORC")
@@ -85,6 +91,13 @@ def _dispatch(args, spark, tables) -> int:
     if args.cmd == "wizard":
         from .wizard import run_wizard
 
+        if getattr(args, "answers_file", None):
+            from .wizard import answers_from_file
+
+            ask = answers_from_file(args.answers_file)
+            # secrets replay through the same file; fine for tests and
+            # CI fixtures, which is what an answers file is for.
+            return run_wizard(spark, ask=ask, ask_secret=ask)
         return run_wizard(spark)
     if args.cmd == "csv":
         from .converter import convert_csv

@@ -153,3 +153,27 @@ def run_wizard(
         )
     say(json.dumps({"tables": written}))
     return 0
+
+
+def answers_from_file(path: str) -> Callable[[str], str]:
+    """Build an ``ask`` callable replaying answers from a file.
+
+    Makes the wizard scriptable without a TTY: one answer per line, in
+    prompt order; blank lines mean "accept the default" (exactly what
+    pressing Enter does interactively); a ``#`` first column starts a
+    comment line, which is skipped. Exhausting the file raises
+    WizardError naming the unanswered prompt, so a truncated answers
+    file fails loudly instead of hanging."""
+    with open(path, encoding="utf-8") as fh:
+        answers = [ln.rstrip("\n") for ln in fh if not ln.startswith("#")]
+    it = iter(answers)
+
+    def ask(prompt: str) -> str:
+        try:
+            return next(it)
+        except StopIteration:
+            raise WizardError(
+                f"answers file {path!r} exhausted at prompt: {prompt!r}"
+            ) from None
+
+    return ask
