@@ -289,3 +289,53 @@ def test_approx_quantile_within_gk_bound(spark):
             assert lo - eps <= target <= hi + eps + 1, (
                 status, p, got, lo, hi, target
             )
+
+
+def test_bm25_matches_pure_python_reference(spark):
+    """Recompute every returned BM25 score in pure Python from the raw
+    corpus with the identical formula; Spark must agree to 1e-9. The
+    sum over (few) terms is the only non-associative step, so the
+    tolerance absorbs ordering."""
+    import math
+    from collections import Counter
+
+    from universal_data_to_orc_converter_spark.catalog import load
+    from universal_data_to_orc_converter_spark.operators.text import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY_TERMS,
+    )
+
+    from .conftest import SF_DIR
+
+    docs = {
+        r["doc_id"]: [t for t in r["text"].lower().split() if t]
+        for r in load(spark, SF_DIR, "documents").collect()
+    }
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    df = Counter(
+        term
+        for toks in docs.values()
+        for term in set(toks) & set(BM25_QUERY_TERMS)
+    )
+
+    def score(toks):
+        tf = Counter(t for t in toks if t in BM25_QUERY_TERMS)
+        s = 0.0
+        for term, f in tf.items():
+            idf = math.log((n - df[term] + 0.5) / (df[term] + 0.5) + 1.0)
+            s += idf * (f * (BM25_K1 + 1.0)) / (
+                f + BM25_K1 * (1.0 - BM25_B + BM25_B * len(toks) / avgdl)
+            )
+        return s
+
+    got = q("op_bm25", spark).collect()
+    assert len(got) == 20
+    expect = sorted(
+        ((score(t), -i) for i, t in docs.items() if score(t) > 0),
+        reverse=True,
+    )[:20]
+    for row, (es, nid) in zip(got, expect):
+        assert row["doc_id"] == -nid
+        assert abs(row["score"] - es) < 1e-9, (row, es)

@@ -430,3 +430,106 @@ def op_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"approx_percentile(o_totalprice, 0.9, {acc})").alias("p90"),
         F.expr(f"approx_percentile(o_totalprice, 0.99, {acc})").alias("p99"),
     )
+
+
+@query(
+    "op_histogram",
+    oracle="""
+        WITH b AS (
+          SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+          FROM orders
+        )
+        SELECT LEAST(CAST(FLOOR((o_totalprice - lo)
+                                / ((hi - lo) / 20.0)) AS BIGINT),
+                     19) AS bucket,
+               COUNT(*) AS n
+        FROM orders, b
+        GROUP BY 1
+    """,
+    notes="Equal-width 20-bucket histogram with data-driven bounds. "
+    "The [min,max] bounds come from a single-row aggregate cross-"
+    "joined back (broadcast) — never a driver-side collect — so the "
+    "two passes are two scans at 100 TB, both whole-stage-codegen "
+    "maps. Bucket arithmetic is identical double ops on both engines "
+    "(sub/div/floor are IEEE-exact), so the hash matches despite "
+    "float bounds.",
+    tags=("agg",),
+)
+def op_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution sketching: histogram of order totals."""
+    o = load(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor(
+                    (F.col("o_totalprice") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / 20.0)
+                ).cast("bigint"),
+                F.lit(19).cast("bigint"),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "op_zscore_anomaly",
+    oracle="""
+        WITH daily AS (
+          SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+          SELECT event_type,
+                 SUM(n) AS s, SUM(n * n) AS ss, COUNT(*) AS d
+          FROM daily GROUP BY event_type
+        )
+        SELECT daily.event_type, day, n,
+               (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / d)
+                 / sqrt((CAST(ss AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / d) / d)
+                 AS z
+        FROM daily JOIN stats ON daily.event_type = stats.event_type
+        WHERE ABS((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / d)
+                 / sqrt((CAST(ss AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / d) / d))
+              > 1.5
+    """,
+    notes="Volume-anomaly detection: daily event counts more than "
+    "1.5 population-sigma from their type's mean. Moments are exact "
+    "integer sums (never Welford/stddev builtins, which cross-engine "
+    "drift — see exprs.py); mean/sigma/z are then the same IEEE double "
+    "ops in the same order on both engines, so even the z values "
+    "hash-match. Two shuffles at scale: daily rollup, then a tiny "
+    "per-type stats broadcast join.",
+    tags=("agg", "timeseries"),
+)
+def op_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose event volume is anomalous for their event type."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+        F.count("*").alias("d"),
+    )
+    z = (F.col("n").cast("double") - F.col("s").cast("double") / F.col("d")) / F.sqrt(
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double") / F.col("d")
+        )
+        / F.col("d")
+    )
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select("event_type", "day", "n", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 1.5)
+    )

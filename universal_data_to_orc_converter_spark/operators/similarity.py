@@ -430,8 +430,11 @@ def op_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 lookup tables of 16 entries and scores candidates with gathers;
     only the ADC top-3k per query fetch their full vectors for the
     exact re-rank. Codebooks train on a bounded deterministic sample
-    (standard practice — Lloyd on the corpus would be a driver-side
-    collect of everything)."""
+    — deliberately NOT corpus-scale distributed KMeans: sampled
+    codebook training is the standard PQ recipe (a few hundred points
+    per centroid suffices; FAISS trains exactly this way), and the
+    encode pass that follows IS distributed, so corpus size only ever
+    touches the Arrow-batched encoder."""
     import numpy as np
     from pyspark.sql import Window as W
 

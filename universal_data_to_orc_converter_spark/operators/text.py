@@ -856,3 +856,84 @@ def op_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     return exact.orderBy(F.desc("n"), "tok").limit(10)
+
+
+#: BM25 constants and the fixed demo query — module-level so the
+#: pytest reference implementation scores with the identical inputs.
+BM25_K1, BM25_B = 1.2, 0.75
+BM25_QUERY_TERMS = ("data", "model", "training")
+
+
+@query(
+    "op_bm25",
+    oracle=None,
+    notes="BM25 retrieval scoring over the corpus for a fixed query. "
+    "All frequencies (tf, df, doc length, avgdl) are exact integer "
+    "aggregates; only the final idf/score arithmetic is floating "
+    "point, and it uses ln() whose last-ulp rounding is not "
+    "guaranteed identical across engines — hence rows-only for the "
+    "driver, with tests/test_quality.py recomputing every score in "
+    "pure Python (exact same formula) to 1e-9. Plan shape: one token "
+    "explode filtered to query terms (scan-stage map), tiny df/avgdl "
+    "aggregates broadcast back, top-20 via TakeOrdered.",
+    tags=("text", "similarity"),
+)
+def op_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 score for the fixed query terms."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    dl = d.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("dl")
+    )
+    n_docs = d.count()
+    avgdl_df = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl")
+    )
+
+    qterms = toks.filter(F.col("tok").isin(*BM25_QUERY_TERMS))
+    tf = qterms.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_ = qterms.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+        + 1.0
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(avgdl_df))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                idf
+                * (F.col("tf").cast("double") * (BM25_K1 + 1.0))
+                / (
+                    F.col("tf").cast("double")
+                    + BM25_K1
+                    * (
+                        1.0
+                        - BM25_B
+                        + BM25_B * (F.col("dl").cast("double") / F.col("avgdl"))
+                    )
+                )
+            ).alias("term_score"),
+        )
+        .groupBy("doc_id")
+        # Deterministic fold: a double SUM's merge order varies run to
+        # run (last-ulp drift); sorting the <=3 term structs first and
+        # folding sequentially makes the score bit-stable for the
+        # driver's run-twice determinism check.
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("tok", "term_score"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["term_score"],
+            ).alias("score")
+        )
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(20)
