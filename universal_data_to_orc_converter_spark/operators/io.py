@@ -201,7 +201,7 @@ def op_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT lang,
                COUNT(*) AS n_docs,
-               SUM(n_chars) AS total_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                CAST(MAX(length(text)) AS BIGINT) AS max_len
         FROM documents
         GROUP BY lang

@@ -122,10 +122,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "op_jdbc_roundtrip",   # scratch-dir reuse
     "op_orc_roundtrip",    # scratch-dir reuse
     "op_orc_partitioned_scan",  # scratch-dir reuse
-    # (c) stalest: last verified in round 1
+    # (c) stalest — plus op_sort, the freshest sorts-family rep,
+    # kept so every family stays inside the window
+    "op_sort",
     "op_join_asof",
     "op_join_multiway",
-    "op_join_range_bucketized",
     "op_agg_percentile",
     "op_agg_stats",
     "op_dedup_exact",
