@@ -127,3 +127,16 @@ def test_bloom_join_injects_runtime_filter(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "might_contain" in plan and "bloom_filter_agg" in plan, plan[:2000]
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+
+
+def test_bucketed_join_query_has_no_join_exchange(spark):
+    """op_join_bucketed's contract: with both sides bucketed on the
+    join key, no Exchange feeds the SortMergeJoin."""
+    df = q("op_join_bucketed", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    join_frag = plan[: plan.index("HashAggregate")] if "HashAggregate" in plan else plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning(l_orderkey" in line or (
+            "Exchange hashpartitioning(o_orderkey" in line
+        ):
+            raise AssertionError(f"join key shuffled despite bucketing: {line}")

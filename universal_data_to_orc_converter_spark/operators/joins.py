@@ -532,3 +532,47 @@ def op_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
     )
+
+
+@query(
+    "op_join_bucketed",
+    oracle=f"""
+        SELECT l.l_returnflag,
+               COUNT(*) AS n_items,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY l.l_returnflag
+    """,
+    notes="Co-located fact⋈fact join over BUCKETED ORC tables: both "
+    "sides are written bucketBy(8, orderkey), so the sort-merge join "
+    "runs with ZERO exchanges on the join key — at 100 TB this is the "
+    "single biggest shuffle the engine can eliminate (write once "
+    "bucketed, join forever free). Absence of the exchange is "
+    "asserted in tests/test_plans.py; the oracle is the identical "
+    "join over the raw parquet, so the bucketed write+read must also "
+    "be value-exact.",
+    tags=("join", "io", "scale"),
+)
+def op_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free sort-merge join via bucketed table co-location."""
+    from ..sinks.orc import write_orc_bucketed
+
+    li_t, o_t = "q_bucketed_lineitem", "q_bucketed_orders"
+    write_orc_bucketed(
+        load(spark, sf_dir, "lineitem"), li_t, "l_orderkey", n_buckets=8,
+        sort_col="l_orderkey",
+    )
+    write_orc_bucketed(
+        load(spark, sf_dir, "orders"), o_t, "o_orderkey", n_buckets=8,
+        sort_col="o_orderkey",
+    )
+    li, o = spark.table(li_t), spark.table(o_t)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum(revenue(), "revenue"),
+        )
+    )

@@ -107,6 +107,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) never driver-verified: new in round 3
     "op_join_bloom",
     "op_heavy_hitters",
+    "op_join_bucketed",
     "op_time_gapfill",
     "op_subquery_scalar",
     "op_subquery_correlated",
@@ -133,7 +134,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "op_dedup_clusters",
     "op_split_contamination",
     "op_intersect",
-    "op_union_mixed_schema",
     "op_sim_topk",
     "op_embedding_stats",
     "op_multimodal_frames",

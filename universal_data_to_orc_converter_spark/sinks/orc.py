@@ -27,6 +27,7 @@ sharing one connection (sh:259-264).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -74,6 +75,16 @@ def write_orc_bucketed(
     metadata). Two tables bucketed on their join key co-locate: the
     sort-merge join of op_join_shuffle loses BOTH exchanges, which at
     100 TB is the single biggest shuffle eliminated in the engine."""
+    # A managed-table location can survive from a previous session
+    # whose (in-memory) catalog is gone; saveAsTable then refuses with
+    # LOCATION_ALREADY_EXISTS. Drop the registration AND any orphan
+    # directory so the write is idempotent across sessions.
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc)
     writer = (
         df.write.mode("overwrite")
         .option("compression", compression)
