@@ -150,3 +150,45 @@ def op_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("total"),
     )
+
+
+#: One SQL text, two engines: op_sql_passthrough runs this EXACT string
+#: on Spark (over registered temp views) and on DuckDB (as the oracle).
+#: Staying inside the shared ANSI dialect — explicit casts, the
+#: fixed-point sum convention, total-order LIMIT — makes the engines
+#: bit-identical, which is the strongest possible parity statement for
+#: the reference's 'query the ORC output from any SQL engine' story
+#: (reference README.md:194-218).
+SQL_RETURNED_ITEMS = """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount))
+                               * 1000000 + 0.5) AS DECIMAL(18,0)))
+                AS DOUBLE) / 1000000.0 AS revenue,
+           COUNT(*) AS n_items
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+"""
+
+
+@query(
+    "op_sql_passthrough",
+    oracle=SQL_RETURNED_ITEMS,
+    notes="TPC-H Q10 shape (returned-item report) written ONCE as ANSI "
+    "SQL and executed verbatim by both engines: Spark runs the string "
+    "via spark.sql over registered views, DuckDB runs the identical "
+    "string as the oracle. Demonstrates the engine's SQL surface is a "
+    "first-class entry point, not just the DataFrame API.",
+    tags=("relational", "join", "sql"),
+)
+def op_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the shared SQL text through Spark's SQL entry point."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_RETURNED_ITEMS)

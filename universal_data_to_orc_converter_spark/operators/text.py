@@ -937,3 +937,82 @@ def op_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("score"), "doc_id").limit(20)
+
+
+@query(
+    "op_span_corruption",
+    oracle="""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '')
+                     AS toks
+          FROM documents
+        ),
+        b AS (
+          SELECT doc_id, toks,
+                 range(0, CAST(FLOOR((len(toks) + 2) / 3) AS BIGINT)) AS blocks
+          FROM t
+        )
+        SELECT doc_id,
+               array_to_string(
+                 list_transform(blocks, bi ->
+                   CASE WHEN ((doc_id * 131 + bi) * 2654435761) % 17 = 0
+                        THEN '<extra_id>'
+                        ELSE array_to_string(
+                               list_slice(toks, bi * 3 + 1, bi * 3 + 3), ' ')
+                   END),
+                 ' ') AS corrupted,
+               COALESCE(array_to_string(
+                 list_transform(
+                   list_filter(blocks, bi ->
+                     ((doc_id * 131 + bi) * 2654435761) % 17 = 0),
+                   bi -> array_to_string(
+                           list_slice(toks, bi * 3 + 1, bi * 3 + 3), ' ')),
+                 ' '), '') AS target,
+               CAST(len(list_filter(blocks, bi ->
+                     ((doc_id * 131 + bi) * 2654435761) % 17 = 0))
+                    AS INTEGER) AS n_masked
+        FROM b
+    """,
+    notes="T5-style span corruption for denoising-objective training "
+    "data: ~6% of 3-token blocks are masked to a sentinel, masked "
+    "spans become the target sequence. The mask is PURE integer "
+    "arithmetic on (doc_id, block) — no RNG, no engine hash "
+    "function — so the whole transformation is expressible in both "
+    "engines and hash-checked end-to-end (rare for an augmentation "
+    "op). Zero shuffle: one scan, all higher-order functions.",
+    tags=("text", "training"),
+)
+def op_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mask deterministic token spans; emit (corrupted, target)."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    nblocks = F.floor((F.size(toks) + 2) / 3).cast("bigint")
+    blocks = F.sequence(F.lit(0).cast("bigint"), nblocks - 1)
+
+    def masked(b):
+        return ((F.col("doc_id") * 131 + b) * F.lit(2654435761)) % 17 == 0
+
+    def block_text(t, b):
+        return F.concat_ws(" ", F.slice(t, (b * 3 + 1).cast("int"), 3))
+
+    with_toks = d.select("doc_id", toks.alias("t"), blocks.alias("bs"))
+    return with_toks.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                "bs",
+                lambda b: F.when(masked(b), F.lit("<extra_id>")).otherwise(
+                    block_text(F.col("t"), b)
+                ),
+            ),
+            " ",
+        ).alias("corrupted"),
+        F.array_join(
+            F.transform(
+                F.filter("bs", masked), lambda b: block_text(F.col("t"), b)
+            ),
+            " ",
+        ).alias("target"),
+        F.size(F.filter("bs", masked)).alias("n_masked"),
+    )
