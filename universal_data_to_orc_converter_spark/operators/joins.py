@@ -576,3 +576,101 @@ def op_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(revenue(), "revenue"),
         )
     )
+
+
+@query(
+    "op_tpch_q18_large_orders",
+    oracle="""
+        WITH big AS (
+          SELECT l_orderkey
+          FROM lineitem
+          GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS BIGINT)) > 150
+        )
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN big        ON o.o_orderkey = big.l_orderkey
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                 o.o_totalprice
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 50
+    """,
+    notes="TPC-H Q18 shape (large-volume orders): HAVING-filtered "
+    "aggregate as a semi-join reducer back onto the fact join. The "
+    "'big' subquery aggregates lineitem FIRST (map-side partial "
+    "sums), so the expensive 3-way join only ever sees qualifying "
+    "orderkeys — the aggregate-then-join ordering that matters at "
+    "100 TB. l_quantity sums as exact integers on both engines.",
+    tags=("join", "agg", "composite"),
+)
+def op_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: customers with orders totalling > 150 units."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "bk"),
+                F.col("l_orderkey") == F.col("bk"))
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(50)
+    )
+
+
+@query(
+    "op_latest_by_key",
+    oracle="""
+        SELECT user_id, ts AS last_ts, event_type AS last_type,
+               value AS last_value
+        FROM (
+          SELECT user_id, ts, event_type, value,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        )
+        WHERE rn = 1
+    """,
+    notes="Latest-record-per-key dedup (CDC 'last write wins' — the "
+    "op every ingestion pipeline runs before serving a snapshot). "
+    "row_number over (key ORDER BY ts DESC, event_id DESC) with the "
+    "unique event_id tiebreak so both engines pick the same row when "
+    "timestamps collide. Catalyst plans the rn=1 filter as "
+    "WindowGroupLimit: each task emits one row per key BEFORE the "
+    "exchange.",
+    tags=("join", "window", "dedup"),
+)
+def op_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot view: each user's most recent event."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+    )
+    return (
+        e.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
