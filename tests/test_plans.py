@@ -140,3 +140,12 @@ def test_bucketed_join_query_has_no_join_exchange(spark):
             "Exchange hashpartitioning(o_orderkey" in line
         ):
             raise AssertionError(f"join key shuffled despite bucketing: {line}")
+
+
+def test_latest_by_key_uses_window_group_limit(spark):
+    """op_latest_by_key's rn=1 must plan as WindowGroupLimit with a
+    Partial pass BELOW the exchange — each task ships one row per key,
+    so a hot key cannot inflate the shuffle."""
+    df = q("op_latest_by_key", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan[:1500]
