@@ -583,3 +583,76 @@ def op_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TOP_K)
         .select("q_id", "vec_id", "cosine")
     )
+
+
+@query(
+    "op_embedding_quantize",
+    oracle="""
+        WITH s AS (
+          SELECT vec_id, embedding,
+                 list_max(list_transform(embedding, x -> abs(x))) AS scale
+          FROM embeddings
+        ),
+        q AS (
+          SELECT vec_id, embedding, scale,
+                 list_transform(embedding, x ->
+                   CASE WHEN scale = 0 THEN 0
+                        ELSE CAST(FLOOR(x * 127.0 / scale + 0.5) AS INTEGER)
+                   END) AS codes
+          FROM s
+        )
+        SELECT vec_id,
+               CAST(scale AS DOUBLE) AS scale,
+               codes,
+               CAST(list_sum(list_transform(range(1, len(embedding) + 1), i ->
+                      CAST(FLOOR((embedding[i] - codes[i] * (CAST(scale AS DOUBLE) / 127.0))
+                                 * (embedding[i] - codes[i] * (CAST(scale AS DOUBLE) / 127.0))
+                                 * 1000000000000.0 + 0.5) AS BIGINT)))
+                    AS DOUBLE)
+                 / 1000000000000.0 / len(embedding) AS mse
+        FROM q
+    """,
+    notes="Int8 embedding quantization (symmetric absmax — the "
+    "compression every 100 TB vector store applies before serving): "
+    "per-vector scale = max|x|, codes = round(x*127/scale), plus the "
+    "exact reconstruction MSE. The MSE is a fixed-point integer sum "
+    "(floor(err*1e12+0.5) per element) so it is order-independent and "
+    "hash-identical across engines — the float32→double promotions "
+    "and round-half-up are the same IEEE ops on both sides. Zero "
+    "shuffle: pure map stage.",
+    tags=("similarity", "training"),
+)
+def op_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantize embeddings to int8 with per-vector absmax scales."""
+    em = load(spark, sf_dir, "embeddings")
+    scale = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    with_scale = em.select("vec_id", "embedding", scale.alias("scale"))
+    codes = F.transform(
+        "embedding",
+        lambda x: F.when(F.col("scale") == 0, F.lit(0)).otherwise(
+            F.floor(x * 127.0 / F.col("scale") + 0.5).cast("int")
+        ),
+    )
+    with_codes = with_scale.withColumn("codes", codes)
+    dscale = F.col("scale").cast("double")
+    err = F.zip_with(
+        "embedding",
+        "codes",
+        lambda x, c: F.floor(
+            (x - c * (dscale / 127.0))
+            * (x - c * (dscale / 127.0))
+            * 1000000000000.0
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    return with_codes.select(
+        "vec_id",
+        dscale.alias("scale"),
+        "codes",
+        (
+            F.aggregate(err, F.lit(0).cast("bigint"), lambda a, e: a + e)
+            .cast("double")
+            / 1000000000000.0
+            / F.size("embedding")
+        ).alias("mse"),
+    )
