@@ -844,7 +844,9 @@ def op_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         c: Counter = Counter()
         for pdf in batches:
-            c.update(pdf["tok"])
+            # value_counts is a vectorized C groupby — never iterate
+            # the tokens at Python speed.
+            c.update(pdf["tok"].value_counts().to_dict())
         if c:
             head = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:local_m]
             yield pd.DataFrame({"tok": [t for t, _ in head]})
