@@ -339,3 +339,35 @@ def test_bm25_matches_pure_python_reference(spark):
     for row, (es, nid) in zip(got, expect):
         assert row["doc_id"] == -nid
         assert abs(row["score"] - es) < 1e-9, (row, es)
+
+
+def test_span_corruption_reconstructs_original(spark):
+    """Information-preservation invariant: splicing each target span
+    back into its sentinel position must reproduce the original
+    normalized token stream exactly, for every document."""
+    from universal_data_to_orc_converter_spark.catalog import load
+
+    from .conftest import SF_DIR
+
+    originals = {
+        r["doc_id"]: [t for t in r["text"].lower().split() if t]
+        for r in load(spark, SF_DIR, "documents").collect()
+    }
+    for r in q("op_span_corruption", spark).collect():
+        # targets are space-joined 3-token blocks; sentinels are single
+        # tokens, so rebuild by replaying blocks of <=3 target tokens.
+        toks = []
+        tgt = r["target"].split(" ") if r["target"] else []
+        ti = 0
+        orig = originals[r["doc_id"]]
+        for tok in r["corrupted"].split(" "):
+            if tok == "<extra_id>":
+                # consume up to 3 tokens, but the final block may be
+                # shorter — consume exactly what the original had there
+                take = min(3, len(orig) - len(toks))
+                toks.extend(tgt[ti : ti + take])
+                ti += take
+            else:
+                toks.append(tok)
+        assert toks == orig, r["doc_id"]
+        assert ti == len(tgt), r["doc_id"]

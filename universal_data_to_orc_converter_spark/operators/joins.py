@@ -674,3 +674,38 @@ def op_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("last_value"),
         )
     )
+
+
+@query(
+    "op_tpch_q13_order_counts",
+    oracle="""
+        SELECT n_orders, COUNT(*) AS n_customers
+        FROM (
+          SELECT c.c_custkey,
+                 CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+          FROM customer c
+          LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey
+        )
+        GROUP BY n_orders
+    """,
+    notes="TPC-H Q13 shape (customer order-count distribution): LEFT "
+    "join so zero-order customers survive with n_orders=0, then a "
+    "second aggregation over the first's output — the "
+    "distribution-of-a-distribution pattern. First agg shuffles by "
+    "custkey (AQE-coalesced), second is a tiny distinct-count "
+    "exchange.",
+    tags=("join", "agg", "composite"),
+)
+def op_tpch_q13_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customers placed exactly N orders."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count("*").alias("n_customers")
+    )
