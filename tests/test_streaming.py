@@ -287,3 +287,45 @@ def test_stream_interval_join_equals_batch(spark):
     stream = run_available_now(interval_join(sv, sp), output_mode="append")
     cols = ["user_id", "view_id", "purchase_id", "view_ts", "purchase_ts"]
     assert as_sets(batch, cols) == as_sets(stream, cols)
+
+
+def test_tws_stateful_matches_legacy_api(spark):
+    """transformWithStateInPandas (Spark 4 stateful API) must produce
+    the same per-user accumulator rows as the applyInPandasWithState
+    implementation. Requires google.protobuf (TWS driver-worker dep)
+    — absent from this container, so this skips here and activates
+    in any env that ships it."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+
+    from universal_data_to_orc_converter_spark.streaming.runner import (
+        read_events_stream,
+        run_available_now,
+    )
+    from universal_data_to_orc_converter_spark.streaming.stateful import (
+        user_activity_stateful,
+        user_activity_tws,
+    )
+
+    from .conftest import SF_SMOKE
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        legacy = run_available_now(
+            user_activity_stateful(read_events_stream(spark, SF_SMOKE)),
+            output_mode="update",
+        )
+        tws = run_available_now(
+            user_activity_tws(read_events_stream(spark, SF_SMOKE)),
+            output_mode="update",
+        )
+        assert sorted(map(tuple, legacy.collect())) == sorted(
+            map(tuple, tws.collect())
+        )
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

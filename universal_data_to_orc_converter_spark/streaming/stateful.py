@@ -87,3 +87,66 @@ def user_presence_with_timeout(
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def user_activity_tws(events_stream: DataFrame) -> DataFrame:
+    """The same per-user accumulator on Spark 4's transformWithState
+    API (``transformWithStateInPandas``) — the successor to
+    applyInPandasWithState: named state variables on a
+    StatefulProcessor, explicit lifecycle, RocksDB-backed state.
+
+    ENV LIMITATION: the TWS Python driver worker imports
+    google.protobuf, which this container does not ship (pip installs
+    are unavailable), so this path cannot execute here —
+    tests/test_streaming.py::test_tws_stateful_matches_legacy_api
+    importorskips on protobuf and will activate automatically in an
+    environment that has it. It is deliberately NOT registered as a
+    driver query (it would crash the harness); op_stream_stateful
+    (applyInPandasWithState) is the executable stateful tier and
+    shares the oracle this implementation would use.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserActivity(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._acc = handle.getValueState(
+                "acc", "n long, vsum_fp long, last timestamp"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, vsum_fp, last = (
+                self._acc.get() if self._acc.exists() else (0, 0, None)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                vsum_fp += int(
+                    (pdf["value"] * 1_000_000 + 0.5).floordiv(1).sum()
+                )
+                batch_max = pdf["ts"].max()
+                last = (
+                    batch_max if last is None or batch_max > last else last
+                )
+            self._acc.update((n, vsum_fp, last))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "value_sum": [vsum_fp / 1_000_000.0],
+                    "last_seen": [last],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserActivity(),
+        outputStructType="user_id long, n_events long, value_sum double, "
+        "last_seen timestamp",
+        outputMode="Update",
+        timeMode="None",
+    )
