@@ -228,3 +228,40 @@ def op_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.max(F.length("text")).cast("bigint").alias("max_len"),
     )
+
+
+@query(
+    "op_schema_evolution_scan",
+    oracle="""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_v2,
+               CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END)
+                    AS BIGINT) AS v2_chars
+        FROM documents
+        GROUP BY lang
+    """,
+    notes="Schema evolution on the ORC sink: v1 files carry "
+    "(doc_id,text,lang), later v2 files add (source,n_chars) — the "
+    "append-over-time reality of any long-running conversion "
+    "pipeline. A single mergeSchema read reconciles both vintages "
+    "(missing columns null-filled), and the aggregate must match the "
+    "oracle's CASE-split over the original table exactly. The v1/v2 "
+    "split is doc_id parity, so it is deterministic.",
+    tags=("io",),
+)
+def op_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write two schema vintages into one ORC dataset; merged read."""
+    d = load(spark, sf_dir, "documents")
+    out = os.path.join(_scratch("orc_evo_"), "documents")
+    v1 = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text", "lang")
+    v2 = d.filter(F.col("doc_id") % 2 == 1)
+    v1.write.mode("overwrite").orc(out)
+    v2.write.mode("append").orc(out)
+    back = spark.read.option("mergeSchema", "true").orc(out)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count("source").cast("bigint").alias("n_v2"),
+        F.sum("n_chars").cast("bigint").alias("v2_chars"),
+    )
