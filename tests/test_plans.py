@@ -134,7 +134,6 @@ def test_bucketed_join_query_has_no_join_exchange(spark):
     join key, no Exchange feeds the SortMergeJoin."""
     df = q("op_join_bucketed", spark)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    join_frag = plan[: plan.index("HashAggregate")] if "HashAggregate" in plan else plan
     for line in plan.splitlines():
         if "Exchange hashpartitioning(l_orderkey" in line or (
             "Exchange hashpartitioning(o_orderkey" in line

@@ -439,9 +439,10 @@ def op_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
           FROM orders
         )
-        SELECT LEAST(CAST(FLOOR((o_totalprice - lo)
-                                / ((hi - lo) / 20.0)) AS BIGINT),
-                     19) AS bucket,
+        SELECT CASE WHEN hi = lo THEN 0
+                    ELSE LEAST(CAST(FLOOR((o_totalprice - lo)
+                                          / ((hi - lo) / 20.0)) AS BIGINT),
+                               19) END AS bucket,
                COUNT(*) AS n
         FROM orders, b
         GROUP BY 1
@@ -464,13 +465,21 @@ def op_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.crossJoin(F.broadcast(bounds))
         .select(
-            F.least(
-                F.floor(
-                    (F.col("o_totalprice") - F.col("lo"))
-                    / ((F.col("hi") - F.col("lo")) / 20.0)
-                ).cast("bigint"),
-                F.lit(19).cast("bigint"),
-            ).alias("bucket")
+            # hi == lo (all-equal values) would make the width 0 and
+            # the division NaN — Spark's non-ANSI cast silently maps
+            # NaN to 0 while DuckDB errors, so both sides guard the
+            # degenerate distribution into bucket 0 explicitly.
+            F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint"))
+            .otherwise(
+                F.least(
+                    F.floor(
+                        (F.col("o_totalprice") - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / 20.0)
+                    ).cast("bigint"),
+                    F.lit(19).cast("bigint"),
+                )
+            )
+            .alias("bucket")
         )
         .groupBy("bucket")
         .agg(F.count("*").alias("n"))

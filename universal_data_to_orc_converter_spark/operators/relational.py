@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..exprs import dsum, sql_dsum
 from ..registry import query
 
 
@@ -111,10 +112,9 @@ def op_filter_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "op_unpivot",
-    oracle="""
+    oracle=f"""
         SELECT metric, COUNT(*) AS n,
-               CAST(SUM(CAST(FLOOR(val * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
-                   / 1000000.0 AS total
+               {sql_dsum("val", "total")}
         FROM (
           SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
           UNION ALL
@@ -144,11 +144,7 @@ def op_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return long.groupBy("metric").agg(
         F.count("*").alias("n"),
-        (
-            F.sum(F.floor(F.col("val") * 1000000 + F.lit(0.5)).cast("decimal(18,0)"))
-            .cast("double")
-            / 1000000.0
-        ).alias("total"),
+        dsum(F.col("val"), "total"),
     )
 
 

@@ -904,9 +904,13 @@ def op_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("df").cast("double") + 0.5)
         + 1.0
     )
+    # dl is corpus-cardinality — never broadcast it. Restrict it to
+    # the (few) documents that matched a query term, then shuffle-join
+    # on doc_id; only df_ (|terms| rows) and avgdl (1 row) broadcast.
+    dl_matched = dl.join(tf.select("doc_id").distinct(), "doc_id", "left_semi")
     scored = (
         tf.join(F.broadcast(df_), "tok")
-        .join(F.broadcast(dl), "doc_id")
+        .join(dl_matched, "doc_id")
         .crossJoin(F.broadcast(avgdl_df))
         .select(
             "doc_id",
@@ -956,14 +960,14 @@ def op_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM t
         )
         SELECT doc_id,
-               array_to_string(
+               COALESCE(array_to_string(
                  list_transform(blocks, bi ->
                    CASE WHEN ((doc_id * 131 + bi) * 2654435761) % 17 = 0
                         THEN '<extra_id>'
                         ELSE array_to_string(
                                list_slice(toks, bi * 3 + 1, bi * 3 + 3), ' ')
                    END),
-                 ' ') AS corrupted,
+                 ' '), '') AS corrupted,
                COALESCE(array_to_string(
                  list_transform(
                    list_filter(blocks, bi ->
@@ -990,7 +994,13 @@ def op_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     nblocks = F.floor((F.size(toks) + 2) / 3).cast("bigint")
-    blocks = F.sequence(F.lit(0).cast("bigint"), nblocks - 1)
+    # Guard the empty-document case: sequence(0, -1) would auto-step
+    # DOWNWARD to [0, -1] (phantom blocks), while the oracle's
+    # range(0, 0) is empty — an all-whitespace doc must yield no
+    # blocks on both engines.
+    blocks = F.when(
+        nblocks > 0, F.sequence(F.lit(0).cast("bigint"), nblocks - 1)
+    ).otherwise(F.array().cast("array<bigint>"))
 
     def masked(b):
         return ((F.col("doc_id") * 131 + b) * F.lit(2654435761)) % 17 == 0

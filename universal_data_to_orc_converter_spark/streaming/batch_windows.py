@@ -501,7 +501,7 @@ def op_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "op_time_gapfill",
-    oracle="""
+    oracle=f"""
         WITH bounds AS (
           SELECT CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS lo,
                  CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP) AS hi
@@ -515,8 +515,7 @@ def op_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts AS (
           SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                  event_type, COUNT(*) AS n,
-                 CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
-                      AS DOUBLE) / 1000000.0 AS sum_value
+                 {sql_dsum("value", "sum_value")}
           FROM events GROUP BY 1, 2
         )
         SELECT t.event_type, c.day,
@@ -543,11 +542,7 @@ def op_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         day.alias("day"), "event_type"
     ).agg(
         F.count("*").alias("n"),
-        (
-            F.sum(F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("decimal(18,0)"))
-            .cast("double")
-            / 1000000.0
-        ).alias("sum_value"),
+        dsum(F.col("value"), "sum_value"),
     )
     bounds = e.agg(
         F.date_trunc("day", F.min("ts")).alias("lo"),

@@ -160,12 +160,16 @@ def answers_from_file(path: str) -> Callable[[str], str]:
 
     Makes the wizard scriptable without a TTY: one answer per line, in
     prompt order; blank lines mean "accept the default" (exactly what
-    pressing Enter does interactively); a ``#`` first column starts a
-    comment line, which is skipped. Exhausting the file raises
+    pressing Enter does interactively); a line starting with ``# ``
+    (hash-space) or consisting of a lone ``#`` is a comment and is
+    skipped — a bare ``#`` followed by other text is an ANSWER, so
+    e.g. ``#`` works as a CSV delimiter. CRLF files are handled (both
+    ``\r`` and ``\n`` stripped). Exhausting the file raises
     WizardError naming the unanswered prompt, so a truncated answers
     file fails loudly instead of hanging."""
     with open(path, encoding="utf-8") as fh:
-        answers = [ln.rstrip("\n") for ln in fh if not ln.startswith("#")]
+        lines = [ln.rstrip("\r\n") for ln in fh]
+    answers = [ln for ln in lines if not (ln == "#" or ln.startswith("# "))]
     it = iter(answers)
 
     def ask(prompt: str) -> str:
