@@ -75,6 +75,25 @@ def main() -> None:
     # classloading costs the others don't.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Warm the Python/Arrow worker pool too: the first pandas_udf /
+    # mapInPandas stage of a session forks + imports pandas in every
+    # worker (~0.5 s x 32 on this box). Round 3's driver bench showed
+    # that cold start landing unevenly on the minhash/text queries
+    # (+45%/+76% vs round 2 with identical code), so pay it here once,
+    # outside the timed laps, with a tiny grouped-map over all cores.
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(256)
+        .withColumn("g", F.col("id") % 32)
+        .groupBy("g")
+        .applyInPandas(lambda pdf: pdf, "id long, g long")
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = specs[name].fn

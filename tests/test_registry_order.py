@@ -11,17 +11,24 @@ from universal_data_to_orc_converter_spark.registry import (
 )
 
 FAMILY_REPS = {
-    "A_io": {"op_orc_roundtrip", "op_jdbc_roundtrip", "op_cdc_merge"},
-    "B_relational": {"op_filter", "op_filter_date"},
+    "A_io": {"op_orc_roundtrip", "op_jdbc_roundtrip", "op_cdc_merge",
+             "op_jsonl_roundtrip", "op_schema_evolution_scan"},
+    "B_relational": {"op_filter", "op_filter_date", "op_project",
+                     "op_filter_compound", "op_unpivot",
+                     "op_sql_passthrough"},
     "C_joins": {"flagship_revenue_by_nation", "op_join_asof",
-                "op_join_multiway", "op_join_salted"},
+                "op_join_multiway", "op_join_salted",
+                "op_join_broadcast", "op_join_shuffle"},
     "D_aggregates": {"op_agg_groupby", "op_agg_percentile", "op_agg_stats",
-                     "op_agg_salted_twophase"},
+                     "op_agg_salted_twophase", "op_agg_global",
+                     "op_agg_having", "op_histogram"},
     "E_windows": {"op_win_rank", "op_win_lag_lead", "op_win_frame",
                   "op_win_topk_group", "op_win_range_frame",
-                  "op_win_rank_family", "op_win_first_last"},
+                  "op_win_rank_family", "op_win_first_last",
+                  "op_latest_by_key"},
     "F_sorts": {"op_sort", "op_topk", "op_limit_offset"},
-    "G_setops": {"op_union_all", "op_intersect", "op_union_mixed_schema"},
+    "G_setops": {"op_union_all", "op_intersect", "op_union_mixed_schema",
+                 "op_union_distinct", "op_except"},
     "H_scalar": {"op_str_funcs", "op_date_funcs", "op_math_funcs",
                  "op_str_funcs2", "op_date_funcs2", "op_cond_funcs",
                  "op_datediff"},
@@ -29,16 +36,19 @@ FAMILY_REPS = {
                          "op_json_agg", "op_array_explode"},
     "I_dedup": {"op_dedup_embedding", "op_dedup_minhash_lsh",
                 "op_dedup_exact", "op_dedup_clusters",
-                "op_cluster_representative"},
+                "op_cluster_representative", "op_dedup_ngram_jaccard"},
     "I_similarity": {"op_sim_ann_ivf", "op_sim_ann_ivfpq", "op_sim_topk",
-                     "op_dedup_embedding_cell"},
-    "I_multimodal": {"op_multimodal_meta", "op_multimodal_frames"},
+                     "op_dedup_embedding_cell", "op_sim_ann_lsh",
+                     "op_embedding_quantize"},
+    "I_multimodal": {"op_multimodal_meta", "op_multimodal_frames",
+                     "op_multimodal_decode"},
     "J_streaming": {"op_stream_tumbling", "op_stream_watermark",
                     "op_stream_dedup", "op_stream_interval_join",
-                    "op_stream_availablenow"},
+                    "op_stream_availablenow", "op_stream_stateful"},
     "K_udf": {"op_udf_scalar", "op_udaf", "op_doc_winnow"},
     "text": {"op_text_stats", "op_lang_id", "op_vocab_encode",
-             "op_pack_sequences", "op_text_quality", "op_tfidf_topterms"},
+             "op_pack_sequences", "op_text_quality", "op_tfidf_topterms",
+             "op_bm25", "op_span_corruption"},
     "sampling": {"op_stratified_sample", "op_domain_mixture",
                  "op_shard_assign"},
     "subquery": {"op_subquery_scalar", "op_subquery_correlated"},

@@ -43,10 +43,13 @@ def table_path(sf_dir: str, name: str) -> str:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. Lazy: nothing is read until an action.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader
-    rejects outright; we read nanos as long and rebuild a microsecond
-    TimestampType with integer division (truncation — the same ns→µs
-    behavior DuckDB applies, so oracle comparisons line up)."""
+    ``events.ts`` has shipped in two physical parquet flavors across
+    fixture generations: TIMESTAMP(NANOS) (which Spark surfaces as
+    bigint under ``nanosAsLong``) and plain timestamp[us] (read as
+    TimestampType directly). We therefore probe the observed dtype and
+    convert ns→µs only when the column arrives as bigint — never
+    assume the unit. Truncating integer division matches DuckDB's
+    ns→µs behavior, so oracle comparisons line up either way."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
@@ -54,8 +57,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Normalize to TIMESTAMP (ltz) so batch and stream paths
+            # agree on dtype (watermarks require ltz); session tz is
+            # pinned to UTC, so the cast is value-preserving.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 

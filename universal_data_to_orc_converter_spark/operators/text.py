@@ -824,10 +824,15 @@ def op_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Counter (Arrow-batched, zero shuffle) and emits only each "
     "partition's local top-64; pass 2 broadcast-semi-joins the tiny "
     "candidate set back and recounts exactly, so only candidate "
-    "tokens ever shuffle. Exact as long as every true global top-10 "
-    "token is a local top-64 somewhere — guaranteed for Zipfian text "
-    "where head tokens dominate every split (asserted vs the exact "
-    "oracle).",
+    "tokens ever shuffle. NOT unconditionally exact: a true top-10 "
+    "token is missed only if it falls below the local top-64 cut in "
+    "EVERY one of the P input partitions, which bounds its global "
+    "count by P x (the 64th-highest local count) — so exactness "
+    "holds whenever the k-th global count exceeds that bound, as it "
+    "does for Zipfian text whose head tokens dominate every split "
+    "(asserted vs the exact oracle at every fixture scale). For "
+    "adversarially flat distributions, raise local_m or fall back "
+    "to op_token_topk's full shuffle.",
     tags=("text", "scale"),
 )
 def op_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:

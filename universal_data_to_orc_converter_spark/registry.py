@@ -85,60 +85,64 @@ def query(
 DRIVER_PRIORITY: tuple[str, ...] = (
     # headline flagship — always in the window
     "flagship_revenue_by_nation",
-    # (a) never driver-verified: round-2 below-fold additions
-    "op_dedup_embedding_cell",
-    "op_sim_ann_ivfpq",
-    "op_doc_winnow",
-    "op_text_repetition",
-    "op_pii_redact",
-    "op_win_range_frame",
-    "op_win_rank_family",
-    "op_win_first_last",
-    "op_datediff",
-    "op_str_funcs2",
-    "op_cond_funcs",
-    "op_date_funcs2",
-    "op_json_agg",
-    "op_array_explode",
+    # (b) regression set: streaming reader's timestamp handling was
+    # rewritten this round (runner.read_events_stream — the r3 wrong
+    # answer); every op that consumes the stream reader re-verifies
     "op_stream_availablenow",
+    "op_stream_watermark",
+    "op_stream_stateful",
     "op_stream_dedup",
-    "op_retention_cohorts",
     "op_stream_interval_join",
-    # (a) never driver-verified: new in round 3
-    "op_join_bloom",
-    "op_heavy_hitters",
-    "op_join_bucketed",
-    "op_time_gapfill",
-    "op_subquery_scalar",
-    "op_subquery_correlated",
+    # (a) never driver-verified in ANY round — round-3 below-fold
+    # additions; after this window, all 135 registry queries have a
+    # driver row in some round
+    "op_tpch_q3_shipping_priority",
+    "op_tpch_q13_order_counts",
+    "op_tpch_q18_large_orders",
+    "op_unpivot",
+    "op_sql_passthrough",
+    "op_histogram",
+    "op_zscore_anomaly",
+    "op_bm25",
+    "op_span_corruption",
+    "op_embedding_quantize",
+    "op_latest_by_key",
+    "op_jsonl_roundtrip",
+    "op_agg_approx_quantile",
+    "op_schema_evolution_scan",
+    # family representatives for families whose members are otherwise
+    # all below the fold this round (stalest member of each picked)
+    "op_win_topk_group",
+    "op_topk",
+    "op_str_funcs",
+    "op_map_funcs",
+    "op_udaf",
     "op_stratified_sample",
-    "op_domain_mixture",
-    "op_shard_assign",
-    "op_tfidf_topterms",
-    "op_agg_salted_twophase",
-    "op_cluster_representative",
-    # (b) modified in round 3 — re-verify under the driver
-    "op_pack_sequences",   # r2's only red row (HUGEINT oracle drift)
-    "op_text_quality",     # oracle DECIMAL literal → DOUBLE
-    "op_jdbc_roundtrip",   # scratch-dir reuse
-    "op_orc_roundtrip",    # scratch-dir reuse
-    "op_orc_partitioned_scan",  # scratch-dir reuse
-    # (c) stalest — plus op_sort, the freshest sorts-family rep,
-    # kept so every family stays inside the window
-    "op_sort",
-    "op_join_asof",
-    "op_join_multiway",
-    "op_agg_percentile",
-    "op_agg_stats",
-    "op_dedup_exact",
-    "op_dedup_clusters",
-    "op_split_contamination",
-    "op_intersect",
-    "op_sim_topk",
-    "op_embedding_stats",
-    "op_multimodal_frames",
-    "op_cdc_merge",
-    "op_filter_date",
+    "op_subquery_scalar",
+    # (c) stalest — round-1-verified, never re-verified since
+    "op_row_count",
+    "op_agg_global",
+    "op_agg_count_distinct",
+    "op_agg_approx_distinct",
+    "op_agg_gsets",
+    "op_agg_having",
+    "op_agg_mode",
+    "op_dedup_ngram_jaccard",
+    "op_join_broadcast",
+    "op_join_shuffle",
+    "op_join_outer",
+    "op_join_semi",
+    "op_join_anti",
+    "op_join_theta",
+    "op_join_salted",
+    "op_join_nullsafe",
+    "op_multimodal_decode",
+    "op_project",
+    "op_filter_compound",
+    "op_union_distinct",
+    "op_except",
+    "op_union_mixed_schema",
+    "op_sim_ann_lsh",
 )
 
 

@@ -6,8 +6,10 @@ One place to encode the engine's execution posture:
   broadcast-join conversion replace every hand-rolled execution-strategy
   decision the reference makes (chunk sizing at
   ``data_to_orc_converter.sh:192``, thread pools at ``sh:260``).
-* **UTC session timezone** — fixtures mix ``timestamp[ms]`` and
-  ``timestamp[ns]``; a fixed zone keeps results comparable across
+* **UTC session timezone** — fixture timestamp columns have shipped in
+  several physical parquet units across generations (``catalog.load``
+  and ``streaming.runner.read_events_stream`` probe the observed dtype
+  rather than assume one); a fixed zone keeps results comparable across
   engines (DuckDB oracle is zone-naive).
 * **Arrow on** — pandas interchange at the API edges is vectorized.
 * **shuffle.partitions** sized for the local test harness; on a real
@@ -49,6 +51,8 @@ def get_spark(app_name: str = "universal_data_to_orc_converter_spark") -> SparkS
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", DEFAULT_MAX_PARTITION_BYTES)
         .config("spark.ui.enabled", "false")
+        # no \r progress-bar spam in archived bench/driver logs
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     return builder.getOrCreate()

@@ -157,19 +157,9 @@ def op_stream_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from ..catalog import table_path
+    from .runner import read_events_stream
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, "
-            "event_type string, value double, props string"
-        )
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    stream = read_events_stream(spark, sf_dir)
     result = tumbling_agg(stream)
     sink_name = f"avnow_{uuid.uuid4().hex[:8]}"
     q = (

@@ -19,19 +19,39 @@ from pyspark.sql import functions as F
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events fixture (ns timestamps handled the
-    same way as catalog.load)."""
+    """readStream over the events fixture with the SAME type-adaptive
+    timestamp handling as catalog.load.
+
+    readStream requires an explicit schema, so we probe it from a batch
+    read of the same file rather than hard-coding one: parquet fixtures
+    have shipped ``ts`` both as TIMESTAMP(NANOS) (surfaced as bigint
+    under nanosAsLong) and as timestamp[us] (surfaced as timestamp
+    directly), and a hard-coded ``ts long`` + ``DIV 1000`` silently
+    collapses µs-typed data to ~1970. Convert only when the probed type
+    is bigint — identical to catalog.load's guard."""
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, "
-            "event_type string, value double, props string"
-        )
+    batch_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    elif ts_type == "timestamp_ntz":
+        # Watermarks require TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+        # otherwise); with the session timezone pinned to UTC this cast is
+        # value-preserving.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def run_available_now(
