@@ -186,3 +186,13 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sessionize_runs_on_one_exchange(spark):
+    """Both window passes (lag, cumulative sum) and the per-session
+    aggregate must reuse the single user_id shuffle — the op's whole
+    100 TB cost is that one exchange."""
+    df = q("op_sessionize", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"expected exactly 1 exchange, plan has {n}:\n{plan}"

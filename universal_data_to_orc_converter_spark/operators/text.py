@@ -1038,3 +1038,61 @@ def op_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("target"),
         F.size(F.filter("bs", masked)).alias("n_masked"),
     )
+
+
+@query(
+    "op_doc_rarity",
+    oracle="""
+        WITH pairs AS (
+          SELECT doc_id, u.tok AS tok, COUNT(*) AS c
+          FROM documents,
+               LATERAL unnest(list_filter(string_split(lower(text), ' '),
+                                          x -> x <> '')) AS u(tok)
+          GROUP BY doc_id, u.tok
+        ),
+        df AS (SELECT tok, COUNT(*) AS df FROM pairs GROUP BY tok)
+        SELECT p.doc_id,
+               CAST(SUM(p.c) AS BIGINT) AS n_tokens,
+               CAST(SUM(p.c * df.df) AS BIGINT) AS df_sum,
+               CAST(SUM(p.c * df.df) AS DOUBLE) / CAST(SUM(p.c) AS BIGINT)
+                   AS avg_df
+        FROM pairs p JOIN df USING (tok)
+        GROUP BY p.doc_id
+    """,
+    notes="Unigram document-frequency scoring — the exact-arithmetic "
+    "cousin of LM-perplexity quality filtering: a doc whose tokens "
+    "have low average document frequency is rare/specialized (or "
+    "noisy); high average means boilerplate. All-integer until one "
+    "final division of identical operands, so the DOUBLE hash-matches "
+    "across engines (the reason this is the oracle-able stand-in for "
+    "log-prob scoring, whose ln() drifts by ulps — see op_bm25). "
+    "Scale shape: tokens are pre-aggregated to (doc_id, tok, count) "
+    "pairs BEFORE the df join, so the join input is distinct-token "
+    "pairs, not raw token occurrences; the join shuffles on tok where "
+    "head-token skew is real — AQE skew-join splits those partitions "
+    "(proven in tests/test_plans.py for the same pattern). No "
+    "driver-side state; vocabulary never collects.",
+    tags=("text", "quality", "scale"),
+)
+def op_doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean token document-frequency (exact rational + one
+    deterministic division)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    pairs = d.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    df_tab = pairs.groupBy("tok").agg(F.count("*").alias("df"))
+    per_doc = (
+        pairs.join(df_tab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("df")).alias("df_sum"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "df_sum",
+        (F.col("df_sum").cast("double") / F.col("n_tokens")).alias("avg_df"),
+    )

@@ -93,9 +93,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "op_stream_stateful",
     "op_stream_dedup",
     "op_stream_interval_join",
+    # (b) NEW in round 4 — first driver verification
+    "op_sessionize",
+    "op_doc_rarity",
+    "op_stream_cdc_upsert",
     # (a) never driver-verified in ANY round — round-3 below-fold
-    # additions; after this window, all 135 registry queries have a
-    # driver row in some round
+    # additions; after this window, all 135 round-3 registry queries
+    # have a driver row in some round
     "op_tpch_q3_shipping_priority",
     "op_tpch_q13_order_counts",
     "op_tpch_q18_large_orders",
@@ -135,12 +139,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "op_join_anti",
     "op_join_theta",
     "op_join_salted",
-    "op_join_nullsafe",
     "op_multimodal_decode",
     "op_project",
     "op_filter_compound",
-    "op_union_distinct",
-    "op_except",
     "op_union_mixed_schema",
     "op_sim_ann_lsh",
 )
@@ -168,7 +169,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         windows,
     )
     from .functions import scalar, semistructured  # noqa: F401
-    from .streaming import batch_windows  # noqa: F401
+    from .streaming import batch_windows, cdc  # noqa: F401
 
     missing = [n for n in DRIVER_PRIORITY if n not in QUERIES]
     if missing:

@@ -554,3 +554,68 @@ def op_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
         )
     )
+
+
+@query(
+    "op_sessionize",
+    oracle="""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                         > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+          SELECT user_id, ts,
+                 SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM flagged
+        )
+        SELECT user_id,
+               CAST(session_seq AS BIGINT) AS session_seq,
+               COUNT(*) AS n_events,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)
+                   AS duration_us
+        FROM numbered
+        GROUP BY user_id, session_seq
+    """,
+    notes="Gap-based sessionization (30-minute inactivity closes a "
+    "session): the lag-then-cumulative-sum window idiom, with the gap "
+    "compared in integer MICROSECONDS on both engines so borderline "
+    "events bucket identically (no float epoch drift). One shuffle on "
+    "user_id serves both window passes and the final per-session "
+    "aggregate — at 100 TB the whole op is a single exchange. The "
+    "event_id tiebreak makes same-timestamp ordering deterministic. "
+    "Complements op_stream_session (engine-native session_window): "
+    "this variant materializes an explicit per-user session SEQUENCE "
+    "NUMBER, which downstream funnel/attribution joins key on.",
+    tags=("window", "timeseries", "streaming"),
+)
+def op_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session ids + per-session stats via lag/cumsum."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = (
+        F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
+    )
+    numbered = e.withColumn(
+        "session_seq",
+        F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (
+            F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+        ).alias("duration_us"),
+    )
