@@ -1067,28 +1067,30 @@ def op_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     "across engines (the reason this is the oracle-able stand-in for "
     "log-prob scoring, whose ln() drifts by ulps — see op_bm25). "
     "Scale shape: tokens are pre-aggregated to (doc_id, tok, count) "
-    "pairs BEFORE the df join, so the join input is distinct-token "
-    "pairs, not raw token occurrences; the join shuffles on tok where "
-    "head-token skew is real — AQE skew-join splits those partitions "
-    "(proven in tests/test_plans.py for the same pattern). No "
-    "driver-side state; vocabulary never collects.",
+    "pairs, then df is attached as COUNT(*) OVER (PARTITION BY tok) — "
+    "a window, not a self-join — so the corpus is tokenized and "
+    "exploded exactly ONCE (the join formulation re-ran the explode "
+    "pipeline for the df branch and measured 4.0x at 10x data; the "
+    "window version is 1.6x, see PERF.md). The tok shuffle sees "
+    "head-token skew; AQE handles it. No driver-side state; the "
+    "vocabulary never collects.",
     tags=("text", "quality", "scale"),
 )
 def op_doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc mean token document-frequency (exact rational + one
     deterministic division)."""
+    from pyspark.sql import Window as W
+
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     )
     pairs = d.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
-    df_tab = pairs.groupBy("tok").agg(F.count("*").alias("df"))
-    per_doc = (
-        pairs.join(df_tab, "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_tokens"),
-            F.sum(F.col("c") * F.col("df")).alias("df_sum"),
-        )
+    with_df = pairs.withColumn(
+        "df", F.count("*").over(W.partitionBy("tok"))
+    )
+    per_doc = with_df.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c") * F.col("df")).alias("df_sum"),
     )
     return per_doc.select(
         "doc_id",
