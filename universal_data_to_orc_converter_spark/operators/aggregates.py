@@ -542,3 +542,75 @@ def op_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", "n", z.alias("z"))
         .filter(F.abs(F.col("z")) > 1.5)
     )
+
+
+@query(
+    "op_table_stats",
+    oracle="""
+        SELECT 'l_quantity' AS col_name, COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(l_quantity) AS n_nulls,
+               COUNT(DISTINCT l_quantity) AS n_distinct,
+               CAST(MIN(l_quantity) AS DOUBLE) AS min_val,
+               CAST(MAX(l_quantity) AS DOUBLE) AS max_val
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', COUNT(*),
+               COUNT(*) - COUNT(l_extendedprice),
+               COUNT(DISTINCT l_extendedprice),
+               CAST(MIN(l_extendedprice) AS DOUBLE),
+               CAST(MAX(l_extendedprice) AS DOUBLE)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount),
+               COUNT(DISTINCT l_discount),
+               CAST(MIN(l_discount) AS DOUBLE),
+               CAST(MAX(l_discount) AS DOUBLE)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_tax', COUNT(*), COUNT(*) - COUNT(l_tax),
+               COUNT(DISTINCT l_tax),
+               CAST(MIN(l_tax) AS DOUBLE),
+               CAST(MAX(l_tax) AS DOUBLE)
+        FROM lineitem
+    """,
+    notes="ANALYZE-style per-column statistics (row count, nulls, "
+    "exact NDV, min/max) — the warehouse-health op behind every "
+    "cost-based optimizer and ingest audit. Spark computes all four "
+    "columns' stats in ONE scan: a single multi-distinct aggregate "
+    "(Catalyst's Expand handles the per-distinct duplication with "
+    "map-side partials) then an explode of the packed stat structs "
+    "into the per-column rows. The oracle spells the same numbers as "
+    "four UNION ALL scans — per-engine plan freedom, identical "
+    "values. At 100 TB swap exact NDV for approx_count_distinct "
+    "(op_agg_approx_distinct is the engine's HLL tier).",
+    tags=("agg", "io", "scale"),
+)
+def op_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of lineitem's numeric measures in one pass."""
+    li = load(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}_nn"),
+            F.countDistinct(c).alias(f"{c}_nd"),
+            F.min(c).cast("double").alias(f"{c}_min"),
+            F.max(c).cast("double").alias(f"{c}_max"),
+        ]
+    one = li.agg(*aggs)
+    packed = one.select(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    F.col("n_rows"),
+                    (F.col("n_rows") - F.col(f"{c}_nn")).alias("n_nulls"),
+                    F.col(f"{c}_nd").alias("n_distinct"),
+                    F.col(f"{c}_min").alias("min_val"),
+                    F.col(f"{c}_max").alias("max_val"),
+                )
+                for c in cols
+            ]
+        ).alias("stats")
+    )
+    return packed.select(F.explode("stats").alias("s")).select("s.*")

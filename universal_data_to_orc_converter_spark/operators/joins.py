@@ -709,3 +709,102 @@ def op_tpch_q13_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("n_orders").agg(
         F.count("*").alias("n_customers")
     )
+
+
+@query(
+    "op_tpch_q7_nation_volume",
+    oracle=f"""
+        SELECT supp_nation, cust_nation, l_year,
+               {sql_dsum("volume", "revenue")}
+        FROM (
+          SELECT ns.n_name AS supp_nation,
+                 nc.n_name AS cust_nation,
+                 CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume
+          FROM supplier s
+          JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+          JOIN orders o   ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+          JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+          WHERE ns.n_name <> nc.n_name
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    notes="TPC-H Q7 shape (volume shipping between nation pairs): two "
+    "fact joins plus FOUR broadcast dims, including the same nation "
+    "table broadcast twice under different roles (supplier side vs "
+    "customer side) — the self-referential dim pattern every star "
+    "schema hits. The cross-nation filter is applied post-join on the "
+    "two broadcast columns, costing nothing. Fact rows shuffle only "
+    "for the lineitem-orders sort-merge and the final rollup.",
+    tags=("join", "agg", "composite"),
+)
+def op_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-nation trade volume by year (supplier nation != customer
+    nation), the two-role dimension join."""
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(dsum(revenue(), "revenue"))
+    )
+
+
+@query(
+    "op_tpch_q10_returned_items",
+    oracle=f"""
+        SELECT c.c_custkey, c.c_name,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+               n.n_name, c.c_acctbal
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+    """,
+    notes="TPC-H Q10 shape (returned-item revenue, top 20 customers): "
+    "selective fact filter (returnflag='R' pushes to the lineitem "
+    "scan) -> fact-fact join -> two broadcast dims -> grouped rollup "
+    "-> global top-20 via TakeOrderedAndProject (never a full sort). "
+    "c_custkey tiebreak gives both engines the same row set.",
+    tags=("join", "agg", "composite"),
+)
+def op_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue on returned items."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(dsum(revenue(), "revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name", "c_acctbal")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
