@@ -154,6 +154,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
     # a missing module is an ImportError, not silent lost coverage.
     from .operators import (  # noqa: F401
         aggregates,
+        curate,
         dedup,
         io,
         joins,

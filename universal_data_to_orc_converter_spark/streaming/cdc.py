@@ -48,16 +48,26 @@ def _latest_per_key(df: DataFrame) -> DataFrame:
     return df.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
 
 
+#: change-row payload columns carried through the merge
+CDC_COLS = ("user_id", "ts", "event_id", "event_type", "value")
+
+
 def cdc_upsert_batch(
-    spark: SparkSession, batch_df: DataFrame, target_dir: str
+    spark: SparkSession,
+    batch_df: DataFrame,
+    target_dir: str,
+    cols: tuple[str, ...] = CDC_COLS,
 ) -> None:
     """Merge one micro-batch of change rows into the bucket-partitioned
     target. Idempotent: replaying a batch converges to the same state
     (latest-per-key is a set fixpoint, and dynamic overwrite replaces
-    whole buckets)."""
-    latest = _latest_per_key(
-        batch_df.select("user_id", "ts", "event_id", "event_type", "value")
-    ).withColumn("bucket", F.pmod(F.hash("user_id"), F.lit(N_BUCKETS)))
+    whole buckets). Tombstone rows (if the payload carries a delete
+    flag) are merged like any other version — they must SHADOW older
+    upserts inside the bucket rather than being dropped at merge time;
+    the serving read filters them (see op_stream_cdc_delete)."""
+    latest = _latest_per_key(batch_df.select(*cols)).withColumn(
+        "bucket", F.pmod(F.hash("user_id"), F.lit(N_BUCKETS))
+    )
 
     # touched-bucket list: bounded by N_BUCKETS, a metadata-sized
     # driver collect (NOT a data-plane collect)
@@ -141,4 +151,70 @@ def op_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("last_ts"),
         F.col("event_type").alias("last_type"),
         F.col("value").alias("last_value"),
+    )
+
+
+@query(
+    "op_stream_cdc_delete",
+    oracle="""
+        SELECT user_id, ts AS last_ts, value AS last_value
+        FROM (
+          SELECT user_id, ts, event_id, value,
+                 (event_id % 17 = 0) AS is_delete,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        )
+        WHERE rn = 1 AND NOT is_delete
+    """,
+    notes="CDC upsert WITH tombstones: rows where event_id % 17 = 0 "
+    "are deletes. The subtlety this op pins down: a tombstone must be "
+    "MERGED (so it shadows older upserts of its key inside the "
+    "bucket) and only filtered at serving time — dropping deletes at "
+    "merge time would resurrect the previous version. A key whose "
+    "LATEST version is a tombstone is absent from the snapshot; a "
+    "key deleted then re-upserted reappears. Same 4-micro-batch "
+    "incremental execution and touched-bucket-only rewrite as "
+    "op_stream_cdc_upsert.",
+    tags=("streaming", "io", "dedup", "scale"),
+)
+def op_stream_cdc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow CDC stream with delete tombstones -> snapshot."""
+    from ..catalog import load
+
+    work = tempfile.mkdtemp(prefix="cdcdel_work_")
+    src_dir = os.path.join(work, "src")
+    target_dir = os.path.join(work, "target")
+
+    events = load(spark, sf_dir, "events").withColumn(
+        "is_delete", F.col("event_id") % 17 == 0
+    )
+    events.repartition(4).write.parquet(src_dir)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src_dir).schema
+    ).option("maxFilesPerTrigger", "1").parquet(src_dir)
+
+    cols = CDC_COLS + ("is_delete",)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, _id: cdc_upsert_batch(
+                spark, batch_df, target_dir, cols=cols
+            )
+        )
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    return (
+        spark.read.parquet(target_dir)
+        .filter(~F.col("is_delete"))
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
     )
