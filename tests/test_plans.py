@@ -196,3 +196,15 @@ def test_sessionize_runs_on_one_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     n = plan.count("Exchange hashpartitioning")
     assert n == 1, f"expected exactly 1 exchange, plan has {n}:\n{plan}"
+
+
+def test_corpus_curate_single_exchange_with_group_limit(spark):
+    """The curation composite: quality gate scan-side, dedup keeper
+    chosen via WindowGroupLimit (one row per digest leaves each task
+    before the exchange), shard id a projection — ONE exchange
+    end-to-end."""
+    df = q("op_corpus_curate", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"expected exactly 1 exchange, plan has {n}:\n{plan}"
