@@ -97,6 +97,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "op_sessionize",
     "op_doc_rarity",
     "op_stream_cdc_upsert",
+    "op_stream_cdc_delete",
+    "op_corpus_curate",
+    "op_tpch_q7_nation_volume",
+    "op_tpch_q10_returned_items",
+    "op_table_stats",
     # (a) never driver-verified in ANY round — round-3 below-fold
     # additions; after this window, all 135 round-3 registry queries
     # have a driver row in some round
@@ -124,18 +129,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "op_stratified_sample",
     "op_subquery_scalar",
     # (c) stalest — round-1-verified, never re-verified since
-    "op_row_count",
     "op_agg_global",
-    "op_agg_count_distinct",
     "op_agg_approx_distinct",
-    "op_agg_gsets",
     "op_agg_having",
     "op_agg_mode",
     "op_dedup_ngram_jaccard",
     "op_join_broadcast",
     "op_join_shuffle",
-    "op_join_outer",
-    "op_join_semi",
     "op_join_anti",
     "op_join_theta",
     "op_join_salted",
