@@ -174,14 +174,22 @@ def op_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_custkey, c_name
         FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o
-                          WHERE o.o_custkey = c.c_custkey)
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 300000)
     """,
+    notes="NOT EXISTS as a left-anti join. The price predicate exists "
+    "so the result is NON-EMPTY at every fixture scale (every "
+    "customer has some order, so the unfiltered anti-join verified "
+    "0 = 0 rows — a vacuous check); filtering the build side also "
+    "shows the anti-join's pushdown shape: the predicate prunes "
+    "orders BEFORE the join, not after.",
     tags=("join",),
 )
 def op_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS as a left-anti join (customers with no orders)."""
+    """Customers with no order above 300k — left-anti join against a
+    filtered build side."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
