@@ -74,14 +74,23 @@ def op_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_custkey FROM customer
         EXCEPT
         SELECT o_custkey AS c_custkey FROM orders
+        WHERE o_totalprice > 400000
     """,
+    notes="Set difference, planned as a left-anti join over distinct "
+    "inputs. The price predicate on the subtracted side keeps the "
+    "result NON-EMPTY at every fixture scale (every customer has "
+    "some order, so the unfiltered difference verified 0 = 0 rows — "
+    "vacuous; same fix as op_join_anti, different threshold).",
     tags=("setop",),
 )
 def op_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set difference (customers who never ordered) — plans as a
-    left-anti join over distinct inputs."""
+    """Customers minus those with any 400k+ order."""
     c = load(spark, sf_dir, "customer").select("c_custkey")
-    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return c.exceptAll(o.distinct()).distinct()
 
 
