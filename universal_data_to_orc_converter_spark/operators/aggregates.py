@@ -614,3 +614,52 @@ def op_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("stats")
     )
     return packed.select(F.explode("stats").alias("s")).select("s.*")
+
+
+@query(
+    "op_agg_conditional",
+    oracle="""
+        SELECT l.l_linestatus,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count,
+               CAST(COUNT(*) FILTER (WHERE l.l_returnflag = 'R') AS BIGINT)
+                   AS returned_count
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l.l_linestatus
+    """,
+    notes="TPC-H Q12 shape (adapted to the fixture's columns): "
+    "conditional aggregation — CASE-sum pivoted counters plus a "
+    "FILTER-clause count in one grouped pass. One fact-fact join, one "
+    "rollup; the date predicate pushes to the lineitem scan. All "
+    "integer arithmetic, exact on both engines.",
+    tags=("agg", "join", "composite"),
+)
+def op_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High/low-priority line counts per linestatus in a ship-date
+    window — conditional counters inside a single aggregation."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("low_line_count"),
+            F.count_if(F.col("l_returnflag") == "R")
+            .cast("bigint")
+            .alias("returned_count"),
+        )
+    )
