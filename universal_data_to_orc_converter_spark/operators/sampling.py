@@ -170,3 +170,42 @@ def op_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+@query(
+    "op_grouped_sample",
+    oracle=f"""
+        SELECT doc_id, source, n_chars
+        FROM (
+          SELECT doc_id, source, n_chars,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY {_SQL_SELECTOR}, doc_id) AS rn
+          FROM documents
+        )
+        WHERE rn <= 25
+    """,
+    notes="Exactly-N-per-group sampling: order each group by the "
+    "Knuth-hash draw (a deterministic uniform proxy) and keep the "
+    "first 25 — the 'give me a review sample from every source' op. "
+    "Unlike fraction-based sampling (op_stratified_sample), the "
+    "count per group is EXACT, which audits and eval-set builders "
+    "need. Catalyst plans the rn<=25 filter as WindowGroupLimit: "
+    "each task pre-trims to 25 rows per group before the exchange, "
+    "so a billion-document source still ships only 25 rows per "
+    "task.",
+    tags=("sampling",),
+)
+def op_grouped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25-document sample per source."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    rn = F.row_number().over(
+        W.partitionBy("source").orderBy(_selector(), "doc_id")
+    )
+    return (
+        d.withColumn("rn", rn)
+        .filter(F.col("rn") <= 25)
+        .select("doc_id", "source", "n_chars")
+    )
