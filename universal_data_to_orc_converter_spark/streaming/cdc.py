@@ -218,3 +218,69 @@ def op_stream_cdc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("last_value"),
         )
     )
+
+
+@query(
+    "op_stream_update_counts",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n_events
+        FROM events
+        GROUP BY event_type
+    """,
+    notes="UPDATE output mode semantics (the third mode — every other "
+    "streaming op here runs complete or append): a grouped count over "
+    "a 4-micro-batch stream emits, per batch, only the groups whose "
+    "counts CHANGED. The memory sink therefore accumulates multiple "
+    "versions per key; the serving read takes the last version of "
+    "each group and must equal the batch count — which also verifies "
+    "that the intermediate emissions were monotone per-key versions, "
+    "not duplicates (a duplicate-emitting bug would leave the right "
+    "final row but the take-latest would be ambiguous; the "
+    "batch_seq tiebreak pins it).",
+    tags=("streaming",),
+)
+def op_stream_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped counts under update output mode, multi-batch; serve the
+    latest version per group."""
+    from ..catalog import load
+
+    work = tempfile.mkdtemp(prefix="upd_work_")
+    src_dir = os.path.join(work, "src")
+    events = load(spark, sf_dir, "events")
+    events.repartition(4).write.parquet(src_dir)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src_dir).schema
+    ).option("maxFilesPerTrigger", "1").parquet(src_dir)
+
+    counts = stream.groupBy("event_type").agg(F.count("*").alias("n_events"))
+
+    # foreachBatch stamps each emission with its batch id so the
+    # serving read can take the latest version deterministically
+    out_dir = os.path.join(work, "out")
+
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_seq", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(emit)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    versions = spark.read.parquet(out_dir)
+    rn = F.row_number().over(
+        W.partitionBy("event_type").orderBy(F.desc("batch_seq"))
+    )
+    return (
+        versions.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("event_type", "n_events")
+    )
