@@ -160,3 +160,82 @@ def op_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O").alias("qty_open"),
         F.col("F").alias("qty_finished"),
     )
+
+
+@query(
+    "op_cogroup_asof",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               o_orderkey AS asof_orderkey,
+               o_totalprice AS asof_totalprice
+        FROM (
+          SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                    ORDER BY o.o_orderdate DESC,
+                                             o.o_orderkey DESC) AS rn
+          FROM events e
+          JOIN orders o
+            ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        )
+        WHERE rn = 1
+    """,
+    notes="applyInPandas over a COGROUP — the last pandas-API surface "
+    "(scalar pandas_udf, GROUPED_AGG, grouped-map, and now cogrouped "
+    "map are all exercised): events and orders are co-partitioned by "
+    "user key and each (events, orders) group pair is matched in one "
+    "numpy searchsorted pass — the per-key merge pattern for logic "
+    "the JVM can't express. Same oracle as op_join_asof, so the "
+    "Python path is proven value-identical to the JVM equi+range "
+    "WindowGroupLimit plan. Scale: one co-partitioning shuffle on "
+    "the key; per-group work is O(n log n) in that key's history "
+    "only.",
+    tags=("udf", "join", "streaming"),
+)
+def op_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via cogrouped applyInPandas (numpy searchsorted)."""
+    import numpy as np
+
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+
+    def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                columns=[
+                    "event_id", "user_id", "ts",
+                    "asof_orderkey", "asof_totalprice",
+                ]
+            )
+        # sort orders by (date, orderkey): the rightmost entry with
+        # orderdate <= ts is then the (max date, max orderkey) match —
+        # identical to the oracle's DESC/DESC row_number()=1
+        r = right.sort_values(
+            ["o_orderdate", "o_orderkey"], kind="mergesort"
+        ).reset_index(drop=True)
+        pos = (
+            np.searchsorted(
+                r["o_orderdate"].to_numpy(), left["ts"].to_numpy(),
+                side="right",
+            )
+            - 1
+        )
+        ok = pos >= 0
+        out = left.loc[ok, ["event_id", "user_id", "ts"]].reset_index(
+            drop=True
+        )
+        hit = r.iloc[pos[ok]].reset_index(drop=True)
+        out["asof_orderkey"] = hit["o_orderkey"]
+        out["asof_totalprice"] = hit["o_totalprice"]
+        return out
+
+    return (
+        e.groupBy("user_id")
+        .cogroup(o.groupBy("o_custkey"))
+        .applyInPandas(
+            asof,
+            "event_id long, user_id long, ts timestamp, "
+            "asof_orderkey long, asof_totalprice double",
+        )
+    )
