@@ -663,3 +663,66 @@ def op_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("returned_count"),
         )
     )
+
+
+@query(
+    "op_agg_listagg",
+    oracle="""
+        SELECT n.n_name,
+               string_agg(s.s_name, ',' ORDER BY s.s_name) AS suppliers,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    notes="Ordered string aggregation (LISTAGG / string_agg): names "
+    "concatenated in an explicit ORDER BY inside the aggregate — "
+    "without the order clause the result is partition-order-dependent "
+    "and can never hash-match across engines. Spark 4's listagg "
+    "supports ordered input via sort_array over collect_list "
+    "semantics; here array_join(sort_array(collect_list(...))) spells "
+    "it explicitly so the oracle equivalence is by construction.",
+    tags=("agg",),
+)
+def op_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comma-joined supplier names per nation, deterministically
+    ordered inside the aggregate."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("s_name")), ","
+            ).alias("suppliers"),
+            F.count("*").cast("bigint").alias("n_suppliers"),
+        )
+    )
+
+
+@query(
+    "op_agg_bitwise",
+    oracle="""
+        SELECT event_type,
+               CAST(bit_and(event_id) AS BIGINT) AS band,
+               CAST(bit_or(event_id) AS BIGINT) AS bor,
+               CAST(bit_xor(event_id) AS BIGINT) AS bxor
+        FROM events
+        GROUP BY event_type
+    """,
+    notes="Bitwise aggregates (bit_and/or/xor) — the flag-mask rollup "
+    "(permission masks, feature bitmaps, bloom-ish membership "
+    "folding). Associative + commutative, so map-side partials are "
+    "free and the result is order-independent by algebra, not by "
+    "convention.",
+    tags=("agg",),
+)
+def op_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type bitwise fold of event ids."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.bit_and("event_id").cast("bigint").alias("band"),
+        F.bit_or("event_id").cast("bigint").alias("bor"),
+        F.bit_xor("event_id").cast("bigint").alias("bxor"),
+    )

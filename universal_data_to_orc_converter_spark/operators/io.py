@@ -270,3 +270,52 @@ def op_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_v2"),
         F.sum("n_chars").cast("bigint").alias("v2_chars"),
     )
+
+
+@query(
+    "op_jsonl_corrupt_scan",
+    oracle="""
+        SELECT CASE WHEN doc_id % 13 = 0 THEN '__corrupt__' ELSE lang END
+                   AS lang_bucket,
+               COUNT(*) AS n
+        FROM documents
+        GROUP BY 1
+    """,
+    notes="PERMISSIVE corrupt-record handling — what real ingestion "
+    "hits daily: a JSONL feed where some lines are malformed. Every "
+    "13th document is written truncated mid-object; the read-back "
+    "uses an explicit schema + columnNameOfCorruptRecord, so bad "
+    "lines land in the corrupt column (other fields null) instead of "
+    "failing the job or being silently dropped (FAILFAST/DROPMALFORMED "
+    "are the alternatives). The oracle knows exactly which lines were "
+    "corrupted, so the engine's malformed-line accounting is "
+    "hash-checked, not just smoke-tested.",
+    tags=("io",),
+)
+def op_jsonl_corrupt_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write JSONL with deterministic corruption, read PERMISSIVE,
+    count good rows per lang and corrupt rows."""
+    d = load(spark, sf_dir, "documents")
+    line = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(F.lit('{"doc_id": '), F.col("doc_id"), F.lit(', "lang": ')),
+    ).otherwise(F.to_json(F.struct("doc_id", "lang")))
+    work = tempfile.mkdtemp(prefix="jsonl_corrupt_")
+    path = os.path.join(work, "feed")
+    d.select(line.alias("value")).write.text(path)
+
+    back = (
+        spark.read.schema("doc_id long, lang string, _bad string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(path)
+    )
+    return (
+        back.select(
+            F.when(F.col("_bad").isNotNull(), "__corrupt__")
+            .otherwise(F.col("lang"))
+            .alias("lang_bucket")
+        )
+        .groupBy("lang_bucket")
+        .agg(F.count("*").alias("n"))
+    )
