@@ -816,3 +816,133 @@ def op_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "op_tpch_q4_order_priority",
+    oracle="""
+        SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o.o_orderpriority
+    """,
+    notes="TPC-H Q4 shape (order-priority checking): a correlated "
+    "EXISTS planned as a LEFT SEMI join — the fact side is reduced "
+    "to matching order keys before any aggregation, and the date "
+    "window pushes to the orders scan. The semi join never "
+    "duplicates orders however many lineitems match (the bug a "
+    "naive inner-join + distinct rewrite invites).",
+    tags=("join", "agg", "composite"),
+)
+def op_tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with at least one late-shipped line, counted by
+    priority."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    matched = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("order_count")
+    )
+
+
+@query(
+    "op_tpch_q14_promo_share",
+    oracle=f"""
+        SELECT
+            {sql_dsum("CASE WHEN p.p_type = 'PROMO' "
+                      "THEN l.l_extendedprice * (1 - l.l_discount) "
+                      "ELSE 0.0 END", "promo_revenue")},
+            {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "total_revenue")}
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l.l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+    notes="TPC-H Q14 shape (promotion effect): a global conditional "
+    "revenue split over a fact-dim join — part broadcasts, the month "
+    "predicate pushes to the lineitem scan, and both sums ride the "
+    "fixed-point decimal convention so the answer is bit-exact. The "
+    "promo/total RATIO is left to the consumer: dividing two "
+    "exact-integer-backed doubles is deterministic, but publishing "
+    "both numerators keeps the oracle integer-exact.",
+    tags=("join", "agg", "composite"),
+)
+def op_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo vs total revenue for one ship month."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.when(
+        F.col("p_type") == "PROMO", revenue()
+    ).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            dsum(promo, "promo_revenue"),
+            dsum(revenue(), "total_revenue"),
+        )
+    )
+
+
+@query(
+    "op_tpch_q19_disjunctive",
+    oracle=f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+           OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 10 AND 30
+               AND l.l_quantity >= 5 AND l.l_quantity <= 30)
+           OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 20 AND 50
+               AND l.l_quantity >= 10 AND l.l_quantity <= 40)
+    """,
+    notes="TPC-H Q19 shape (disjunctive predicates): an OR of three "
+    "brand/size/quantity conjunction groups spanning BOTH join "
+    "sides. Catalyst cannot push the whole disjunction below the "
+    "join, but it derives and pushes the per-side implied "
+    "disjunctions (brand IN (...), size ranges on part; quantity "
+    "range on lineitem) — the constraint-propagation behavior this "
+    "op pins. Discount/shipmode clauses from the original are "
+    "dropped (columns differ) but the optimizer-relevant structure "
+    "is intact.",
+    tags=("join", "composite"),
+)
+def op_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs brand/size/quantity revenue."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    c1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#7")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(5, 30)
+    )
+    c3 = (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(10, 40)
+    )
+    return j.filter(c1 | c2 | c3).agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        dsum(revenue(), "revenue"),
+    )
