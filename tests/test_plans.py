@@ -208,3 +208,22 @@ def test_corpus_curate_single_exchange_with_group_limit(spark):
     assert "WindowGroupLimit" in plan
     n = plan.count("Exchange hashpartitioning")
     assert n == 1, f"expected exactly 1 exchange, plan has {n}:\n{plan}"
+
+
+def test_q19_pushes_implied_disjunctions_to_both_scans(spark):
+    """The OR-of-ANDs spans both join sides; Catalyst must derive and
+    push each side's implied disjunction (quantity ranges to lineitem,
+    brand/size groups to part) — without it, 100 TB of lineitem is
+    scanned unfiltered."""
+    df = q("op_tpch_q19_disjunctive", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    li_scan = [
+        seg for seg in plan.split("FileScan parquet")
+        if "lineitem.parquet" in seg
+    ][0]
+    p_scan = [
+        seg for seg in plan.split("FileScan parquet")
+        if "part.parquet" in seg
+    ][0]
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in li_scan
+    assert "EqualTo(p_brand,Brand#1)" in p_scan

@@ -125,3 +125,58 @@ def op_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id", F.explode(F.map_keys(m)).alias("prop_key")
     )
+
+
+@query(
+    "op_posexplode_outer",
+    oracle="""
+        SELECT doc_id, n_tok, u.pos, u.tok
+        FROM (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS BIGINT) AS n_tok,
+                 CASE WHEN len(toks) = 0
+                      THEN [{'pos': CAST(-1 AS BIGINT),
+                             'tok': CAST(NULL AS VARCHAR)}]
+                      ELSE [{'pos': CAST(i - 1 AS BIGINT),
+                             'tok': toks[CAST(i AS INT)]}
+                            FOR i IN generate_series(1, len(toks))]
+                 END AS entries
+          FROM (
+            SELECT doc_id, text,
+                   list_filter(string_split(lower(substr(text, 1, 40)), ' '),
+                               x -> x <> '') AS toks
+            FROM documents
+          )
+        ) d, LATERAL unnest(entries) AS t(u)
+    """,
+    notes="posexplode_outer: position-preserving explode that KEEPS "
+    "rows whose array is empty (plain explode silently drops them — "
+    "the classic lost-document bug in tokenize pipelines). Documents "
+    "whose 40-char prefix has no tokens survive as a (pos=-1, "
+    "tok=NULL) row. DuckDB lacks WITH ORDINALITY, so the oracle "
+    "builds (pos, tok) structs with a list comprehension and unnests "
+    "those; both sides use 0-based positions with -1 for the empty "
+    "case.",
+    tags=("semistructured",),
+)
+def op_posexplode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal-tagged token explode that keeps empty documents."""
+    from ..operators.textprep import tokens
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+        tokens(F.substring("text", 1, 40)).alias("toks"),
+    )
+    exploded = d.select(
+        "doc_id",
+        "n_tok",
+        F.posexplode_outer("toks").alias("pos", "tok"),
+    )
+    return exploded.select(
+        "doc_id",
+        "n_tok",
+        F.coalesce(F.col("pos").cast("bigint"), F.lit(-1)).alias("pos"),
+        "tok",
+    )

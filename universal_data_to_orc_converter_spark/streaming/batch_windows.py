@@ -619,3 +619,51 @@ def op_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
         ).alias("duration_us"),
     )
+
+
+@query(
+    "op_win_time_range",
+    oracle=f"""
+        SELECT user_id, ts, event_id,
+               COUNT(*) OVER w AS n_7d,
+               {{}}
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                           AND CURRENT ROW)
+    """.format(
+        "CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) OVER w "
+        "AS DOUBLE) / 1000000.0 AS sum_7d"
+    ),
+    notes="Time-interval RANGE frame: a 7-day trailing window per "
+    "user, bounded by event TIME, not row count — the moving-metric "
+    "idiom (trailing spend, rolling error rate) that rows-frames get "
+    "wrong whenever event density varies. Spark expresses the frame "
+    "in epoch seconds (rangeBetween over a cast ORDER BY key, "
+    "value-identical to DuckDB's INTERVAL frame for microsecond "
+    "timestamps); the fixed-point sum keeps the aggregate exact. "
+    "Same-ts rows are PEERS in a range frame on both engines, so no "
+    "tiebreak is needed for determinism.",
+    tags=("window", "timeseries"),
+)
+def op_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing count + exact sum per user, time-bounded."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    # rangeBetween needs a numeric ORDER BY key; unix_micros + a
+    # microsecond bound makes the frame boundary exact for any
+    # microsecond timestamp (both engines' bounds are inclusive)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7 * 24 * 3600 * 1_000_000, 0)
+    )
+    scaled = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("bigint")
+    return e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.count("*").over(w).alias("n_7d"),
+        (F.sum(scaled).over(w).cast("double") / 1_000_000.0).alias("sum_7d"),
+    )
