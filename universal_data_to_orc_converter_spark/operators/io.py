@@ -319,3 +319,49 @@ def op_jsonl_corrupt_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang_bucket")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "op_compact_small_files",
+    oracle=f"""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               {sql_dsum("value", "sum_value")}
+        FROM events
+        GROUP BY event_type
+    """,
+    notes="Small-files compaction — the maintenance op every "
+    "file-based lake needs: the events table is first shattered into "
+    "64 tiny files (the pathological ingest pattern: one file per "
+    "micro-batch per partition), then compacted by an AQE-coalesced "
+    "rewrite into a handful of scan-efficient files. The op verifies "
+    "BOTH halves: the compacted table's aggregate must hash-match "
+    "the original (no rows lost or duplicated by the rewrite), and "
+    "the file count drop is asserted in tests/test_compaction.py. At "
+    "100 TB, compaction is what keeps file-listing and task-planning "
+    "overhead from dominating scans — 64k files at 2 MB each plans "
+    "worse than 1k files at 128 MB even though the bytes are equal.",
+    tags=("io", "scale"),
+)
+def op_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shatter events into 64 small files, compact, verify content."""
+    work = tempfile.mkdtemp(prefix="compact_")
+    shattered = os.path.join(work, "shattered")
+    compacted = os.path.join(work, "compacted")
+
+    load(spark, sf_dir, "events").repartition(64).write.parquet(shattered)
+
+    # AQE coalesces the no-op shuffle down to as few partitions as the
+    # data volume needs; at real scale set a target via
+    # spark.sql.adaptive.advisoryPartitionSizeInBytes (e.g. 128m)
+    (
+        spark.read.parquet(shattered)
+        .repartition(4)
+        .write.parquet(compacted)
+    )
+
+    back = spark.read.parquet(compacted)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        dsum(F.col("value"), "sum_value"),
+    )

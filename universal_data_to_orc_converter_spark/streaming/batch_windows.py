@@ -667,3 +667,47 @@ def op_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_7d"),
         (F.sum(scaled).over(w).cast("double") / 1_000_000.0).alias("sum_7d"),
     )
+
+
+@query(
+    "op_stream_static_join",
+    oracle=f"""
+        SELECT n.n_name,
+               COUNT(*) AS n_events,
+               {{}}
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """.format(sql_dsum("e.value", "sum_value")),
+    notes="Stream-STATIC join (the enrichment pattern: an unbounded "
+    "fact stream decorated with slowly-changing dimensions): the "
+    "events stream joins two batch tables — customer then nation — "
+    "which Spark re-plans as broadcasts against every micro-batch, "
+    "needing NO state store (unlike stream-stream joins, which "
+    "buffer both sides under watermarks). Executed availableNow with "
+    "a complete-mode grouped rollup; hash-checked against the static "
+    "three-table join.",
+    tags=("streaming", "join"),
+)
+def op_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event stream enriched with customer->nation dims, rolled up per
+    nation."""
+    from ..catalog import load as load_batch
+    from .runner import read_events_stream, run_available_now
+
+    stream = read_events_stream(spark, sf_dir)
+    c = load_batch(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_batch(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    enriched = stream.join(
+        F.broadcast(c), stream.user_id == c.c_custkey
+    ).join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+    agg = enriched.groupBy("n_name").agg(
+        F.count("*").alias("n_events"),
+        dsum(F.col("value"), "sum_value"),
+    )
+    return run_available_now(agg, output_mode="complete")
