@@ -57,9 +57,31 @@ def _norm(v):
     return v
 
 
-def assert_frames_match(spark_df, duck_rel, name=""):
+def assert_frames_match(spark_df, duck_rel, name="", allow_complex=False):
     """Driver-gate replica: same row count, same column names, same
-    multiset of value tuples (columns sorted by name, rows sorted)."""
+    multiset of value tuples (columns sorted by name, rows sorted).
+
+    Unlike this repr-sorting replica, the DRIVER's canonicalizer
+    pandas-``sort_values``-es every column and dies on unhashable cells
+    (``TypeError: unhashable type: 'list'`` — the r4
+    ``op_embedding_quantize`` red row). Reject array/map/struct output
+    columns up front so a query that would crash the driver fails HERE
+    first; stringify (``array_join`` / ``to_json``) on both sides
+    instead, or pass ``allow_complex=True`` for internal-only
+    comparisons that never reach the driver."""
+    if not allow_complex:
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        bad = [
+            f.name
+            for f in spark_df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        assert not bad, (
+            f"{name}: columns {bad} are array/map/struct-typed — the "
+            "driver's canonicalizer cannot hash them; emit a canonical "
+            "string (array_join / to_json) on both sides"
+        )
     s_cols = sorted(spark_df.columns)
     d_cols = sorted(duck_rel.columns)
     assert s_cols == d_cols, f"{name}: columns {s_cols} != {d_cols}"

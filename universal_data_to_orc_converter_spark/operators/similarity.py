@@ -603,7 +603,7 @@ def op_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT vec_id,
                CAST(scale AS DOUBLE) AS scale,
-               codes,
+               array_to_string(codes, ',') AS codes,
                CAST(list_sum(list_transform(range(1, len(embedding) + 1), i ->
                       CAST(FLOOR((embedding[i] - codes[i] * (CAST(scale AS DOUBLE) / 127.0))
                                  * (embedding[i] - codes[i] * (CAST(scale AS DOUBLE) / 127.0))
@@ -645,10 +645,15 @@ def op_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.5)
         ).cast("bigint"),
     )
+    # The driver's canonicalizer pandas-sorts every column and cannot
+    # hash list cells (r4 red row) — emit codes as a canonical CSV
+    # string on both sides instead of a raw array<int>.
     return with_codes.select(
         "vec_id",
         dscale.alias("scale"),
-        "codes",
+        F.array_join(
+            F.transform("codes", lambda c: c.cast("string")), ","
+        ).alias("codes"),
         (
             F.aggregate(err, F.lit(0).cast("bigint"), lambda a, e: a + e)
             .cast("double")
