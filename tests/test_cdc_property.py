@@ -54,11 +54,13 @@ def test_any_batch_split_converges(spark, assignment, order):
     rows = [(r[0] % 6, r[1], r[2], r[3], r[4]) for r in ROWS]
     target = tempfile.mkdtemp(prefix="cdc_prop_") + "/tbl"
     for b in order:
+        # empty batches are NOT skipped: checkpoint recovery can
+        # redeliver an empty micro-batch and the merge must no-op on it
         batch = [r for r, a in zip(rows, assignment) if a == b]
-        if not batch:
-            continue
         cdc_upsert_batch(
-            spark, spark.createDataFrame(batch, SCHEMA), target
+            spark,
+            spark.createDataFrame(batch, SCHEMA),
+            target,
         )
     got = {
         r.user_id: r.value

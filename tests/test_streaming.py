@@ -329,3 +329,48 @@ def test_tws_stateful_matches_legacy_api(spark):
         )
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_sessionize_equals_batch_below_watermark(spark):
+    """The multi-batch append-mode session stream must emit exactly the
+    batch session_window result restricted to sessions the final
+    watermark finalized (end <= ms-truncated max event time) — one row
+    per session, no duplicates, none missing, Spark-vs-Spark (the
+    DuckDB oracle covers the same contract cross-engine)."""
+    from universal_data_to_orc_converter_spark.streaming.runner import (
+        run_available_now,
+    )
+    from universal_data_to_orc_converter_spark.streaming.sessionize_stream import (
+        SESSION_GAP,
+        sessionized_stream,
+    )
+
+    streamed = run_available_now(
+        sessionized_stream(spark, SF_DIR), output_mode="append"
+    )
+
+    ev = load(spark, SF_DIR, "events").select("user_id", "ts")
+    wm = ev.agg(
+        F.date_trunc("millisecond", F.max("ts")).alias("wm")
+    ).collect()[0].wm
+    # NB: do NOT filter on w.end — Catalyst pushes a session_window.end
+    # predicate below MergingSessions into the scan (ts + gap <= wm),
+    # which removes events BEFORE merging and splits straddling
+    # sessions. Filtering on the agg output max(ts) is not pushable.
+    batch = (
+        ev.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.max("ts").alias("last_ts"))
+        .filter(
+            F.col("last_ts") + F.expr("INTERVAL 30 MINUTES") <= F.lit(wm)
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    s_rows = sorted(map(tuple, streamed.collect()))
+    b_rows = sorted(map(tuple, batch.collect()))
+    assert len(s_rows) == len(set(s_rows)), "duplicate session emissions"
+    assert s_rows == b_rows

@@ -85,66 +85,75 @@ def query(
 DRIVER_PRIORITY: tuple[str, ...] = (
     # headline flagship — always in the window
     "flagship_revenue_by_nation",
-    # (b) regression set: streaming reader's timestamp handling was
-    # rewritten this round (runner.read_events_stream — the r3 wrong
-    # answer); every op that consumes the stream reader re-verifies
-    "op_stream_availablenow",
-    "op_stream_watermark",
-    "op_stream_stateful",
-    "op_stream_dedup",
-    "op_stream_interval_join",
-    # (b) NEW in round 4 — first driver verification
-    "op_sessionize",
-    "op_doc_rarity",
-    "op_stream_cdc_upsert",
-    "op_stream_cdc_delete",
-    "op_corpus_curate",
-    "op_tpch_q7_nation_volume",
-    "op_tpch_q10_returned_items",
-    "op_table_stats",
-    # (a) never driver-verified in ANY round — round-3 below-fold
-    # additions; after this window, all 135 round-3 registry queries
-    # have a driver row in some round
-    "op_tpch_q3_shipping_priority",
-    "op_tpch_q13_order_counts",
-    "op_tpch_q18_large_orders",
-    "op_unpivot",
-    "op_sql_passthrough",
-    "op_histogram",
-    "op_zscore_anomaly",
-    "op_bm25",
-    "op_span_corruption",
+    # (0) r4's ONE red row: the driver's canonicalizer crashed on the
+    # list-typed codes column; now emitted as a CSV string on both
+    # sides — must re-verify externally this round
     "op_embedding_quantize",
-    "op_latest_by_key",
-    "op_jsonl_roundtrip",
-    "op_agg_approx_quantile",
-    "op_schema_evolution_scan",
-    # family representatives for families whose members are otherwise
-    # all below the fold this round (stalest member of each picked)
-    "op_win_topk_group",
-    "op_topk",
-    "op_str_funcs",
-    "op_map_funcs",
-    "op_udaf",
-    "op_stratified_sample",
-    "op_subquery_scalar",
-    # (c) stalest — round-1-verified, never re-verified since
-    "op_agg_global",
-    "op_agg_approx_distinct",
-    "op_agg_having",
-    "op_agg_mode",
-    "op_dedup_ngram_jaccard",
-    "op_join_broadcast",
-    "op_join_shuffle",
-    "op_join_anti",
-    "op_join_theta",
-    "op_join_salted",
-    "op_multimodal_decode",
-    "op_project",
-    "op_filter_compound",
-    "op_union_mixed_schema",
-    "op_sim_ann_lsh",
+    # (a) never driver-verified in ANY round — the 14 ops registered
+    # after r4's window froze (local oracle green only until now)
+    "op_tpch_q4_order_priority",
+    "op_tpch_q14_promo_share",
+    "op_tpch_q19_disjunctive",
+    "op_agg_conditional",
+    "op_agg_listagg",
+    "op_agg_bitwise",
+    "op_grouped_sample",
+    "op_win_time_range",
+    "op_posexplode_outer",
+    "op_stream_static_join",
+    "op_stream_update_counts",
+    "op_cogroup_asof",
+    "op_jsonl_corrupt_scan",
+    "op_compact_small_files",
+    # (b) NEW in round 5 — first driver verification
+    "op_stream_sessionize",
+    # (c) r1-verified-only stragglers rotated out in r4 — stalest rows
+    # in the ledger (COVERAGE.md)
+    "op_join_nullsafe",
+    "op_union_distinct",
+    "op_except",
+    "op_agg_rollup",
+    "op_agg_cube",
+    "op_join_range_bucketized",
+    "op_select_star",
+    "op_row_count",
+    "op_agg_count_distinct",
+    "op_agg_gsets",
+    "op_join_outer",
+    "op_join_semi",
+    # (d) stalest r2-verified names, chosen to keep ≥1 rep of every
+    # SURVEY §2 family inside the window
+    "op_limit_offset",
+    "op_cast",
+    "op_math_funcs",
+    "op_regexp",
+    "op_dedup_minhash_lsh",
+    "op_dedup_embedding",
+    "op_multimodal_audio",
+    "op_lang_id",
+    "op_vocab_encode",
+    "op_udf_scalar",
+    "op_stream_sliding",
+    "op_stream_session",
+    "op_win_rank",
+    "op_array_funcs",
+    "op_pivot",
+    "op_union_all",
+    "op_subquery_correlated",
+    "op_token_count",
+    "op_date_funcs",
+    "op_json_funcs",
+    "op_null_handling",
 )
+
+#: Names registered AFTER this round's DRIVER_PRIORITY was pinned that
+#: deliberately wait below the fold for the next rotation. Every
+#: registered query must be (1) in DRIVER_PRIORITY, (2) already
+#: driver-verified in a prior round's CORRECTNESS file, or (3) listed
+#: here — tests/test_registry_order.py fails otherwise, so a
+#: post-freeze registration can never again be silently unverified
+#: (r4 accumulated 14 such names before this gate existed).
+BELOW_FOLD_R5: frozenset[str] = frozenset()
 
 
 def load_all_queries() -> dict[str, QuerySpec]:

@@ -73,6 +73,13 @@ def cdc_upsert_batch(
     # driver collect (NOT a data-plane collect)
     touched = [r.bucket for r in latest.select("bucket").distinct().collect()]
 
+    # An empty micro-batch (availableNow checkpoint recovery can
+    # redeliver one) touches nothing: writing it through staging would
+    # produce a partfile-less directory that read.parquet cannot infer
+    # a schema from. State is already correct — skip the merge.
+    if not touched:
+        return
+
     if os.path.isdir(target_dir) and touched:
         current = spark.read.parquet(target_dir).filter(
             F.col("bucket").isin(touched)
