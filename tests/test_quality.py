@@ -371,3 +371,53 @@ def test_span_corruption_reconstructs_original(spark):
                 toks.append(tok)
         assert toks == orig, r["doc_id"]
         assert ti == len(tgt), r["doc_id"]
+
+
+def test_ivf_recall_on_clustered_corpus(spark):
+    """The fixture's random vectors are IVF's information-theoretic
+    worst case (recall ≈ probed-cell fraction). This test shows the
+    SAME ivf_topk code path in the regime IVF exists for: a corpus
+    with genuine cluster structure, where the quantizer's cells align
+    with the data and nprobe=4/16 recovers ≥0.9 of the true top-10 —
+    proving r4's measured 0.53 on random vectors is a property of
+    that data, not an implementation defect."""
+    import numpy as np
+
+    from universal_data_to_orc_converter_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    n_clusters, per_cluster, dim = 16, 125, 32
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    # tight clusters: noise small vs inter-center distance
+    vecs = np.repeat(centers, per_cluster, axis=0) + 0.15 * rng.normal(
+        size=(n_clusters * per_cluster, dim)
+    )
+    order = rng.permutation(len(vecs))  # queries span many clusters
+    vecs = vecs[order]
+
+    em = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    n_query, top_k = 20, 10
+    got = ivf_topk(
+        spark, em, n_cells=16, n_probe=4, n_query=n_query, top_k=top_k
+    )
+    ann = {(r["q_id"], r["vec_id"]) for r in got.collect()}
+
+    # exact ground truth in numpy: cosine top-k excluding self
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = unit[:n_query] @ unit.T
+    exact = set()
+    for q in range(n_query):
+        s = sims[q].copy()
+        s[q] = -np.inf
+        # exact top-k with the same (score desc, vec_id asc) tiebreak
+        idx = sorted(range(len(s)), key=lambda i: (-s[i], i))[:top_k]
+        exact |= {(q, i) for i in idx}
+
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.9, f"clustered-corpus IVF recall {recall:.3f} < 0.9"

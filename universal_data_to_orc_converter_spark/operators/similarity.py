@@ -349,38 +349,31 @@ def op_dedup_embedding_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "op_sim_ann_ivf",
-    oracle=None,
-    notes="IVF-Flat ANN: KMeans(seed=42) coarse quantizer → queries "
-    "probe the nprobe=4 nearest cells → exact cosine within probed "
-    "cells. Deterministic (seeded init over a deterministic input "
-    "partitioning) but model-dependent — rows-only; recall vs "
-    "op_sim_topk asserted in tests/test_quality.py. Note: the random "
-    "fixture vectors are IVF's worst case (no cluster structure, so "
-    "true neighbors scatter uniformly — recall ~53% at 25% of cells "
-    "probed ≈ the information-theoretic floor); real embedding "
-    "corpora cluster, which is the regime IVF exists for.",
-    tags=("similarity", "approx"),
-)
-def op_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted-file ANN: the corpus is partitioned into Voronoi cells
-    by a trained coarse quantizer; a query scores only the few cells
-    whose centroids are nearest. At 100 TB the cell id becomes the
-    table's partition key, so a query's probe set maps to partition
-    pruning — the scan never touches the other cells."""
+def ivf_topk(
+    spark: SparkSession,
+    em: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_query: int = _N_QUERY_VECS,
+    top_k: int = _TOP_K,
+) -> DataFrame:
+    """IVF-Flat search core over any (vec_id, embedding) DataFrame:
+    train the coarse quantizer, assign corpus vectors to their nearest
+    cell, probe the ``n_probe`` best cells per query (queries =
+    vec_id < n_query), exact cosine within probed cells, top-k. Shared
+    by op_sim_ann_ivf (fixture corpus) and the clustered-corpus recall
+    test in tests/test_quality.py — same code path, different data
+    regime."""
     from pyspark.sql import Window as W
 
-    n_cells, n_probe = 16, 4
-
     par = spark.sparkContext.defaultParallelism
-    em = load(spark, sf_dir, "embeddings").repartition(par, "vec_id")
+    em = em.repartition(par, "vec_id")
     unit = _unit_vectors(em).cache()
     # each corpus vector in exactly its nearest cell
     assigned, centers_df = _ivf_index(spark, unit, n_cells, n_assign=1)
 
     # queries probe their n_probe best cells
-    queries_df = assigned.filter(F.col("vec_id") < _N_QUERY_VECS).select(
+    queries_df = assigned.filter(F.col("vec_id") < n_query).select(
         F.col("vec_id").alias("q_id"), F.col("u").alias("q_u")
     )
     probe = (
@@ -406,9 +399,34 @@ def op_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.select("q_id", "vec_id", cos.alias("cosine"))
         .withColumn("rn", F.row_number().over(w_rank))
-        .filter(F.col("rn") <= _TOP_K)
+        .filter(F.col("rn") <= top_k)
         .select("q_id", "vec_id", "cosine")
     )
+
+
+@query(
+    "op_sim_ann_ivf",
+    oracle=None,
+    notes="IVF-Flat ANN: KMeans(seed=42) coarse quantizer → queries "
+    "probe the nprobe=4 nearest cells → exact cosine within probed "
+    "cells. Deterministic (seeded init over a deterministic input "
+    "partitioning) but model-dependent — rows-only; recall vs "
+    "op_sim_topk asserted in tests/test_quality.py. Note: the random "
+    "fixture vectors are IVF's worst case (no cluster structure, so "
+    "true neighbors scatter uniformly — recall ~53% at 25% of cells "
+    "probed ≈ the information-theoretic floor); real embedding "
+    "corpora cluster, which is the regime IVF exists for — the "
+    "clustered-corpus recall test in tests/test_quality.py runs this "
+    "same ivf_topk code path at ≥0.9 recall.",
+    tags=("similarity", "approx"),
+)
+def op_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-file ANN: the corpus is partitioned into Voronoi cells
+    by a trained coarse quantizer; a query scores only the few cells
+    whose centroids are nearest. At 100 TB the cell id becomes the
+    table's partition key, so a query's probe set maps to partition
+    pruning — the scan never touches the other cells."""
+    return ivf_topk(spark, load(spark, sf_dir, "embeddings"))
 
 
 @query(
