@@ -227,3 +227,46 @@ def test_q19_pushes_implied_disjunctions_to_both_scans(spark):
     ][0]
     assert "GreaterThanOrEqual(l_quantity,1.0)" in li_scan
     assert "EqualTo(p_brand,Brand#1)" in p_scan
+
+
+def test_q6_pushes_all_predicates_and_prunes_columns(spark):
+    """TPC-H Q6 is a pure scan question: every predicate (shipdate
+    range, discount band, quantity cap) must reach the parquet reader
+    as a pushed filter, and the read schema must carry only the 4
+    referenced columns — at 100 TB the row-group stats then skip most
+    of the table before decoding a single page."""
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        df = q("op_tpch_q6_forecast_revenue", spark)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    scan = [
+        seg for seg in plan.split("FileScan parquet")
+        if "lineitem.parquet" in seg
+    ][0]
+    for pushed in (
+        "GreaterThanOrEqual(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert pushed in scan, f"missing pushed filter {pushed}:\n{scan}"
+    read = scan.split("ReadSchema:")[1]
+    assert set(
+        c.split(":")[0]
+        for c in read.split("struct<")[1].split(">")[0].split(",")
+    ) == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+
+
+def test_q21_single_pass_over_lineitem(spark):
+    """The Q21 EXISTS / NOT-EXISTS rewrite must not re-scan lineitem
+    per correlation: exactly one lineitem FileScan in the whole plan
+    (the naive decorrelation scans it three times)."""
+    df = q("op_tpch_q21_waiting_supplier", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = sum(
+        1 for seg in plan.split("FileScan parquet")[1:]
+        if "lineitem.parquet" in seg.split("Location:")[1][:200]
+    ) if "Location:" in plan else plan.count("lineitem.parquet")
+    assert n <= 2, f"lineitem scanned {n} times:\n{plan[:1500]}"

@@ -1,0 +1,712 @@
+"""TPC-H composite shapes Q2/Q5/Q6/Q8/Q9/Q11/Q15/Q16/Q20/Q21/Q22 —
+completing the 22-query suite (Q1≈op_agg_groupby, Q3/Q4/Q7/Q10/Q13/
+Q14/Q18/Q19 in joins.py, Q12≈op_agg_conditional, Q17≈
+op_subquery_correlated).
+
+The fixture is a TPC-H *subset*: no ``partsupp`` table, no
+``l_commitdate``/``l_receiptdate``, no phone/address/comment columns.
+Queries that reference those get a documented **fixture adaptation**
+that preserves the *plan shape* being exercised (the correlated-min
+of Q2, the nested semi-joins of Q20, the exists/not-exists of Q21,
+the anti-join + scalar subquery of Q22) — the adaptation is stated in
+each query's notes, and the DuckDB oracle runs the identical adapted
+semantics, so correctness is still externally checked end-to-end.
+
+Exactness follows the repo conventions (exprs.py): every double SUM
+goes through the fixed-point path, LIMIT queries order by a total
+order, and year() results are cast to the same integer type on both
+sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..exprs import dsum, revenue, sql_dsum
+from ..registry import query
+
+
+def _ts(s: str) -> F.Column:
+    return F.lit(s).cast("timestamp")
+
+
+@query(
+    "op_tpch_q5_local_supplier",
+    oracle=f"""
+        SELECT n.n_name,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+        FROM customer c
+        JOIN orders o   ON c.c_custkey   = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey   = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, n.n_name
+    """,
+    notes="TPC-H Q5 (local supplier volume): the 6-table join with the "
+    "extra c_nationkey = s_nationkey equi-condition that makes the "
+    "customer->supplier pairing 'local'. region/nation broadcast; the "
+    "fact join keys carry the rest. At 100 TB lineitem⋈orders is the "
+    "one real shuffle; everything else rides broadcasts, and the "
+    "region filter prunes 4/5 of nations before any fact row joins.",
+    tags=("join", "agg", "composite", "tpch"),
+)
+def op_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation where customer and supplier share a nation."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-01-01"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(c),
+            (o.o_custkey == c.c_custkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue(), "revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "op_tpch_q6_forecast_revenue",
+    oracle=f"""
+        SELECT {sql_dsum("l_extendedprice * l_discount", "revenue")}
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    notes="TPC-H Q6 (forecast revenue change): the pure scan-side "
+    "query — three conjunctive predicates and a global sum, no join, "
+    "no group. The whole WHERE clause must reach the parquet reader "
+    "as PushedFilters (plan-asserted in tests/test_plans.py): at "
+    "100 TB this query is a row-group-pruned scan plus a one-number "
+    "map-side partial agg, the cheapest possible full-table question.",
+    tags=("agg", "composite", "tpch", "scale"),
+)
+def op_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global revenue delta from discount-band lineitems."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue")
+    )
+
+
+@query(
+    "op_tpch_q2_min_cost_supplier",
+    oracle="""
+        WITH offers AS (
+          SELECT l_partkey, l_suppkey,
+                 MIN(l_extendedprice / l_quantity) AS unit_price
+          FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        eu AS (
+          SELECT s.s_suppkey, s.s_acctbal, s.s_name, n.n_name
+          FROM supplier s
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'EUROPE'
+        )
+        SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, o.unit_price
+        FROM part p
+        JOIN offers o ON o.l_partkey = p.p_partkey
+        JOIN eu e     ON o.l_suppkey = e.s_suppkey
+        WHERE p.p_size = 15
+          AND o.unit_price = (
+            SELECT MIN(o2.unit_price)
+            FROM offers o2 JOIN eu e2 ON o2.l_suppkey = e2.s_suppkey
+            WHERE o2.l_partkey = p.p_partkey
+          )
+        ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+        LIMIT 20
+    """,
+    notes="TPC-H Q2 shape (minimum-cost supplier): the correlated-MIN "
+    "subquery over a multi-join. FIXTURE ADAPTATION: no partsupp "
+    "table, so the supplier-part offer is derived from lineitem as "
+    "MIN(l_extendedprice / l_quantity) per (partkey, suppkey) — same "
+    "correlated 'price = per-part minimum' structure, checked by the "
+    "identical adapted oracle. Spark decorrelates via a rank-1 window "
+    "over the part id instead of a per-part rescan; unit prices are "
+    "IEEE-identical divisions of identical parquet doubles, so the "
+    "min-equality join matches bit-for-bit across engines. The "
+    "offers aggregate shuffles (partkey, suppkey) pairs only — "
+    "lineitem's raw rows never cross the wire at 100 TB.",
+    tags=("join", "subquery", "composite", "tpch"),
+)
+def op_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest EUROPE supplier(s) per size-15 part."""
+    li = load(spark, sf_dir, "lineitem")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "unit_price"
+        )
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_size") == 15
+    )
+    joined = (
+        offers.join(F.broadcast(eu), offers.l_suppkey == eu.s_suppkey)
+        .join(F.broadcast(p), offers.l_partkey == p.p_partkey)
+    )
+    # decorrelate: per-part min over the joined offers, keep the rows
+    # that achieve it (rank over min — ties all kept, as in SQL)
+    w = W.partitionBy("p_partkey")
+    best = joined.withColumn(
+        "min_price", F.min("unit_price").over(w)
+    ).filter(F.col("unit_price") == F.col("min_price"))
+    return (
+        best.select("s_acctbal", "s_name", "n_name", "p_partkey", "unit_price")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+@query(
+    "op_tpch_q8_market_share",
+    oracle=f"""
+        WITH vols AS (
+          SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume,
+                 sn.n_name AS supp_nation
+          FROM lineitem l
+          JOIN orders o    ON l.l_orderkey  = o.o_orderkey
+          JOIN customer c  ON o.o_custkey   = c.c_custkey
+          JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+          JOIN region r    ON cn.n_regionkey = r.r_regionkey
+          JOIN supplier s  ON l.l_suppkey   = s.s_suppkey
+          JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+          JOIN part p      ON l.l_partkey   = p.p_partkey
+          WHERE r.r_name = 'AMERICA'
+            AND p.p_type = 'ECONOMY'
+            AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+        )
+        SELECT o_year,
+               {sql_dsum("CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END", "nation_volume")},
+               {sql_dsum("volume", "total_volume")}
+        FROM vols
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    notes="TPC-H Q8 (national market share): the two-role nation dim "
+    "(customer's nation restricts the market region, supplier's "
+    "nation is the share numerator) over an 8-table join. Emits the "
+    "exact fixed-point numerator and denominator rather than the "
+    "ratio — the driver hash then checks both operands bit-exactly, "
+    "which is strictly stronger than comparing the rounded quotient. "
+    "All dims broadcast; lineitem joins orders on the one real "
+    "shuffle, same as Q5/Q7.",
+    tags=("join", "agg", "composite", "tpch"),
+)
+def op_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_1's yearly share numerator/denominator of ECONOMY-part
+    volume sold into AMERICA."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    c = load(spark, sf_dir, "customer")
+    cn = load(spark, sf_dir, "nation").alias("cn")
+    sn = load(spark, sf_dir, "nation").alias("sn")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    s = load(spark, sf_dir, "supplier")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    vols = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(F.broadcast(r), F.col("cn.n_regionkey") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            revenue().alias("volume"),
+            F.col("sn.n_name").alias("supp_nation"),
+        )
+    )
+    return (
+        vols.groupBy("o_year")
+        .agg(
+            dsum(
+                F.when(F.col("supp_nation") == "NATION_1", F.col("volume"))
+                .otherwise(F.lit(0.0)),
+                "nation_volume",
+            ),
+            dsum(F.col("volume"), "total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "op_tpch_q9_product_profit",
+    oracle=f"""
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS INT) AS o_year,
+               {sql_dsum(
+                   "l.l_extendedprice * (1 - l.l_discount)"
+                   " - 0.05 * p.p_retailprice * l.l_quantity",
+                   "sum_profit",
+               )}
+        FROM lineitem l
+        JOIN part p     ON l.l_partkey  = p.p_partkey
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        WHERE p.p_name LIKE '%red%'
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC
+    """,
+    notes="TPC-H Q9 (product-type profit): profit rollup by supplier "
+    "nation and order year over a 5-table join with a LIKE filter on "
+    "the part dim. FIXTURE ADAPTATION: no partsupp.ps_supplycost, so "
+    "unit cost is modeled as 5% of p_retailprice — the per-line "
+    "profit expression keeps the original's "
+    "revenue-minus-quantity-scaled-cost structure and stays a "
+    "deterministic function of fixture columns (identical doubles -> "
+    "identical fixed-point sums on both engines). The LIKE-filtered "
+    "part dim broadcasts, pre-shrinking the fact scan's join fan-in.",
+    tags=("join", "agg", "composite", "tpch"),
+)
+def op_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit by nation and year for parts whose name contains 'red'."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    profit = revenue() - 0.05 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            profit.alias("profit"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum(F.col("profit"), "sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "op_tpch_q11_important_stock",
+    oracle=f"""
+        WITH base AS (
+          SELECT l.l_partkey, l.l_extendedprice
+          FROM lineitem l
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation n   ON s.s_nationkey = n.n_nationkey
+          WHERE n.n_name = 'NATION_2'
+        ),
+        vals AS (
+          SELECT l_partkey,
+                 {sql_dsum("l_extendedprice", "part_value")}
+          FROM base
+          GROUP BY l_partkey
+        )
+        SELECT l_partkey, part_value
+        FROM vals
+        WHERE part_value > (
+          SELECT {sql_dsum("l_extendedprice", "t").replace(" AS t", "")}
+                 * 0.0015
+          FROM base
+        )
+        ORDER BY part_value DESC, l_partkey
+    """,
+    notes="TPC-H Q11 (important stock): grouped value vs a "
+    "global-fraction scalar-subquery threshold. FIXTURE ADAPTATION: "
+    "no partsupp, so a part's held value is Σ l_extendedprice of its "
+    "NATION_2-supplied lineitems (same group-vs-global-scalar plan "
+    "shape; threshold fraction 0.0015 sized to the fixture's 2k "
+    "parts). The threshold is the exact fixed-point sum over the "
+    "BASE rows times the literal — never a re-sum of the per-part "
+    "rounded doubles, whose accumulation order differs between "
+    "engines — so the double every part compares against is "
+    "bit-identical. Spark builds the filtered join once and derives "
+    "both the grouped values and the 1-row broadcast threshold from "
+    "it.",
+    tags=("agg", "subquery", "composite", "tpch"),
+)
+def op_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose NATION_2-supplied value exceeds 0.15% of the total."""
+    from ..exprs import _SCALE, _scaled
+
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    base = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("l_partkey", "l_extendedprice")
+    )
+    vals = base.groupBy("l_partkey").agg(
+        dsum(F.col("l_extendedprice"), "part_value")
+    )
+    threshold = base.agg(
+        (
+            F.sum(_scaled(F.col("l_extendedprice"))).cast("double")
+            / float(_SCALE)
+            * F.lit(0.0015)
+        ).alias("thr")
+    )
+    return (
+        vals.join(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("thr"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+@query(
+    "op_tpch_q15_top_supplier",
+    oracle=f"""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 {sql_dsum("l_extendedprice * (1 - l_discount)", "total_revenue")}
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        ORDER BY s.s_suppkey
+    """,
+    notes="TPC-H Q15 (top supplier): the view-plus-MAX-subquery "
+    "pattern — quarterly revenue per supplier, keep the argmax row(s). "
+    "Spark expresses the decorrelation as an unpartitioned max window "
+    "over the tiny (one row per supplier) aggregate — no second scan "
+    "of lineitem, no self-join; ties keep every argmax supplier "
+    "exactly like the SQL. The revenue aggregate is the only "
+    "fact-table work and it map-side-combines.",
+    tags=("agg", "window", "composite", "tpch"),
+)
+def op_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum 1996-Q1 revenue."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1996-04-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(dsum(revenue(), "total_revenue"))
+    s = load(spark, sf_dir, "supplier")
+    best = rev.withColumn(
+        "max_rev", F.max("total_revenue").over(W.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("max_rev"))
+    return (
+        best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "op_tpch_q16_parts_supplier",
+    oracle="""
+        SELECT p.p_brand, p.p_type, p.p_size,
+               COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        JOIN part p ON ps.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#3'
+          AND p.p_type <> 'PROMO'
+          AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+          AND ps.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+    notes="TPC-H Q16 (parts/supplier relationship): negated dim "
+    "predicates + NOT IN anti-join + grouped COUNT(DISTINCT). FIXTURE "
+    "ADAPTATION: the part-supplier relation is DISTINCT (l_partkey, "
+    "l_suppkey) from lineitem (no partsupp), and 'suppliers with "
+    "complaints' becomes s_acctbal < 0 (no comment column to grep). "
+    "The NOT IN list is provably null-free (s_suppkey is a key), so "
+    "anti-join is the exact rewrite. The distinct pair projection "
+    "collapses the fact table to its key pairs BEFORE any join — at "
+    "100 TB that distinct is the whole cost, and it map-side-combines.",
+    tags=("join", "agg", "composite", "tpch"),
+)
+def op_tpch_q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier counts per (brand, type, size) over eligible parts."""
+    ps = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "op_tpch_q20_part_promotion",
+    oracle="""
+        WITH shipped AS (
+          SELECT l_partkey, l_suppkey,
+                 SUM(l_quantity) AS supp_qty
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-01-01'
+          GROUP BY l_partkey, l_suppkey
+        ),
+        dominant AS (
+          SELECT sh.l_suppkey
+          FROM shipped sh
+          JOIN part p ON sh.l_partkey = p.p_partkey
+          WHERE p.p_name LIKE '%red%'
+            AND sh.supp_qty > 0.5 * (
+              SELECT SUM(sh2.supp_qty) FROM shipped sh2
+              WHERE sh2.l_partkey = sh.l_partkey
+            )
+          GROUP BY sh.l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, n.n_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE s.s_suppkey IN (SELECT l_suppkey FROM dominant)
+          AND n.n_name = 'NATION_2'
+        ORDER BY s.s_suppkey
+    """,
+    notes="TPC-H Q20 (part promotion): nested semi-joins with a "
+    "correlated half-of-total threshold. FIXTURE ADAPTATION: no "
+    "partsupp.ps_availqty, so 'has excess stock of a promoted part' "
+    "becomes 'shipped more than half of the part's 1996 volume' — "
+    "the same correlated-aggregate-threshold semi-join chain, ending "
+    "in a nation-filtered supplier list. Spark decorrelates the "
+    "per-part total as a window sum over the already-aggregated "
+    "(part, supp) frame, then LEFT SEMI joins suppliers — lineitem "
+    "is touched once, and only (part, supp, qty) triples shuffle.",
+    tags=("join", "subquery", "composite", "tpch"),
+)
+def op_tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_2 suppliers dominating a 'red' part's 1996 shipments."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    part_total = F.sum("supp_qty").over(W.partitionBy("l_partkey"))
+    dominant = (
+        shipped.join(F.broadcast(p), shipped.l_partkey == p.p_partkey)
+        .withColumn("part_qty", part_total)
+        .filter(F.col("supp_qty") > 0.5 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "op_tpch_q21_waiting_supplier",
+    oracle="""
+        WITH lines AS (
+          SELECT l.l_orderkey, l.l_suppkey,
+                 (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAYS)
+                     AS is_late
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_orderstatus = 'F'
+        )
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM lines l1
+        JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        WHERE l1.is_late
+          AND EXISTS (
+            SELECT 1 FROM lines l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM lines l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.is_late
+          )
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 20
+    """,
+    notes="TPC-H Q21 (suppliers who kept orders waiting): the "
+    "EXISTS / NOT-EXISTS pair over the same fact table — the hardest "
+    "decorrelation in the suite. FIXTURE ADAPTATION: no "
+    "l_commitdate/l_receiptdate, so 'late' is l_shipdate more than 90 "
+    "days after o_orderdate (same multi-supplier sole-blame logic, "
+    "oracle-checked under the identical definition). Spark rewrites "
+    "both correlations as ONE grouped pass per order — "
+    "count(distinct supplier) > 1 for the EXISTS, count(distinct "
+    "late supplier) == 1 for the NOT EXISTS — then joins the "
+    "per-order verdicts back to the late lines: lineitem is read "
+    "once and shuffled once on orderkey, versus the naive plan's two "
+    "additional self-joins. At 100 TB that is the difference between "
+    "one exchange and three over the biggest table.",
+    tags=("join", "agg", "subquery", "composite", "tpch"),
+)
+def op_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers solely responsible for late multi-supplier orders."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load(spark, sf_dir, "lineitem")
+    lines = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("is_late"),
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    verdicts = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+    ).select("l_orderkey")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        lines.filter(F.col("is_late"))
+        .join(verdicts, "l_orderkey", "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "op_tpch_q22_global_sales",
+    oracle=f"""
+        WITH eligible AS (
+          SELECT c.c_nationkey AS cntrycode, c.c_acctbal
+          FROM customer c
+          WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+            AND c.c_acctbal > (
+              SELECT {sql_dsum("c2.c_acctbal", "x").replace(" AS x", "")}
+                     / COUNT(*)
+              FROM customer c2
+              WHERE c2.c_acctbal > 0.0
+                AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+            )
+            AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+            )
+        )
+        SELECT cntrycode,
+               COUNT(*) AS numcust,
+               {sql_dsum("c_acctbal", "totacctbal")}
+        FROM eligible
+        GROUP BY cntrycode
+        ORDER BY cntrycode
+    """,
+    notes="TPC-H Q22 (global sales opportunity): scalar-subquery "
+    "threshold + anti-join + grouped rollup. FIXTURE ADAPTATION: no "
+    "c_phone, so the country code is c_nationkey against an IN-list "
+    "of 7 keys (same prefix-membership shape), and every fixture "
+    "customer has SOME order, so 'never ordered' becomes 'no order "
+    "since 1999' — preserving the anti-join against a filtered "
+    "orders scan. The average is "
+    "computed as exact-fixed-point-sum / count on BOTH engines, so "
+    "the threshold double every acctbal compares against is "
+    "bit-identical. Spark: 1-row broadcast for the scalar, LEFT ANTI "
+    "against orders for NOT EXISTS — the anti-join shuffles only "
+    "custkeys, and the customer dim is read once for both the "
+    "threshold and the candidate set.",
+    tags=("join", "agg", "subquery", "composite", "tpch"),
+)
+def op_tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wealthy recently-inactive customers by country code."""
+    from ..exprs import _SCALE, _scaled
+
+    keys = [1, 3, 5, 7, 9, 11, 13]
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(keys)
+    )
+    thr = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(_scaled(F.col("c_acctbal"))).cast("double")
+            / float(_SCALE)
+            / F.count("*")
+        ).alias("thr")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= _ts("1999-01-01"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("thr"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum(F.col("c_acctbal"), "totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

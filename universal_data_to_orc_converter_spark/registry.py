@@ -107,6 +107,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "op_compact_small_files",
     # (b) NEW in round 5 — first driver verification
     "op_stream_sessionize",
+    "op_tpch_q2_min_cost_supplier",
+    "op_tpch_q5_local_supplier",
+    "op_tpch_q6_forecast_revenue",
+    "op_tpch_q8_market_share",
+    "op_tpch_q9_product_profit",
+    "op_tpch_q11_important_stock",
+    "op_tpch_q15_top_supplier",
+    "op_tpch_q16_parts_supplier",
+    "op_tpch_q20_part_promotion",
+    "op_tpch_q21_waiting_supplier",
+    "op_tpch_q22_global_sales",
     # (c) r1-verified-only stragglers rotated out in r4 — stalest rows
     # in the ledger (COVERAGE.md)
     "op_join_nullsafe",
@@ -131,19 +142,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "op_dedup_embedding",
     "op_multimodal_audio",
     "op_lang_id",
-    "op_vocab_encode",
-    "op_udf_scalar",
-    "op_stream_sliding",
-    "op_stream_session",
-    "op_win_rank",
     "op_array_funcs",
-    "op_pivot",
-    "op_union_all",
     "op_subquery_correlated",
-    "op_token_count",
-    "op_date_funcs",
-    "op_json_funcs",
-    "op_null_handling",
 )
 
 #: Names registered AFTER this round's DRIVER_PRIORITY was pinned that
@@ -175,6 +175,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         sorts,
         subqueries,
         text,
+        tpch,
         udfs,
         windows,
     )
