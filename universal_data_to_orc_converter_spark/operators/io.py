@@ -365,3 +365,59 @@ def op_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         dsum(F.col("value"), "sum_value"),
     )
+
+
+@query(
+    "op_xml_roundtrip",
+    oracle="""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               COUNT(*) AS n_exact,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY lang
+    """,
+    notes="XML sink+source round-trip over Spark 4's built-in XML data "
+    "source: documents -> one <doc> element per row -> read back with "
+    "an EXPLICIT schema (inference would cost a second full scan at "
+    "100 TB) -> join to the original on doc_id and count rows whose "
+    "text survived encode/decode BYTE-IDENTICALLY. The oracle asserts "
+    "n_exact == n_docs per lang, so any entity-escaping or whitespace "
+    "asymmetry (&amp;, <, CDATA, trailing space trimming) breaks the "
+    "hash — a strictly stronger check than aggregating the decoded "
+    "side alone. Reference parity: the converter's any-format-in -> "
+    "columnar-out contract (data_to_orc_converter.sh:176-295), with "
+    "XML as the 'any' format.",
+    tags=("io",),
+)
+def op_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents as XML, read back, prove byte-exact texts."""
+    d = load(spark, sf_dir, "documents")
+    out = os.path.join(_scratch("xml_rt_"), "documents")
+    (
+        d.write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "doc")
+        .save(out)
+    )
+    back = (
+        spark.read.schema(d.schema)
+        .format("xml")
+        .option("rowTag", "doc")
+        .load(out)
+    )
+    orig = d.select(
+        F.col("doc_id").alias("o_id"),
+        F.col("text").alias("o_text"),
+    )
+    return (
+        back.join(orig, back.doc_id == F.col("o_id"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("text") == F.col("o_text"), 1)).cast(
+                "bigint"
+            ).alias("n_exact"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )

@@ -118,6 +118,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "op_tpch_q20_part_promotion",
     "op_tpch_q21_waiting_supplier",
     "op_tpch_q22_global_sales",
+    "op_xml_roundtrip",
     # (c) r1-verified-only stragglers rotated out in r4 — stalest rows
     # in the ledger (COVERAGE.md)
     "op_join_nullsafe",
@@ -142,7 +143,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "op_dedup_embedding",
     "op_multimodal_audio",
     "op_lang_id",
-    "op_array_funcs",
     "op_subquery_correlated",
 )
 
