@@ -722,3 +722,114 @@ def op_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_members").cast("bigint").alias("n_members"),
         )
     )
+
+
+@query(
+    "op_dedup_url_canonical",
+    oracle=r"""
+        WITH urls AS (
+          SELECT doc_id,
+                 CASE doc_id % 3 WHEN 0 THEN 'http://'
+                                 WHEN 1 THEN 'HTTP://'
+                                 ELSE 'Http://' END
+                 || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' || upper(source)
+                         ELSE 'www.' || source END
+                 || '.example.com'
+                 || CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END
+                 || '/docs/' || CAST(doc_id % 40 AS VARCHAR)
+                 || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+                 || CASE WHEN doc_id % 6 = 0
+                         THEN '?utm_source=feed&page='
+                              || CAST(doc_id % 40 AS VARCHAR)
+                         WHEN doc_id % 6 = 1
+                         THEN '?page=' || CAST(doc_id % 40 AS VARCHAR)
+                         WHEN doc_id % 6 = 3 THEN '?utm_campaign=x'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0 THEN '#top' ELSE '' END
+                 AS url
+          FROM documents
+        ),
+        canon AS (
+          SELECT doc_id,
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  replace(
+                    lower(regexp_extract(
+                      regexp_replace(url, '#.*$', ''),
+                      '^[^/]*//[^/]*'))
+                    || regexp_replace(
+                         regexp_replace(url, '#.*$', ''),
+                         '^[^/]*//[^/]*', ''),
+                    '.example.com:80', '.example.com'),
+                  '\?utm_[^&]*&', '?'),
+                '[?&]utm_[^&]*', ''),
+              '/$', '') AS canonical_url
+          FROM urls
+        )
+        SELECT canonical_url,
+               COUNT(*) AS n_dups,
+               MIN(doc_id) AS keeper_doc_id
+        FROM canon
+        GROUP BY canonical_url
+    """,
+    notes="URL canonicalization dedup — the crawl-frontier staple: "
+    "scheme/host case-folding, default-port and trailing-slash "
+    "stripping, fragment removal, and utm_* tracking-param deletion "
+    "collapse cosmetically-distinct URLs to one canonical key; "
+    "group-by keeps the lowest doc_id as keeper. FIXTURE ADAPTATION: "
+    "documents has no URL column, so the URL is synthesized "
+    "DETERMINISTICALLY from (doc_id, source) with case/port/slash/"
+    "param/fragment variation — both engines construct the identical "
+    "input, and the operator under test is the normalization chain "
+    "(which doubles as a string-function parity check: lower, "
+    "replace, regexp_extract, anchored regexp_replace behave "
+    "identically). Zero-shuffle until the final canonical-key "
+    "group-by; at 100 TB the key is a short string, never the page "
+    "payload.",
+    tags=("dedup", "text", "training"),
+)
+def op_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize synthetic URLs and dedup to one keeper per key."""
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 3 == 0, F.lit("http://"))
+        .when(did % 3 == 1, F.lit("HTTP://"))
+        .otherwise(F.lit("Http://")),
+        F.when(did % 2 == 0, F.concat(F.lit("WWW."), F.upper("source")))
+        .otherwise(F.concat(F.lit("www."), F.col("source"))),
+        F.lit(".example.com"),
+        F.when(did % 5 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        (did % 40).cast("string"),
+        F.when(did % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            did % 6 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&page="), (did % 40).cast("string")
+            ),
+        )
+        .when(did % 6 == 1, F.concat(F.lit("?page="), (did % 40).cast("string")))
+        .when(did % 6 == 3, F.lit("?utm_campaign=x"))
+        .otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    u = F.regexp_replace(url, r"#.*$", "")
+    scheme_host = F.regexp_extract(u, r"^[^/]*//[^/]*", 0)
+    rest = F.regexp_replace(u, r"^[^/]*//[^/]*", "")
+    canon = F.concat(F.lower(scheme_host), rest)
+    canon = F.replace(
+        canon, F.lit(".example.com:80"), F.lit(".example.com")
+    )
+    canon = F.regexp_replace(canon, r"\?utm_[^&]*&", "?")
+    canon = F.regexp_replace(canon, r"[?&]utm_[^&]*", "")
+    canon = F.regexp_replace(canon, r"/$", "")
+    return (
+        d.select(did.alias("doc_id"), canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )

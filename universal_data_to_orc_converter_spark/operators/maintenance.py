@@ -1,0 +1,180 @@
+"""Table-maintenance operators: incremental rollup maintenance and
+snapshot diffing (SURVEY.md §2 extensions, r5).
+
+Both are 100 TB staples that don't fit the scan/join/agg taxonomy:
+
+* **Incremental aggregate maintenance** — a materialized daily rollup
+  must absorb a late-arriving batch WITHOUT rescanning the base table.
+  Count/sum/min/max are all mergeable partial-aggregate states, so the
+  maintained result is ``re-agg(union(old_states, delta_states))`` —
+  cost proportional to |delta| + |rollup|, never |base|. The oracle is
+  the full recompute, so the merge algebra is hash-checked exact.
+
+* **Snapshot diff** — given yesterday's and today's latest-per-key
+  snapshots, classify every key as insert / update / delete (the
+  inverse of CDC apply: turning two table states back into a change
+  feed). A full-outer join on the key; at 100 TB both sides shuffle
+  once on the key — or zero times if the snapshots are bucket-stored
+  (op_join_bucketed shows that mechanism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..exprs import _scaled
+from ..registry import query
+
+
+@query(
+    "op_incremental_agg_maintain",
+    oracle="""
+        SELECT CAST(ts AS DATE) AS day,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_value_fp,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value
+        FROM events
+        GROUP BY day, event_type
+    """,
+    notes="Incremental rollup maintenance: the daily (day, event_type) "
+    "rollup is first materialized WITHOUT the final 7 days, then the "
+    "late batch arrives and is folded in by unioning the two partial-"
+    "state frames and re-aggregating — count adds, fixed-point sums "
+    "add, min/max combine. The result must hash-match the oracle's "
+    "full recompute over all events, proving the merge algebra is "
+    "lossless. The maintained sum is kept as the INTEGER fixed-point "
+    "state (sum_value_fp) end-to-end — merging already-divided "
+    "doubles would reintroduce order dependence. At 100 TB the delta "
+    "pass scans only the new partition and the merge shuffles "
+    "|rollup| + |delta-groups| rows; the base table is never re-read "
+    "— the difference between maintaining a dashboard and recomputing "
+    "it.",
+    tags=("agg", "io", "scale"),
+)
+def op_incremental_agg_maintain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maintain a daily rollup by merging a late batch's partial
+    states — never rescanning the base."""
+    e = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    cutoff = F.lit("2024-01-24").cast("timestamp")
+
+    def states(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.col("ts").cast("date").alias("day"), "event_type"
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(_scaled(F.col("value")))
+            .cast("bigint")
+            .alias("sum_value_fp"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    base_rollup = states(e.filter(F.col("ts") < cutoff))
+    delta_rollup = states(e.filter(F.col("ts") >= cutoff))
+    # merge partial states: count/sum add, min/max combine — the
+    # algebra every mergeable aggregate obeys
+    return (
+        base_rollup.unionByName(delta_rollup)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value_fp").cast("bigint").alias("sum_value_fp"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+
+
+@query(
+    "op_snapshot_diff",
+    oracle="""
+        WITH snap_a AS (
+          SELECT user_id, value FROM (
+            SELECT user_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) rn
+            FROM events
+            WHERE ts < TIMESTAMP '2024-01-24'
+          ) WHERE rn = 1
+        ),
+        snap_b AS (
+          SELECT user_id, value FROM (
+            SELECT user_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) rn
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-24'
+          ) WHERE rn = 1
+        )
+        SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+               CASE WHEN a.user_id IS NULL THEN 'insert'
+                    WHEN b.user_id IS NULL THEN 'delete'
+                    WHEN a.value <> b.value THEN 'update'
+                    ELSE 'unchanged' END AS change,
+               a.value AS old_value,
+               b.value AS new_value
+        FROM snap_a a FULL OUTER JOIN snap_b b USING (user_id)
+        WHERE NOT (a.user_id IS NOT NULL AND b.user_id IS NOT NULL
+                   AND a.value = b.value)
+    """,
+    notes="Snapshot diff — the inverse of CDC apply: two "
+    "latest-per-key FULL-REFRESH loads (the pre- and post-Jan-24 "
+    "windows, as a wholesale-replacement pipeline would produce) are "
+    "full-outer-joined on the key and every key classified as "
+    "insert / update / delete, emitting old and new values — the "
+    "change feed a downstream consumer would replay. Unchanged keys "
+    "are dropped scan-side of the output. Both snapshots derive from "
+    "the same deterministic latest-per-key rule as op_latest_by_key "
+    "(ts then event_id tiebreak). At 100 TB each snapshot shuffles "
+    "once on the key (zero times if bucket-stored); the diff itself "
+    "adds no exchange beyond the join's.",
+    tags=("join", "io", "scale"),
+)
+def op_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify key changes between two latest-per-key snapshots."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+
+    def latest(df: DataFrame) -> DataFrame:
+        rn = F.row_number().over(
+            W.partitionBy("user_id").orderBy(
+                F.desc("ts"), F.desc("event_id")
+            )
+        )
+        return (
+            df.withColumn("rn", rn)
+            .filter(F.col("rn") == 1)
+            .select("user_id", "value")
+        )
+
+    cutoff = F.lit("2024-01-24").cast("timestamp")
+    snap_a = latest(e.filter(F.col("ts") < cutoff)).select(
+        F.col("user_id").alias("a_id"), F.col("value").alias("a_val")
+    )
+    snap_b = latest(e.filter(F.col("ts") >= cutoff)).select(
+        F.col("user_id").alias("b_id"), F.col("value").alias("b_val")
+    )
+    j = snap_a.join(snap_b, snap_a.a_id == snap_b.b_id, "full_outer")
+    change = (
+        F.when(F.col("a_id").isNull(), F.lit("insert"))
+        .when(F.col("b_id").isNull(), F.lit("delete"))
+        .when(F.col("a_val") != F.col("b_val"), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            F.coalesce("a_id", "b_id").alias("user_id"),
+            change.alias("change"),
+            F.col("a_val").alias("old_value"),
+            F.col("b_val").alias("new_value"),
+        )
+        .filter(F.col("change") != "unchanged")
+    )

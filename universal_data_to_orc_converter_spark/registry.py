@@ -119,6 +119,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "op_tpch_q21_waiting_supplier",
     "op_tpch_q22_global_sales",
     "op_xml_roundtrip",
+    "op_incremental_agg_maintain",
+    "op_snapshot_diff",
+    "op_dedup_url_canonical",
     # (c) r1-verified-only stragglers rotated out in r4 — stalest rows
     # in the ledger (COVERAGE.md)
     "op_join_nullsafe",
@@ -136,11 +139,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (d) stalest r2-verified names, chosen to keep ≥1 rep of every
     # SURVEY §2 family inside the window
     "op_limit_offset",
-    "op_cast",
-    "op_math_funcs",
     "op_regexp",
     "op_dedup_minhash_lsh",
-    "op_dedup_embedding",
     "op_multimodal_audio",
     "op_lang_id",
     "op_subquery_correlated",
@@ -167,6 +167,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         dedup,
         io,
         joins,
+        maintenance,
         multimodal,
         relational,
         sampling,
