@@ -270,3 +270,31 @@ def test_q21_single_pass_over_lineitem(spark):
         if "lineitem.parquet" in seg.split("Location:")[1][:200]
     ) if "Location:" in plan else plan.count("lineitem.parquet")
     assert n <= 2, f"lineitem scanned {n} times:\n{plan[:1500]}"
+
+
+def test_session_window_end_filter_pushdown_hazard(spark):
+    """Document a Catalyst hazard found in r5: a filter on
+    session_window.end applied AFTER a session aggregation is pushed
+    below MergingSessions into the scan (as if the window were fixed),
+    which removes events BEFORE merging and splits sessions that
+    straddle the cutoff. This repo therefore never filters on w.end
+    post-agg (filter on max(ts) instead — see
+    test_stream_sessionize_equals_batch_below_watermark). This test
+    pins the hazardous behavior: if a Spark upgrade stops pushing the
+    predicate, it fails, signalling the workaround can be revisited."""
+    from pyspark.sql import functions as F
+
+    from universal_data_to_orc_converter_spark.catalog import load
+
+    ev = load(spark, SF_DIR, "events").select("user_id", "ts")
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("w.end") <= F.lit("2024-01-15").cast("timestamp"))
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    scan_side = plan.split("MergingSessions")[-1]
+    assert "2024-01-15" in scan_side, (
+        "session_window.end predicate no longer reaches the scan — "
+        "Catalyst behavior changed; revisit the max(ts) workaround"
+    )
