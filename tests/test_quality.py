@@ -421,3 +421,52 @@ def test_ivf_recall_on_clustered_corpus(spark):
 
     recall = len(exact & ann) / len(exact)
     assert recall >= 0.9, f"clustered-corpus IVF recall {recall:.3f} < 0.9"
+
+
+def test_hll_maintain_equals_single_pass_and_exact(spark):
+    """op_incremental_distinct_maintain's contract: folding a late
+    batch's HLL sketches into the maintained state must give the SAME
+    estimate as sketching all data in one pass (union is the
+    registers' algebra — no drift), and at this fixture's cardinality
+    (sparse-mode sketches) the estimate equals the exact distinct
+    count."""
+    import pyspark.sql.functions as F
+
+    from universal_data_to_orc_converter_spark.catalog import load
+    from universal_data_to_orc_converter_spark.registry import (
+        load_all_queries,
+    )
+
+    from .conftest import SF_DIR
+
+    maintained = sorted(
+        map(
+            tuple,
+            load_all_queries()["op_incremental_distinct_maintain"]
+            .fn(spark, SF_DIR)
+            .collect(),
+        )
+    )
+    e = load(spark, SF_DIR, "events")
+    one_pass = sorted(
+        map(
+            tuple,
+            e.groupBy("event_type")
+            .agg(
+                F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+                .cast("bigint")
+                .alias("approx_users")
+            )
+            .collect(),
+        )
+    )
+    exact = sorted(
+        map(
+            tuple,
+            e.groupBy("event_type")
+            .agg(F.count_distinct("user_id").alias("n"))
+            .collect(),
+        )
+    )
+    assert maintained == one_pass, "sketch merge drifted from one-pass"
+    assert maintained == exact, "sparse-mode sketch should be exact here"

@@ -178,3 +178,49 @@ def op_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("change") != "unchanged")
     )
+
+
+@query(
+    "op_incremental_distinct_maintain",
+    oracle=None,
+    notes="Mergeable DISTINCT-COUNT maintenance — the companion to "
+    "op_incremental_agg_maintain for the one aggregate whose naive "
+    "form is NOT mergeable: count_distinct partials cannot be added. "
+    "Spark 3.5+'s Apache DataSketches HLL functions make the state "
+    "mergeable: per-day hll_sketch_agg(user_id) sketches are "
+    "maintained, a late batch's sketches are folded in with "
+    "hll_union_agg, and hll_sketch_estimate serves the final "
+    "distinct-user count — cost |rollup|+|delta|, never a base "
+    "rescan. Union is exactly the algebra HLL registers obey, so the "
+    "maintained estimate EQUALS the single-pass estimate bit-for-bit "
+    "(asserted in tests/test_quality.py, along with exactness vs "
+    "count_distinct at this fixture's cardinality, where the sketch "
+    "is still in sparse mode). rows-only: DuckDB cannot evaluate "
+    "Spark's sketch encoding — same escape hatch as "
+    "op_agg_approx_distinct.",
+    tags=("agg", "approx", "scale"),
+)
+def op_incremental_distinct_maintain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maintain per-type distinct-user counts via mergeable HLL
+    sketches; serve estimates after folding in a late batch."""
+    e = load(spark, sf_dir, "events").select("ts", "event_type", "user_id")
+    cutoff = F.lit("2024-01-24").cast("timestamp")
+
+    def sk(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.hll_sketch_agg("user_id").alias("sk")
+        )
+
+    base = sk(e.filter(F.col("ts") < cutoff))
+    delta = sk(e.filter(F.col("ts") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("bigint")
+            .alias("approx_users")
+        )
+    )

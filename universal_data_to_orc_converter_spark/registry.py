@@ -153,7 +153,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: here — tests/test_registry_order.py fails otherwise, so a
 #: post-freeze registration can never again be silently unverified
 #: (r4 accumulated 14 such names before this gate existed).
-BELOW_FOLD_R5: frozenset[str] = frozenset()
+BELOW_FOLD_R5: frozenset[str] = frozenset({
+    # rows-only sketch op; every remaining window seat is a sole family
+    # representative, so it waits for the r6 rotation (its content
+    # correctness is pinned by tests/test_quality.py either way)
+    "op_incremental_distinct_maintain",
+})
 
 
 def load_all_queries() -> dict[str, QuerySpec]:
