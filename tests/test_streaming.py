@@ -374,3 +374,80 @@ def test_stream_sessionize_equals_batch_below_watermark(spark):
     b_rows = sorted(map(tuple, batch.collect()))
     assert len(s_rows) == len(set(s_rows)), "duplicate session emissions"
     assert s_rows == b_rows
+
+
+def test_python_stream_source_restart_resumes_from_checkpoint(spark):
+    """The events_replay Python source must honor the offset/commit
+    contract across a restart: stop the query after the first
+    committed batch, restart with the SAME checkpoint, drain, and the
+    complete-mode aggregate must equal the batch result — proving the
+    restarted query resumed from the committed offset (state restored,
+    readBetweenOffsets replayed any uncommitted batch) instead of
+    re-reading from row 0 and double-counting."""
+    import ast
+    import tempfile
+    import time
+    import uuid
+
+    from universal_data_to_orc_converter_spark.sources.replay_stream import (
+        EventsReplaySource,
+    )
+
+    spark.dataSource.register(EventsReplaySource)
+    path = f"{SF_DIR}/events.parquet"
+    total = spark.read.parquet(path).count()
+    ckpt = tempfile.mkdtemp(prefix="ckpt_restart_")
+    name = f"rp_{uuid.uuid4().hex[:8]}"
+
+    def start():
+        stream = (
+            spark.readStream.format("events_replay")
+            .option("path", path)
+            .option("rows_per_batch", "2000")
+            .load()
+        )
+        agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+        return (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    def end_row(q):
+        p = q.lastProgress
+        if not (p and p["sources"]):
+            return 0
+        end = p["sources"][0]["endOffset"]
+        if isinstance(end, str):
+            end = ast.literal_eval(end)
+        return (end or {}).get("row", 0)
+
+    q1 = start()
+    deadline = time.time() + 60
+    while end_row(q1) < 2000 and time.time() < deadline:
+        time.sleep(0.2)
+    assert end_row(q1) >= 2000, "first batch never committed"
+    q1.stop()
+    q1.awaitTermination(30)
+    assert end_row(q1) < total, "stopped too late for a meaningful test"
+
+    q2 = start()
+    deadline = time.time() + 90
+    while end_row(q2) < total and time.time() < deadline:
+        time.sleep(0.2)
+    q2.stop()
+    q2.awaitTermination(30)
+
+    got = sorted(map(tuple, spark.table(name).collect()))
+    want = sorted(
+        map(
+            tuple,
+            load(spark, SF_DIR, "events")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+            .collect(),
+        )
+    )
+    assert got == want

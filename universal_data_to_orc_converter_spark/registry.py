@@ -158,6 +158,10 @@ BELOW_FOLD_R5: frozenset[str] = frozenset({
     # representative, so it waits for the r6 rotation (its content
     # correctness is pinned by tests/test_quality.py either way)
     "op_incremental_distinct_maintain",
+    # oracle-backed but arrived after every displaceable seat was taken
+    # (the remaining (d) names are each their family's only rep);
+    # locally oracle-checked every round, rotates into r6
+    "op_stream_python_source",
 })
 
 
@@ -186,6 +190,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         windows,
     )
     from .functions import scalar, semistructured  # noqa: F401
+    from .sources import replay_stream  # noqa: F401
     from .streaming import batch_windows, cdc  # noqa: F401
 
     missing = [n for n in DRIVER_PRIORITY if n not in QUERIES]
