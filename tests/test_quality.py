@@ -470,3 +470,58 @@ def test_hll_maintain_equals_single_pass_and_exact(spark):
     )
     assert maintained == one_pass, "sketch merge drifted from one-pass"
     assert maintained == exact, "sparse-mode sketch should be exact here"
+
+
+def test_ivfpq_recall_on_clustered_corpus(spark):
+    """Companion to test_ivf_recall_on_clustered_corpus for the PQ
+    tier: on a corpus with real cluster structure, the full IVF-PQ
+    path (coarse quantizer -> residual PQ codes -> ADC shortlist ->
+    exact re-rank) must also recover >=0.9 of the exact top-10 at
+    nprobe=4/16 — cell miss, not quantization distortion, was the
+    binding error on the random fixture, and here neither binds."""
+    import numpy as np
+
+    from universal_data_to_orc_converter_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    n_clusters, per_cluster, dim = 16, 125, 32
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = np.repeat(centers, per_cluster, axis=0) + 0.15 * rng.normal(
+        size=(n_clusters * per_cluster, dim)
+    )
+    vecs = vecs[rng.permutation(len(vecs))]
+
+    em = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    n_query, top_k = 20, 10
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = unit[:n_query] @ unit.T
+    exact = set()
+    for q in range(n_query):
+        s = sims[q].copy()
+        s[q] = -np.inf
+        idx = sorted(range(len(s)), key=lambda i: (-s[i], i))[:top_k]
+        exact |= {(q, i) for i in idx}
+
+    def recall(rerank_factor):
+        got = ivfpq_topk(
+            spark, em, n_cells=16, n_probe=4, n_query=n_query,
+            top_k=top_k, rerank_factor=rerank_factor,
+        )
+        ann = {(r["q_id"], r["vec_id"]) for r in got.collect()}
+        return len(exact & ann) / len(exact)
+
+    # default shortlist (3x): ADC distortion binds — inside a tight
+    # cluster the true top-10 are fine distinctions among
+    # near-identical distances that 4-bit sub-codes cannot order
+    r3 = recall(3)
+    # 10x shortlist: the exact re-rank sees enough candidates that
+    # only cell miss remains, matching the IVF-Flat tier
+    r10 = recall(10)
+    assert r10 >= 0.9, f"clustered IVF-PQ recall {r10:.3f} at rerank 10x"
+    assert r10 >= r3, (r3, r10)

@@ -442,7 +442,30 @@ def op_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "approx"),
 )
 def op_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ: the 100 TB shape for ANN candidate scoring. Vectors are
+    """IVF-PQ over the embeddings fixture (core: ivfpq_topk)."""
+    return ivfpq_topk(spark, load(spark, sf_dir, "embeddings"))
+
+
+def ivfpq_topk(
+    spark: SparkSession,
+    em: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    n_query: int = _N_QUERY_VECS,
+    top_k: int = _TOP_K,
+    rerank_factor: int = 3,
+) -> DataFrame:
+    """IVF-PQ search core over any (vec_id, embedding) frame — shared
+    by op_sim_ann_ivfpq and the clustered-corpus recall test.
+    ``rerank_factor`` sizes the exact-re-rank shortlist
+    (rerank_factor * top_k): the knob that trades ADC distortion for
+    re-rank cost — tightly-clustered corpora need a deeper shortlist
+    because the true top-k are fine distinctions among near-identical
+    distances that 4-bit sub-codes cannot order.
+
+    The 100 TB shape for ANN candidate scoring. Vectors are
     stored as (cell, 8 sub-codes) — 8 bytes instead of 256+ — so the
     probe stage streams codes, not vectors; ADC turns each query into
     8 lookup tables of 16 entries and scores candidates with gathers;
@@ -456,11 +479,10 @@ def op_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     from pyspark.sql import Window as W
 
-    n_cells, n_probe, n_sub, n_codes = 16, 4, 8, 16
-    rerank = 3 * _TOP_K
+    rerank = rerank_factor * top_k
 
     par = spark.sparkContext.defaultParallelism
-    em = load(spark, sf_dir, "embeddings").repartition(par, "vec_id")
+    em = em.repartition(par, "vec_id")
     unit = _unit_vectors(em).cache()
     assigned, centers_df = _ivf_index(spark, unit, n_cells, n_assign=1)
     centers = {
@@ -533,7 +555,7 @@ def op_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # --- queries probe their n_probe nearest cells
-    qdf = assigned.filter(F.col("vec_id") < _N_QUERY_VECS).select(
+    qdf = assigned.filter(F.col("vec_id") < n_query).select(
         F.col("vec_id").alias("q_id"), F.col("u").alias("q_u")
     )
     probe = (
