@@ -149,7 +149,8 @@ from ..registry import query  # noqa: E402
     """,
     notes="Structured Streaming over a PYTHON data source: the "
     "events_replay source (module docstring above) replays the events "
-    "fixture in 4000-row offset slices under the default micro-batch "
+    "fixture in corpus-scaled offset slices (max(4000, n/8) rows; 3 "
+    "micro-batches at sf0.01, ~8 beyond) under the default micro-batch "
     "trigger; a complete-mode grouped aggregate is served once the "
     "offsets drain and must hash-match the batch oracle. This is the "
     "streaming half of the Spark-4 Python DataSource API (the sqldump "
@@ -168,10 +169,15 @@ def op_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.dataSource.register(EventsReplaySource)
     path = os.path.join(sf_dir, "events.parquet")
     total = spark.read.parquet(path).count()
+    # slice size scales with the corpus so the replay is always a
+    # handful of micro-batches (3 at sf0.01, ~8 beyond) — per-batch
+    # scheduling overhead stays amortized at any SF, and the result is
+    # batch-boundary-independent anyway (complete mode)
+    per_batch = max(4000, total // 8)
     stream = (
         spark.readStream.format("events_replay")
         .option("path", path)
-        .option("rows_per_batch", "4000")
+        .option("rows_per_batch", str(per_batch))
         .load()
     )
     agg = stream.groupBy("event_type").agg(
