@@ -128,3 +128,36 @@ def test_repetition_signals_on_crafted_docs(spark, tmp_path):
     assert rows[1]["dup_bigram_frac"] == 0.0
     assert rows[2]["top_bigram_frac"] is None
     assert rows[2]["dup_trigram_frac"] is None
+
+
+def test_url_canonicalizer_is_idempotent(spark):
+    """canonicalize_url(canonicalize_url(x)) == canonicalize_url(x)
+    for a battery of adversarial URLs — including ones already
+    canonical, ones where the utm param is first / last / the only
+    param, mixed-case hosts, default ports, and fragments. A
+    canonicalizer that moves on re-application corrupts incremental
+    crawl frontiers (old keys no longer match fresh ones)."""
+    from pyspark.sql import functions as F
+
+    from universal_data_to_orc_converter_spark.operators.dedup import (
+        canonicalize_url,
+    )
+
+    urls = [
+        "http://www.src1.example.com/docs/3",
+        "HTTP://WWW.SRC1.example.com/docs/3/",
+        "Http://www.src2.example.com:80/docs/4?utm_source=feed",
+        "http://www.src2.example.com/docs/4?utm_source=feed&page=4",
+        "http://www.src3.example.com/docs/5?page=5&x=1#frag",
+        "https://www.src4.example.com/docs/6?utm_campaign=x#top",
+        "https://www.src4.example.com/docs/6",
+        "http://www.src5.example.com:80/",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = canonicalize_url(F.col("url"))
+    twice = canonicalize_url(canonicalize_url(F.col("url")))
+    rows = df.select(
+        F.col("url"), once.alias("c1"), twice.alias("c2")
+    ).collect()
+    moved = [(r.url, r.c1, r.c2) for r in rows if r.c1 != r.c2]
+    assert not moved, f"canonicalizer not idempotent: {moved}"

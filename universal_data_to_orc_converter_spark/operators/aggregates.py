@@ -726,3 +726,40 @@ def op_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or("event_id").cast("bigint").alias("bor"),
         F.bit_xor("event_id").cast("bigint").alias("bxor"),
     )
+
+
+@query(
+    "op_agg_grouping_id",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    notes="GROUPING() flags over grouping sets — the disambiguation "
+    "every BI layer on top of the engine needs: a NULL grouping "
+    "column can mean 'subtotal row' OR 'the data really was NULL', "
+    "and only the grouping flag tells them apart. Emitted as one "
+    "0/1 INT per grouping column (the portable decomposition of "
+    "Spark's grouping_id() bitmask, which DuckDB numbers in the "
+    "same column order via its own GROUPING()). Same Expand-based "
+    "single-scan plan as op_agg_gsets.",
+    tags=("agg",),
+)
+def op_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set subtotal rows with explicit grouping flags."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView(
+        "udoc_gid_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n_orders
+        FROM udoc_gid_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )

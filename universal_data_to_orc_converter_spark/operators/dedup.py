@@ -724,6 +724,26 @@ def op_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def canonicalize_url(url):
+    """The URL normalization chain (column -> column): strip fragment,
+    case-fold scheme+host, drop default port, delete utm_* params,
+    strip trailing slash. IDEMPOTENT by construction (asserted in
+    tests/test_dedup_content.py) — a canonicalizer that moves on
+    re-application corrupts incremental crawl frontiers where old
+    canonical keys meet freshly-normalized ones."""
+    u = F.regexp_replace(url, r"#.*$", "")
+    scheme_host = F.regexp_extract(u, r"^[^/]*//[^/]*", 0)
+    rest = F.regexp_replace(u, r"^[^/]*//[^/]*", "")
+    canon = F.concat(F.lower(scheme_host), rest)
+    canon = F.replace(
+        canon, F.lit(".example.com:80"), F.lit(".example.com")
+    )
+    canon = F.regexp_replace(canon, r"\?utm_[^&]*&", "?")
+    canon = F.regexp_replace(canon, r"[?&]utm_[^&]*", "")
+    return F.regexp_replace(canon, r"/$", "")
+
+
+
 @query(
     "op_dedup_url_canonical",
     oracle=r"""
@@ -815,16 +835,7 @@ def op_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("")),
         F.when(did % 7 == 0, F.lit("#top")).otherwise(F.lit("")),
     )
-    u = F.regexp_replace(url, r"#.*$", "")
-    scheme_host = F.regexp_extract(u, r"^[^/]*//[^/]*", 0)
-    rest = F.regexp_replace(u, r"^[^/]*//[^/]*", "")
-    canon = F.concat(F.lower(scheme_host), rest)
-    canon = F.replace(
-        canon, F.lit(".example.com:80"), F.lit(".example.com")
-    )
-    canon = F.regexp_replace(canon, r"\?utm_[^&]*&", "?")
-    canon = F.regexp_replace(canon, r"[?&]utm_[^&]*", "")
-    canon = F.regexp_replace(canon, r"/$", "")
+    canon = canonicalize_url(url)
     return (
         d.select(did.alias("doc_id"), canon.alias("canonical_url"))
         .groupBy("canonical_url")

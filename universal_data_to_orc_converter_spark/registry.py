@@ -162,6 +162,7 @@ BELOW_FOLD_R5: frozenset[str] = frozenset({
     # (the remaining (d) names are each their family's only rep);
     # locally oracle-checked every round, rotates into r6
     "op_stream_python_source",
+    "op_agg_grouping_id",
 })
 
 
