@@ -451,3 +451,40 @@ def test_python_stream_source_restart_resumes_from_checkpoint(spark):
         )
     )
     assert got == want
+
+
+def test_partitioned_python_stream_source_equals_batch(spark):
+    """The partitioned (executor-parallel) Python stream reader must
+    produce the same grouped counts as the batch table: the driver
+    plans offset ranges, partitions() splits each micro-batch into 4
+    InputPartitions, and executors deserialize only their slice —
+    no row funnels through the driver, unlike the Simple reader."""
+    from universal_data_to_orc_converter_spark.sources.replay_stream import (
+        EventsReplayParSource,
+        run_replay_until_drained,
+    )
+
+    spark.dataSource.register(EventsReplayParSource)
+    path = f"{SF_DIR}/events.parquet"
+    total = spark.read.parquet(path).count()
+    stream = (
+        spark.readStream.format("events_replay_par")
+        .option("path", path)
+        .option("rows_per_batch", "4000")
+        .option("parts_per_batch", "4")
+        .load()
+    )
+    agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+    got = sorted(
+        map(tuple, run_replay_until_drained(agg, total).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            load(spark, SF_DIR, "events")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+            .collect(),
+        )
+    )
+    assert got == want

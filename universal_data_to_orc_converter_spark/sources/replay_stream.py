@@ -26,7 +26,12 @@ byte-range planning on the batch side.)
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _COLS = ("event_id", "event_type", "value")
 
@@ -186,3 +191,75 @@ def op_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_replay_until_drained(agg, total).select(
         "event_type", "n_events", "sum_value"
     )
+
+
+class _SliceParts(InputPartition):
+    def __init__(self, path: str, lo: int, hi: int):
+        self.path = path
+        self.lo = lo
+        self.hi = hi
+
+
+class _PartitionedReplayReader(DataSourceStreamReader):
+    """Full (non-Simple) stream reader: the driver plans OFFSET RANGES
+    and splits each micro-batch into ``n_parts`` InputPartitions whose
+    rows are deserialized ON THE EXECUTORS in parallel — the
+    scale-correct layout (the Simple reader above funnels every row
+    through the driver's prefetch loop). latestOffset advances by
+    ``rows_per_batch`` per trigger so one batch = one bounded slice."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.n = int(options.get("rows_per_batch", "4000"))
+        self.n_parts = int(options.get("parts_per_batch", "4"))
+        import pyarrow.parquet as pq
+
+        self.total = pq.ParquetFile(self.path).metadata.num_rows
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def latestOffset(self) -> dict:
+        # advance one bounded slice per micro-batch
+        cur = getattr(self, "_cur", 0)
+        nxt = min(cur + self.n, self.total)
+        self._cur = nxt
+        return {"row": nxt}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["row"], end["row"]
+        if hi <= lo:
+            return [_SliceParts(self.path, lo, lo)]
+        step = max(1, (hi - lo) // self.n_parts)
+        bounds = list(range(lo, hi, step)) + [hi]
+        return [
+            _SliceParts(self.path, a, b)
+            for a, b in zip(bounds, bounds[1:])
+            if b > a
+        ]
+
+    def read(self, partition: _SliceParts):
+        # runs on the EXECUTOR: deserialize only this partition's rows
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(partition.path, columns=list(_COLS))
+        sl = t.slice(partition.lo, partition.hi - partition.lo)
+        return iter(list(zip(*(sl.column(c).to_pylist() for c in _COLS))))
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class EventsReplayParSource(DataSource):
+    """Partitioned variant: spark.readStream
+    .format("events_replay_par")."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "events_replay_par"
+
+    def schema(self) -> str:
+        return "event_id bigint, event_type string, value double"
+
+    def streamReader(self, schema):  # noqa: ARG002
+        return _PartitionedReplayReader(self.options)
