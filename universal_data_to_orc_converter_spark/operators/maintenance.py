@@ -224,3 +224,68 @@ def op_incremental_distinct_maintain(
             .alias("approx_users")
         )
     )
+
+
+@query(
+    "op_quality_audit",
+    oracle="""
+        SELECT 'o_orderkey_null' AS rule,
+               COUNT(*) FILTER (o_orderkey IS NULL) AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderkey_dup',
+               COUNT(*) - COUNT(DISTINCT o_orderkey)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice_nonpositive',
+               COUNT(*) FILTER (o_totalprice <= 0)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus_domain',
+               COUNT(*) FILTER (o_orderstatus NOT IN ('O', 'F', 'P'))
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey_fk_missing',
+               (SELECT COUNT(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+    """,
+    notes="Deequ-style data-quality audit — the constraint gate every "
+    "ingestion pipeline runs before publishing a table: null checks, "
+    "key uniqueness, value ranges, and accepted-value domains are "
+    "conditional aggregates computed in ONE scan of the table "
+    "(unpivoted to a (rule, n_violations) report), and referential "
+    "integrity is a LEFT ANTI join against the dimension's keys. The "
+    "oracle's UNION-of-scans formulation reads orders five times; "
+    "Spark reads it twice (audit scan + FK check) regardless of how "
+    "many single-table rules are added — at 100 TB the audit costs "
+    "one pass, not one pass per rule.",
+    tags=("agg", "io", "scale"),
+)
+def op_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-violation counts per rule over orders."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    onescan = o.agg(
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias(
+            "o_orderkey_null"
+        ),
+        (F.count("*") - F.count_distinct("o_orderkey")).alias(
+            "o_orderkey_dup"
+        ),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias(
+            "o_totalprice_nonpositive"
+        ),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+        ).alias("o_orderstatus_domain"),
+    )
+    report = onescan.unpivot(
+        [], list(onescan.columns), "rule", "n_violations"
+    )
+    fk = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+        .select(F.lit("o_custkey_fk_missing").alias("rule"), "n_violations")
+    )
+    return report.unionByName(fk)

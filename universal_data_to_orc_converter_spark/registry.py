@@ -163,6 +163,7 @@ BELOW_FOLD_R5: frozenset[str] = frozenset({
     # locally oracle-checked every round, rotates into r6
     "op_stream_python_source",
     "op_agg_grouping_id",
+    "op_quality_audit",
 })
 
 
