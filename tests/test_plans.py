@@ -298,3 +298,15 @@ def test_session_window_end_filter_pushdown_hazard(spark):
         "session_window.end predicate no longer reaches the scan — "
         "Catalyst behavior changed; revisit the max(ts) workaround"
     )
+
+
+def test_quality_audit_reads_orders_at_most_twice(spark):
+    """op_quality_audit's scale claim: all single-table rules fold
+    into ONE conditional-aggregate scan and the FK check adds one
+    more — the plan must contain at most 2 orders FileScans no matter
+    how many rules the report carries (the oracle's UNION formulation
+    scans once per rule)."""
+    df = q("op_quality_audit", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("orders.parquet")
+    assert n <= 2, f"orders scanned {n} times:\n{plan[:1200]}"
