@@ -310,3 +310,13 @@ def test_quality_audit_reads_orders_at_most_twice(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     n = plan.count("orders.parquet")
     assert n <= 2, f"orders scanned {n} times:\n{plan[:1200]}"
+
+
+def test_partition_pruned_join_uses_dynamic_pruning(spark):
+    """op_partition_pruned_join's mechanism: the day-partitioned fact
+    scan must carry a dynamicpruning expression in PartitionFilters —
+    the runtime-computed day list prunes directories before any fact
+    row is read."""
+    df = q("op_partition_pruned_join", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]

@@ -421,3 +421,76 @@ def op_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+@query(
+    "op_partition_pruned_join",
+    oracle=f"""
+        WITH e AS (
+          SELECT CAST(ts AS DATE) AS day, value FROM events
+        ),
+        dim AS (
+          SELECT DISTINCT day,
+                 CASE WHEN dayofmonth(day) <= 10 THEN 'early'
+                      ELSE 'late' END AS phase
+          FROM e
+        )
+        SELECT e.day,
+               COUNT(*) AS n_events,
+               {sql_dsum("e.value", "sum_value")}
+        FROM e JOIN dim USING (day)
+        WHERE dim.phase = 'early'
+        GROUP BY e.day
+    """,
+    notes="Dynamic partition pruning — the partition-level sibling of "
+    "the bloom runtime filter (op_join_bloom): events are written "
+    "hive-partitioned by day and joined to a calendar dim table on "
+    "the partition key, with the selective predicate on a DIM "
+    "attribute (phase='early') the optimizer cannot rewrite into a "
+    "literal day list — so Catalyst plants a dynamicpruning "
+    "expression in the fact scan's PartitionFilters (asserted in "
+    "tests/test_plans.py), reusing the dim broadcast as the filter. "
+    "At 100 TB this turns 'join facts to the selected days' into "
+    "reading the matching directories instead of the whole table; "
+    "op_orc_partitioned_scan covers the literal-predicate analogue.",
+    tags=("io", "join", "scale"),
+)
+def op_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join a day-partitioned fact table to a filtered calendar dim;
+    DPP prunes unselected day directories at the fact scan."""
+    from ..catalog import load as _load
+    from ..exprs import dsum as _dsum
+
+    root = _scratch("dpp_")
+    fact_dir = os.path.join(root, "events_by_day")
+    dim_dir = os.path.join(root, "calendar")
+    e = _load(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    if not os.path.exists(os.path.join(fact_dir, "_SUCCESS")):
+        e.select("day", "value", "event_id").write.mode(
+            "overwrite"
+        ).partitionBy("day").parquet(fact_dir)
+    if not os.path.exists(os.path.join(dim_dir, "_SUCCESS")):
+        (
+            e.select("day")
+            .distinct()
+            .withColumn(
+                "phase",
+                F.when(F.dayofmonth("day") <= 10, "early").otherwise(
+                    "late"
+                ),
+            )
+            .write.mode("overwrite")
+            .parquet(dim_dir)
+        )
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).filter(F.col("phase") == "early")
+    return (
+        fact.join(dim.select("day"), "day")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_events"),
+            _dsum(F.col("value"), "sum_value"),
+        )
+    )

@@ -164,6 +164,7 @@ BELOW_FOLD_R5: frozenset[str] = frozenset({
     "op_stream_python_source",
     "op_agg_grouping_id",
     "op_quality_audit",
+    "op_partition_pruned_join",
 })
 
 
