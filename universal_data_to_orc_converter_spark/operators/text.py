@@ -1098,3 +1098,60 @@ def op_doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "df_sum",
         (F.col("df_sum").cast("double") / F.col("n_tokens")).alias("avg_df"),
     )
+
+
+@query(
+    "op_doc_chunk",
+    oracle="""
+        WITH params AS (SELECT 500 AS sz, 400 AS stride),
+        n AS (
+          SELECT d.doc_id, d.text, d.n_chars,
+                 CASE WHEN d.n_chars <= p.sz THEN 1
+                      ELSE CAST((d.n_chars - p.sz + p.stride - 1)
+                                / p.stride AS INT) + 1 END AS n_chunks
+          FROM documents d, params p
+        )
+        SELECT doc_id,
+               CAST(i AS INT) AS chunk_id,
+               CAST(length(substr(text, CAST(i AS INT) * 400 + 1, 500))
+                    AS INT) AS chunk_len,
+               md5(substr(text, CAST(i AS INT) * 400 + 1, 500))
+                   AS chunk_md5
+        FROM (
+          SELECT doc_id, text,
+                 unnest(generate_series(0, n_chunks - 1)) AS i
+          FROM n
+        )
+    """,
+    notes="RAG/training-style document chunking: fixed 500-char "
+    "windows with 100-char overlap (stride 400), chunk count derived "
+    "with INTEGER ceiling arithmetic so both engines enumerate "
+    "identical windows, content verified per-chunk via md5 (identical "
+    "digests ⇔ byte-identical substrings — substr is 1-based on both "
+    "engines). Zero shuffle: sequence+explode is a scan-side "
+    "projection, chunks inherit the document's partition; at 100 TB "
+    "chunking is free compared to the embedding pass it feeds, and "
+    "the overlap guarantees no boundary-spanning text is lost to "
+    "retrieval.",
+    tags=("text", "training"),
+)
+def op_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size character chunks per document."""
+    sz, stride = 500, 400
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    n_chunks = F.when(F.col("n_chars") <= sz, F.lit(1)).otherwise(
+        ((F.col("n_chars") - sz + stride - 1) / stride).cast("int") + 1
+    )
+    chunks = d.withColumn(
+        "chunk_id",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)),
+    )
+    piece = F.substring(
+        F.col("text"), F.col("chunk_id") * stride + 1, sz
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.length(piece).cast("int").alias("chunk_len"),
+        F.md5(piece).alias("chunk_md5"),
+    )

@@ -165,6 +165,7 @@ BELOW_FOLD_R5: frozenset[str] = frozenset({
     "op_agg_grouping_id",
     "op_quality_audit",
     "op_partition_pruned_join",
+    "op_doc_chunk",
 })
 
 
