@@ -525,3 +525,37 @@ def test_ivfpq_recall_on_clustered_corpus(spark):
     r10 = recall(10)
     assert r10 >= 0.9, f"clustered IVF-PQ recall {r10:.3f} at rerank 10x"
     assert r10 >= r3, (r3, r10)
+
+
+def test_chunk_window_math_tiles_every_document():
+    """Property-check op_doc_chunk's integer window arithmetic (the
+    same formula both engines execute): for any n_chars >= 1, the
+    enumerated 500-char/stride-400 windows (1) start in-bounds,
+    (2) cover every character, (3) overlap adjacent chunks by exactly
+    100 chars except at the tail, and (4) the LAST window always
+    reaches the final character."""
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    SZ, STRIDE = 500, 400
+
+    @given(st.integers(min_value=1, max_value=10_000))
+    def check(n_chars):
+        if n_chars <= SZ:
+            n_chunks = 1
+        else:
+            n_chunks = (n_chars - SZ + STRIDE - 1) // STRIDE + 1
+        spans = [
+            (i * STRIDE, min(i * STRIDE + SZ, n_chars))
+            for i in range(n_chunks)
+        ]
+        assert all(lo < n_chars for lo, _ in spans), (n_chars, spans)
+        covered = set()
+        for lo, hi in spans:
+            covered.update(range(lo, hi))
+        assert covered == set(range(n_chars)), n_chars
+        assert spans[-1][1] == n_chars
+        for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+            assert hi1 - lo2 == SZ - STRIDE, (n_chars, spans)
+
+    check()
