@@ -1,0 +1,99 @@
+"""Regenerate the local 10x scaling fixture at /tmp/sf1.
+
+Methodology (PERF.md "sf1 scaling experiment"): each sf0.1 table is
+replicated 10x with keys offset per replica so the result is a
+plausible larger instance, not 10 identical copies:
+
+* lineitem / orders: l_orderkey / o_orderkey (+ o_custkey) offset by
+  replica * (max_key + 1)  -> 6M / 1.5M rows, join cardinalities
+  preserved per replica.
+* events: event_id and user_id offset per replica -> 1M rows, 10x the
+  user population (window/sessionize per-user profiles preserved).
+* documents: doc_id offset; text WORD-SHUFFLED with a per-replica
+  seed so replicas are not near-duplicates of the originals
+  (dedup/minhash recall experiments stay honest) while token counts
+  and lengths are preserved.
+* embeddings: vec_id offset; vectors perturbed by a small deterministic
+  per-replica rotation-free jitter (+0.01*replica on one coordinate)
+  so exact-dup collapse does not occur.
+* region/nation/customer/supplier/part: copied unchanged (dimensions).
+
+Deterministic: seeded with the replica index only.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import shutil
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+DST = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+REPLICAS = 10
+
+os.makedirs(DST, exist_ok=True)
+con = duckdb.connect()
+
+for dim in ("region", "nation", "customer", "supplier", "part"):
+    shutil.copyfile(f"{SRC}/{dim}.parquet", f"{DST}/{dim}.parquet")
+
+offsets = {
+    "lineitem": ("l_orderkey", ["l_orderkey"]),
+    "orders": ("o_orderkey", ["o_orderkey", "o_custkey"]),
+    "events": ("event_id", ["event_id", "user_id"]),
+}
+for t, (keycol, cols) in offsets.items():
+    base = con.sql(f"SELECT MAX({keycol}) FROM '{SRC}/{t}.parquet'").fetchone()[0] + 1
+    # user_id/custkey need their own modulus
+    parts = []
+    for r in range(REPLICAS):
+        sel = []
+        desc = con.sql(f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()
+        for name, typ, *_ in desc:
+            if name in cols:
+                sel.append(f"{name} + {r * base} AS {name}")
+            else:
+                sel.append(name)
+        parts.append(f"SELECT {', '.join(sel)} FROM '{SRC}/{t}.parquet'")
+    con.sql(
+        f"COPY ({' UNION ALL '.join(parts)}) TO '{DST}/{t}.parquet' (FORMAT PARQUET)"
+    )
+    print(t, con.sql(f"SELECT COUNT(*) FROM '{DST}/{t}.parquet'").fetchone()[0])
+
+# documents: word-shuffle replicas 1..9, replica 0 verbatim
+docs = con.sql(f"SELECT doc_id, text, lang, source, n_chars FROM '{SRC}/documents.parquet'").fetchall()
+max_doc = max(d[0] for d in docs) + 1
+out = []
+for r in range(REPLICAS):
+    rng = random.Random(1234 + r)
+    for doc_id, text, lang, source, n_chars in docs:
+        if r == 0:
+            t2 = text
+        else:
+            words = text.split(" ")
+            rng.shuffle(words)
+            t2 = " ".join(words)
+        out.append((doc_id + r * max_doc, t2, lang, source, len(t2)))
+con.sql("CREATE TABLE docs_out (doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR, n_chars BIGINT)")
+con.executemany("INSERT INTO docs_out VALUES (?,?,?,?,?)", out)
+con.sql(f"COPY docs_out TO '{DST}/documents.parquet' (FORMAT PARQUET)")
+print("documents", len(out))
+
+# embeddings: jitter one coordinate per replica
+embs = con.sql(f"SELECT vec_id, embedding, label FROM '{SRC}/embeddings.parquet'").fetchall()
+max_vec = max(e[0] for e in embs) + 1
+eout = []
+for r in range(REPLICAS):
+    for vec_id, emb, label in embs:
+        v = list(emb)
+        if r:
+            v[r % len(v)] = float(v[r % len(v)]) + 0.01 * r
+        eout.append((vec_id + r * max_vec, v, label))
+con.sql("CREATE TABLE emb_out (vec_id BIGINT, embedding FLOAT[], label INTEGER)")
+con.executemany("INSERT INTO emb_out VALUES (?,?,?)", eout)
+con.sql(f"COPY emb_out TO '{DST}/embeddings.parquet' (FORMAT PARQUET)")
+print("embeddings", len(eout))
+print("done ->", DST)

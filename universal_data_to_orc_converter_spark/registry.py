@@ -166,6 +166,7 @@ BELOW_FOLD_R5: frozenset[str] = frozenset({
     "op_quality_audit",
     "op_partition_pruned_join",
     "op_doc_chunk",
+    "op_zorder_clustered_scan",
 })
 
 
@@ -192,6 +193,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         tpch,
         udfs,
         windows,
+        zorder,
     )
     from .functions import scalar, semistructured  # noqa: F401
     from .sources import replay_stream  # noqa: F401
