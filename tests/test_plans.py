@@ -320,3 +320,14 @@ def test_partition_pruned_join_uses_dynamic_pruning(spark):
     df = q("op_partition_pruned_join", spark)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_fuzzy_join_blocks_via_equi_join(spark):
+    """The edit-distance join must hash/merge on the blocking keys —
+    never a cartesian/nested-loop over all pairs (the difference
+    between O(sum block²) and O(n²) at 100 TB)."""
+    df = q("op_join_fuzzy_blocked", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan

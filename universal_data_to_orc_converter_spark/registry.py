@@ -167,6 +167,7 @@ BELOW_FOLD_R5: frozenset[str] = frozenset({
     "op_partition_pruned_join",
     "op_doc_chunk",
     "op_zorder_clustered_scan",
+    "op_join_fuzzy_blocked",
 })
 
 
