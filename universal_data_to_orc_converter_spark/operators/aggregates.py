@@ -763,3 +763,51 @@ def op_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+@query(
+    "op_skew_profile",
+    oracle="""
+        WITH c AS (
+          SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+               CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top1_share,
+               quantile_cont(cnt, 0.5) AS p50_cnt,
+               quantile_cont(cnt, 0.99) AS p99_cnt,
+               CAST(MAX(cnt) AS DOUBLE) / quantile_cont(cnt, 0.5)
+                 AS max_over_median
+        FROM c
+    """,
+    notes="Key-skew diagnostic — the measurement you run BEFORE "
+    "choosing a skew mitigation (op_join_salted / "
+    "op_agg_salted_twophase / AQE skew join are the remedies; this "
+    "op is the trigger). Two-level aggregate: per-key counts "
+    "shuffle once on the key (map-side partial combine makes the "
+    "exchange carry one row per key per mapper), then a single-row "
+    "global profile — max/median ratio and top-1 share are the "
+    "standard straggler predictors. Percentiles over the per-key "
+    "count distribution use the same interpolated definition both "
+    "engines share (see op_agg_percentile); the share/ratio "
+    "divisions are single double ops on exact integers — "
+    "bit-identical. At 100 TB the candidate-key profile is the "
+    "cheapest full-data diagnostic there is: its output is O(1).",
+    tags=("agg", "scale"),
+)
+def op_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row skew profile of the events.user_id key distribution."""
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    return c.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        (F.max("cnt").cast("double") / F.sum("cnt")).alias("top1_share"),
+        F.expr("percentile(cnt, 0.5)").alias("p50_cnt"),
+        F.expr("percentile(cnt, 0.99)").alias("p99_cnt"),
+        (
+            F.max("cnt").cast("double") / F.expr("percentile(cnt, 0.5)")
+        ).alias("max_over_median"),
+    )

@@ -168,6 +168,7 @@ BELOW_FOLD_R5: frozenset[str] = frozenset({
     "op_doc_chunk",
     "op_zorder_clustered_scan",
     "op_join_fuzzy_blocked",
+    "op_skew_profile",
 })
 
 
