@@ -331,3 +331,14 @@ def test_fuzzy_join_blocks_via_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_time_weighted_avg_single_exchange(spark):
+    """LEAD window + per-user aggregate both cluster on user_id; the
+    plan must share ONE hash exchange (the sessionize discipline)."""
+    import re
+
+    df = q("op_time_weighted_avg", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = len(re.findall(r"Exchange (hash|range)partitioning", plan))
+    assert n == 1, f"expected 1 exchange, plan has {n}"

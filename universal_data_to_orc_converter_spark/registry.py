@@ -169,6 +169,7 @@ BELOW_FOLD_R5: frozenset[str] = frozenset({
     "op_zorder_clustered_scan",
     "op_join_fuzzy_blocked",
     "op_skew_profile",
+    "op_time_weighted_avg",
 })
 
 

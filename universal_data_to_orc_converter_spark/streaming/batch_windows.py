@@ -772,3 +772,83 @@ def op_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         sessionized_stream(spark, sf_dir), output_mode="append"
     )
+
+
+@query(
+    "op_time_weighted_avg",
+    oracle="""
+        WITH seq AS (
+          SELECT user_id, value,
+                 epoch_us(ts) // 1000000 AS t_s,
+                 LEAD(epoch_us(ts) // 1000000) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS t_next_s
+          FROM events
+        ),
+        seg AS (
+          SELECT user_id,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                   * (t_next_s - t_s) AS w,
+                 t_next_s - t_s AS d
+          FROM seq WHERE t_next_s IS NOT NULL
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) + 1 AS n_obs,
+               CAST(SUM(d) AS BIGINT) AS span_s,
+               CAST(SUM(w) AS DOUBLE)
+                 / (100.0 * CAST(SUM(d) AS DOUBLE)) AS twa_value
+        FROM seg
+        GROUP BY user_id
+        HAVING SUM(d) > 0
+    """,
+    notes="Time-weighted average (TimescaleDB time_weight('LOCF') "
+    "equivalent): each observation's value holds until the next "
+    "sample, so the mean is integral(v dt)/span, not AVG(v) — the "
+    "correct answer for irregularly-sampled metrics where AVG "
+    "over-weights chatty periods. One window pass (LEAD over the "
+    "per-user time order, event_id tiebreak makes equal-timestamp "
+    "pairing deterministic) + one per-user aggregate — both cluster "
+    "on user_id, so Catalyst runs ONE exchange for the whole op. "
+    "Exactness: durations are second-floored integers, values "
+    "fixed-pointed at 1e-2, products summed wide (decimal(38,0) / "
+    "HUGEINT) and divided once in double — bit-identical across "
+    "engines, order-independent (the dsum discipline applied to a "
+    "weighted sum). At 100 TB this is the same shape as sessionize: "
+    "linear scan, key-partitioned window, no iteration.",
+    tags=("timeseries", "window"),
+)
+def op_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF time-weighted mean of events.value per user."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_s = (F.unix_micros("ts") / 1_000_000).cast("long")
+    seq = e.select(
+        "user_id",
+        "value",
+        t_s.alias("t_s"),
+        F.lead(t_s).over(w).alias("t_next_s"),
+    ).filter(F.col("t_next_s").isNotNull())
+    seg = seq.select(
+        "user_id",
+        (
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+            * (F.col("t_next_s") - F.col("t_s"))
+        )
+        .cast("decimal(38,0)")
+        .alias("w"),
+        (F.col("t_next_s") - F.col("t_s")).alias("d"),
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            (F.count("*") + F.lit(1)).cast("bigint").alias("n_obs"),
+            F.sum("d").cast("bigint").alias("span_s"),
+            (
+                F.sum("w").cast("double")
+                / (F.lit(100.0) * F.sum("d").cast("double"))
+            ).alias("twa_value"),
+        )
+        .filter(F.col("span_s") > 0)
+    )
