@@ -170,6 +170,7 @@ BELOW_FOLD_R5: frozenset[str] = frozenset({
     "op_join_fuzzy_blocked",
     "op_skew_profile",
     "op_time_weighted_avg",
+    "op_ewma",
 })
 
 

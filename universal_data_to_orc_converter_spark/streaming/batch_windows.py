@@ -852,3 +852,56 @@ def op_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("span_s") > 0)
     )
+
+
+@query(
+    "op_ewma",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_obs,
+               list_reduce(list(value ORDER BY ts, event_id),
+                           (acc, x) -> 0.3 * x + 0.7 * acc) AS ewma
+        FROM events
+        GROUP BY user_id
+    """,
+    notes="Exponentially-weighted moving average — a per-key "
+    "RECURRENCE (s_i = a*v_i + (1-a)*s_{i-1}), which windowed SQL "
+    "cannot express but a higher-order array fold can: collect the "
+    "per-user series, array_sort on (ts, event_id) structs for a "
+    "deterministic order, then aggregate() folds the smoothing "
+    "recurrence left-to-right entirely JVM-side (no Python, no UDF). "
+    "DuckDB's list_reduce seeds the accumulator with the first "
+    "element, so the Spark fold seeds with element 1 and folds the "
+    "tail — identical operation sequence in double, bit-identical "
+    "result. Scale contract: one exchange on user_id; per-key state "
+    "is the key's OWN history (fine for bounded per-key cardinality "
+    "— the per-user event count here; for unbounded keys the "
+    "streaming escalation is transformWithState, gated on protobuf "
+    "in this container).",
+    tags=("timeseries", "array"),
+)
+def op_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final EWMA (alpha=0.3) of events.value per user."""
+    e = load(spark, sf_dir, "events")
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.unix_micros("ts").alias("t_us"),
+                F.col("event_id").alias("eid"),
+                F.col("value").alias("v"),
+            )
+        )
+    )
+    vals = F.transform(arr, lambda s: s["v"])
+    tail = F.slice(
+        vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0))
+    )
+    ewma = F.aggregate(
+        tail,
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return e.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_obs"),
+        ewma.alias("ewma"),
+    )
