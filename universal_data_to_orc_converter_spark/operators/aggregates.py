@@ -811,3 +811,48 @@ def op_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cnt").cast("double") / F.expr("percentile(cnt, 0.5)")
         ).alias("max_over_median"),
     )
+
+
+@query(
+    "op_winsorize",
+    oracle=f"""
+        WITH b AS (
+          SELECT event_type,
+                 quantile_cont(value, 0.05) AS lo,
+                 quantile_cont(value, 0.95) AS hi
+          FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {sql_dsum("LEAST(GREATEST(e.value, b.lo), b.hi)",
+                         "winsorized_sum")}
+        FROM events e JOIN b USING (event_type)
+        GROUP BY e.event_type
+    """,
+    notes="Winsorized (percentile-clamped) aggregation — the robust "
+    "mean used to stop a handful of corrupt readings from dominating "
+    "a metric. Two passes: per-group p05/p95 bounds (a scalars-only "
+    "aggregate, one row per group), then a BROADCAST join of those "
+    "bounds back onto the fact scan with LEAST/GREATEST clamping "
+    "feeding the exact fixed-point sum. The bounds table stays tiny "
+    "at any scale (|groups| rows), so the second pass adds zero "
+    "shuffles beyond the final group agg; at 100 TB swap the exact "
+    "percentile for approx_percentile and the shape is unchanged. "
+    "Percentile interpolation and the clamp are bit-identical across "
+    "engines (see op_agg_percentile).",
+    tags=("agg", "scale"),
+)
+def op_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type sum of values clamped to the [p05, p95] band."""
+    e = load(spark, sf_dir, "events")
+    bounds = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clamped = e.join(F.broadcast(bounds), "event_type").withColumn(
+        "v_w", F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        dsum(F.col("v_w"), "winsorized_sum"),
+    )

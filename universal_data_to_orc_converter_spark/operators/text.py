@@ -1155,3 +1155,73 @@ def op_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(piece).cast("int").alias("chunk_len"),
         F.md5(piece).alias("chunk_md5"),
     )
+
+
+@query(
+    "op_bpe_pair_counts",
+    oracle="""
+        WITH tok AS (
+          SELECT unnest(string_split(text, ' ')) AS t FROM documents
+        ),
+        tc AS (
+          SELECT t, COUNT(*) AS c FROM tok
+          WHERE length(t) >= 2 GROUP BY t
+        ),
+        pairs AS (
+          SELECT substring(t, i, 1) AS a,
+                 substring(t, i + 1, 1) AS b,
+                 c
+          FROM tc, LATERAL (
+            SELECT unnest(generate_series(1, length(t) - 1)) AS i
+          ) s
+        )
+        SELECT a, b, CAST(SUM(c) AS BIGINT) AS pair_count
+        FROM pairs
+        GROUP BY a, b
+        ORDER BY pair_count DESC, a, b
+        LIMIT 20
+    """,
+    notes="The hot inner step of BPE tokenizer training (the "
+    "most-frequent-adjacent-pair count), distributed the way "
+    "production BPE trainers do it: aggregate the corpus to DISTINCT "
+    "token frequencies FIRST, then enumerate adjacent symbol pairs "
+    "over the vocabulary weighted by those counts. The corpus→vocab "
+    "compression is the scale story — pair enumeration runs over "
+    "|vocab| rows (31 here, maybe 10^7 at 100 TB), not the 10^11 "
+    "token instances; the only full-data pass is the token groupBy "
+    "(map-side combined). Symbol pairs come from a JVM "
+    "sequence+transform+explode (no Python); the merge loop's later "
+    "iterations reuse the same shape over pair-merged symbol arrays. "
+    "Total-order LIMIT (count DESC, pair) keeps both engines on the "
+    "same top 20.",
+    tags=("text", "scale"),
+)
+def op_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent character pairs weighted by token frequency —
+    BPE merge candidate scoring."""
+    d = load(spark, sf_dir, "documents")
+    tc = (
+        d.select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.length("t") >= 2)
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = tc.select(
+        "c",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - 1),
+                lambda i: F.struct(
+                    F.substring(F.col("t"), i, F.lit(1)).alias("a"),
+                    F.substring(F.col("t"), i + 1, F.lit(1)).alias("b"),
+                ),
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "c")
+        .groupBy("a", "b")
+        .agg(F.sum("c").cast("bigint").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "a", "b")
+        .limit(20)
+    )

@@ -171,6 +171,8 @@ BELOW_FOLD_R5: frozenset[str] = frozenset({
     "op_skew_profile",
     "op_time_weighted_avg",
     "op_ewma",
+    "op_bpe_pair_counts",
+    "op_winsorize",
 })
 
 
