@@ -163,3 +163,35 @@ class TestQuantizeEdgeCases:
         ]
         # degenerate dim contributes nothing → files range-split on b
         assert skipped_fraction(env, "b", 0, 10) >= 0.5
+
+
+class TestMortonBijection:
+    """encode∘decode = id over the full 16-bit × 16-bit domain — the
+    property that makes the z-value a lossless ordering key (two
+    distinct (a,b) cells can never collide into one code)."""
+
+    @staticmethod
+    def _decode(z: int) -> tuple[int, int]:
+        def compact(x: int) -> int:
+            x &= 0x55555555
+            x = (x | (x >> 1)) & 0x33333333
+            x = (x | (x >> 2)) & 0x0F0F0F0F
+            x = (x | (x >> 4)) & 0x00FF00FF
+            x = (x | (x >> 8)) & 0x0000FFFF
+            return x
+
+        return compact(z), compact(z >> 1)
+
+    def test_roundtrip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=300)
+        @given(
+            st.integers(min_value=0, max_value=0xFFFF),
+            st.integers(min_value=0, max_value=0xFFFF),
+        )
+        def check(a, b):
+            assert self._decode(_py_morton2(a, b)) == (a, b)
+
+        check()

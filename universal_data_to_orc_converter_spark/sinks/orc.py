@@ -47,12 +47,22 @@ def write_orc(
     max_records_per_file: int | None = DEFAULT_MAX_RECORDS_PER_FILE,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
+    bloom_filter_cols: list[str] | None = None,
+    bloom_filter_fpp: float = 0.05,
 ) -> None:
     """Write a DataFrame as a directory of ORC part files.
 
     ``partition_by`` adds hive-style directory partitioning — the
     100 TB upgrade over the reference's flat layout: a date/tenant
-    partition column turns full scans into partition-pruned scans."""
+    partition column turns full scans into partition-pruned scans.
+
+    ``bloom_filter_cols`` embeds per-stripe bloom filters for the
+    named columns (``orc.bloom.filter.columns``). Min/max stripe
+    stats only prune RANGE predicates on clustered columns; blooms
+    prune POINT predicates on high-cardinality columns the layout is
+    NOT sorted by — the complement of the z-order strategy
+    (operators/zorder.py). Costs ~5% file size at fpp 0.05
+    (measured, tests/test_conversion.py)."""
     if compression not in CODECS:
         raise ValueError(f"unsupported codec {compression!r}; one of {CODECS}")
     writer = df.write.mode(mode).option("compression", compression)
@@ -60,6 +70,10 @@ def write_orc(
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if bloom_filter_cols:
+        writer = writer.option(
+            "orc.bloom.filter.columns", ",".join(bloom_filter_cols)
+        ).option("orc.bloom.filter.fpp", str(bloom_filter_fpp))
     writer.orc(path)
 
 
