@@ -1,0 +1,161 @@
+"""Iterative graph algorithms on DataFrames — SURVEY.md §2 extension.
+
+The dedup family already ships one fixed-point graph algorithm (label
+propagation for connected components, operators/dedup.py); this module
+adds the other canonical one — PageRank — as a driver-side loop of
+pure DataFrame joins, the standard Spark formulation (edges ⋈ ranks →
+contributions → groupBy dst → new ranks).
+
+Cross-engine exactness for an ITERATIVE double algorithm is usually
+hopeless (float error compounds per iteration, in engine-specific
+order). Solved here by doing the whole thing in integer arithmetic:
+ranks live in micro-units (1e6 = rank 1.0), each edge contribution is
+``rank div outdeg`` (integer division), the damping step is
+``(85 * incoming) div 100`` — every operation is exact and
+order-independent, so 3 iterations later Spark and DuckDB agree to
+the last bit. The price is ≤ outdeg micro-units of floor loss per
+node per iteration — deterministic, identical in both engines, and
+bounded by 1e-4 of a rank unit here.
+
+Scale posture: per iteration, one shuffle (the groupBy dst; the
+edges ⋈ ranks join co-partitions on src). Edges and degrees are
+computed once and cached — the iteration loop never re-derives them.
+Dangling mass (nodes below the co-occurrence threshold losing all
+out-edges) is dropped identically in both engines — the usual
+simplified-PageRank convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+#: damping factor as an exact rational (85/100)
+DAMPING_NUM, DAMPING_DEN = 85, 100
+ITERATIONS = 3
+MICRO = 1_000_000
+
+
+@query(
+    "op_pagerank",
+    oracle="""
+        WITH pairc AS (
+          SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
+                 COUNT(*) AS cnt
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+          WHERE a.l_suppkey <> b.l_suppkey
+          GROUP BY 1, 2
+        ),
+        edges AS (
+          SELECT src, dst FROM pairc
+          WHERE cnt >= (SELECT quantile_cont(cnt, 0.75) FROM pairc)
+        ),
+        deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION ALL SELECT dst FROM edges
+          ) u
+        ),
+        it0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        it1 AS (
+          SELECT n.node,
+                 150000 + (85 * COALESCE(SUM(p.r // d.outdeg), 0)) // 100
+                   AS r
+          FROM nodes n
+          LEFT JOIN edges e ON e.dst = n.node
+          LEFT JOIN it0 p ON p.node = e.src
+          LEFT JOIN deg d ON d.src = e.src
+          GROUP BY n.node
+        ),
+        it2 AS (
+          SELECT n.node,
+                 150000 + (85 * COALESCE(SUM(p.r // d.outdeg), 0)) // 100
+                   AS r
+          FROM nodes n
+          LEFT JOIN edges e ON e.dst = n.node
+          LEFT JOIN it1 p ON p.node = e.src
+          LEFT JOIN deg d ON d.src = e.src
+          GROUP BY n.node
+        ),
+        it3 AS (
+          SELECT n.node,
+                 150000 + (85 * COALESCE(SUM(p.r // d.outdeg), 0)) // 100
+                   AS r
+          FROM nodes n
+          LEFT JOIN edges e ON e.dst = n.node
+          LEFT JOIN it2 p ON p.node = e.src
+          LEFT JOIN deg d ON d.src = e.src
+          GROUP BY n.node
+        )
+        SELECT node AS suppkey, CAST(r AS BIGINT) AS rank_micro
+        FROM it3
+    """,
+    notes="3-iteration PageRank over the supplier co-occurrence graph "
+    "(suppliers sharing an order, sparsified to pairs above the p75 "
+    "co-occurrence count so degrees vary). Ranks are exact integers "
+    "in micro-units — rank div outdeg contributions, (85·in) div 100 "
+    "damping — so the iterative result hash-matches DuckDB's "
+    "3×-unrolled CTE bit-for-bit, something float PageRank can never "
+    "do across engines. One shuffle per iteration (contribution "
+    "groupBy dst); edges/degrees cached once; the driver loop carries "
+    "only iteration COUNT, never data. The oracle's unrolled CTEs "
+    "are the same dataflow Catalyst sees from the loop.",
+    tags=("graph", "iterative"),
+)
+def op_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank of suppliers by order co-occurrence."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("src")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("dst")
+    )
+    pairc = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pairc = pairc.persist()
+    thresh = pairc.agg(F.expr("percentile(cnt, 0.75)")).first()[0]
+    edges = pairc.filter(F.col("cnt") >= thresh).select("src", "dst").persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    ranks = nodes.withColumn("r", F.lit(MICRO).cast("bigint"))
+    for _ in range(ITERATIONS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                "dst", F.expr("r div outdeg").alias("contrib")
+            )
+        )
+        incoming = contrib.groupBy("dst").agg(
+            F.sum("contrib").alias("inc")
+        )
+        ranks = nodes.join(
+            incoming, nodes.node == incoming.dst, "left"
+        ).select(
+            "node",
+            (
+                F.lit(150_000).cast("bigint")
+                + F.expr(
+                    f"({DAMPING_NUM} * coalesce(inc, CAST(0 AS BIGINT)))"
+                    f" div {DAMPING_DEN}"
+                )
+            ).alias("r"),
+        )
+    return ranks.select(
+        F.col("node").alias("suppkey"), F.col("r").alias("rank_micro")
+    )

@@ -173,6 +173,7 @@ BELOW_FOLD_R5: frozenset[str] = frozenset({
     "op_ewma",
     "op_bpe_pair_counts",
     "op_winsorize",
+    "op_pagerank",
 })
 
 
@@ -185,6 +186,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         aggregates,
         curate,
         dedup,
+        graph,
         io,
         joins,
         maintenance,
