@@ -494,3 +494,63 @@ def op_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum(F.col("value"), "sum_value"),
         )
     )
+
+
+@query(
+    "op_federated_join",
+    oracle=f"""
+        SELECT n.n_name AS nation,
+               COUNT(*) AS n_orders,
+               {sql_dsum("o.o_totalprice", "total_price")}
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+    """,
+    notes="Federated three-source join — the 'universal' in the "
+    "reference's name exercised in ONE plan: the orders fact stays "
+    "in parquet, customer is served from CSV (header+inference "
+    "path), nation is served LIVE from embedded Derby over JDBC — "
+    "then joined and aggregated, hash-matched against the "
+    "all-parquet oracle (proving both conversions lossless *inside* "
+    "a query, not just per-table). Scale shape is unchanged by "
+    "federation: Catalyst broadcasts both dim sources (nation via "
+    "JDBC is a 25-row fetch, CSV customer under the 10 MB "
+    "threshold); at 100 TB the CSV/JDBC dims are one-time loads "
+    "while the parquet fact scan dominates — exactly why the "
+    "reference converts sources to columnar once and queries there.",
+    tags=("io", "jdbc", "join"),
+)
+def op_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders(parquet) ⋈ customer(CSV) ⋈ nation(JDBC) revenue rollup."""
+    from ..sources.csv import read_csv
+    from ..sources.jdbc import DerbyConfig, read_table, write_table
+
+    root = _scratch("fed_")
+    csv_dir = os.path.join(root, "customer_csv")
+    derby = os.path.join(root, "derby")
+
+    c = load(spark, sf_dir, "customer")
+    if not os.path.exists(os.path.join(csv_dir, "_SUCCESS")):
+        c.write.mode("overwrite").option("header", True).csv(csv_dir)
+    cfg = DerbyConfig(path=os.path.join(derby, "db"), create=True)
+    write_table(spark, cfg, load(spark, sf_dir, "nation"), "nation")
+
+    o = load(spark, sf_dir, "orders")
+    c_csv = read_csv(spark, csv_dir, header=True, infer_schema=True)
+    n_jdbc = read_table(spark, DerbyConfig(path=cfg.path), "nation")
+    return (
+        o.join(
+            F.broadcast(c_csv),
+            o.o_custkey == c_csv.c_custkey,
+        )
+        .join(
+            F.broadcast(n_jdbc),
+            c_csv.c_nationkey == n_jdbc.n_nationkey,
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice"), "total_price"),
+        )
+    )

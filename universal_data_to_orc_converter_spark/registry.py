@@ -174,6 +174,7 @@ BELOW_FOLD_R5: frozenset[str] = frozenset({
     "op_bpe_pair_counts",
     "op_winsorize",
     "op_pagerank",
+    "op_federated_join",
 })
 
 
