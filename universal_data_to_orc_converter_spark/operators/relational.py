@@ -188,3 +188,72 @@ def op_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(SQL_RETURNED_ITEMS)
+
+
+@query(
+    "op_surrogate_key",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT)
+                 AS seq_id
+        FROM orders
+    """,
+    notes="Global dense sequence assignment WITHOUT the naive plan's "
+    "single-partition global sort (ROW_NUMBER over an empty "
+    "PARTITION BY collapses all data onto one task — the classic "
+    "100 TB killer). Instead: DETERMINISTIC range buckets from "
+    "quantile cutpoints of the key (15 driver scalars — metadata; "
+    "repartitionByRange's sampled boundaries would differ between "
+    "the count pass and the assignment pass, which is exactly the "
+    "bug this formulation avoids), per-bucket COUNTS to the driver, "
+    "a prefix-sum of offsets folded back as a CASE column, and "
+    "ROW_NUMBER within each bucket plus its offset — the only "
+    "exchange over data is the per-bucket window. Bit-identical to "
+    "the oracle's global ROW_NUMBER because the key is unique and "
+    "buckets are totally ordered. This is how production engines "
+    "implement zipWithIndex/IDENTITY backfills at scale.",
+    tags=("relational", "scale"),
+)
+def op_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 1-based sequence ids over orders, ordered by o_orderkey."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    fracs = [i / 16 for i in range(1, 16)]
+    cuts = o.agg(
+        F.expr(
+            f"percentile(o_orderkey, array({','.join(map(str, fracs))}))"
+        ).alias("c")
+    ).first()["c"]
+    pid = sum(
+        (F.col("o_orderkey") > F.lit(float(c))).cast("int") for c in cuts
+    ).alias("pid")
+    with_pid = o.select("o_orderkey", pid)
+    # one row per bucket → driver; prefix-sum is metadata-scale
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in with_pid.groupBy("pid")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    offset_col = (
+        F.coalesce(
+            *[
+                F.when(F.col("pid") == b, F.lit(off))
+                for b, off in offsets.items()
+            ]
+        )
+        if offsets
+        else F.lit(0)
+    )
+    w = Window.partitionBy("pid").orderBy("o_orderkey")
+    return with_pid.select(
+        "o_orderkey",
+        (F.row_number().over(w) + offset_col.cast("bigint")).alias(
+            "seq_id"
+        ),
+    )

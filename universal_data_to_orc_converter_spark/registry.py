@@ -175,6 +175,7 @@ BELOW_FOLD_R5: frozenset[str] = frozenset({
     "op_winsorize",
     "op_pagerank",
     "op_federated_join",
+    "op_surrogate_key",
 })
 
 
