@@ -176,6 +176,8 @@ BELOW_FOLD_R5: frozenset[str] = frozenset({
     "op_pagerank",
     "op_federated_join",
     "op_surrogate_key",
+    "op_scd2_build",
+    "op_join_interval_overlap",
 })
 
 

@@ -905,3 +905,155 @@ def op_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_obs"),
         ewma.alias("ewma"),
     )
+
+
+@query(
+    "op_scd2_build",
+    oracle="""
+        SELECT user_id,
+               event_type AS attr_value,
+               ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to,
+               CASE WHEN LEAD(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_current
+        FROM events
+    """,
+    notes="Slowly-changing-dimension type 2 build: turn a change "
+    "history into validity intervals — each observation is valid "
+    "from its timestamp until the next change for the same key, the "
+    "last one open-ended (NULL valid_to, is_current=1). One LEAD "
+    "window over (key, time) — exactly one exchange, the standard "
+    "warehouse dim-build primitive this engine's CDC family "
+    "(op_stream_cdc_upsert keeps only latest-per-key) deliberately "
+    "does NOT cover: SCD2 retains full history for point-in-time "
+    "joins. event_id tiebreak makes equal-timestamp ordering "
+    "deterministic across engines. At 100 TB the incremental "
+    "refresh closes only the previously-open rows of keys touched "
+    "by the new batch — same touched-keys discipline as the CDC "
+    "bucket overwrite.",
+    tags=("timeseries", "window", "cdc"),
+)
+def op_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validity-interval (SCD2) rows from the events change log."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        F.col("event_type").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+            "is_current"
+        ),
+    )
+
+
+@query(
+    "op_join_interval_overlap",
+    oracle="""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+          SELECT user_id, ts,
+                 SUM(is_new) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM flagged
+        ),
+        sessions AS (
+          SELECT user_id, sess_id, MIN(ts) AS s, MAX(ts) AS e
+          FROM numbered GROUP BY user_id, sess_id
+        )
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               CAST(COUNT(*) AS BIGINT) AS n_overlaps
+        FROM sessions a JOIN sessions b
+          ON a.s <= b.e AND b.s <= a.e AND a.user_id < b.user_id
+        GROUP BY a.user_id, b.user_id
+    """,
+    notes="Interval×interval OVERLAP join (co-presence: pairs of "
+    "users whose activity sessions intersected in time) — the "
+    "pattern point-in-interval joins (op_join_theta / "
+    "op_join_range_bucketized) don't cover, because BOTH sides are "
+    "ranges. Executed scalably by temporal bucketization: every "
+    "session is exploded into the 1-hour buckets it spans (sessions "
+    "are gap-bounded, so the replication factor is small and "
+    "data-independent), the join is an EQUI-join on the bucket, the "
+    "exact overlap predicate re-checks inside the bucket, and a "
+    "distinct on session pairs removes multi-bucket double-counts "
+    "before the pair rollup. The oracle states the same semantics "
+    "as a direct range self-join (DuckDB plans it as an IEJoin). "
+    "At 100 TB the bucket width is the knob: ~median interval "
+    "length keeps replication ≈2× while bounding each bucket's "
+    "all-pairs term.",
+    tags=("join", "timeseries"),
+)
+def op_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-user overlapping-session pair counts, bucketized."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.withColumn(
+        "is_new",
+        F.when(
+            gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "sess_id",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sessions = numbered.groupBy("user_id", "sess_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    bucketed = sessions.withColumn(
+        "h",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s"),
+                F.date_trunc("hour", "e"),
+                F.expr("interval 1 hour"),
+            )
+        ),
+    )
+    a = bucketed.select(
+        F.col("user_id").alias("ua"),
+        F.col("sess_id").alias("sa"),
+        F.col("s").alias("a_s"),
+        F.col("e").alias("a_e"),
+        "h",
+    )
+    b = bucketed.select(
+        F.col("user_id").alias("ub"),
+        F.col("sess_id").alias("sb"),
+        F.col("s").alias("b_s"),
+        F.col("e").alias("b_e"),
+        "h",
+    )
+    pairs = (
+        a.join(b, "h")
+        .filter(
+            (F.col("ua") < F.col("ub"))
+            & (F.col("a_s") <= F.col("b_e"))
+            & (F.col("b_s") <= F.col("a_e"))
+        )
+        .select("ua", "sa", "ub", "sb")
+        .distinct()
+    )
+    return pairs.groupBy(
+        F.col("ua").alias("user_a"), F.col("ub").alias("user_b")
+    ).agg(F.count("*").cast("bigint").alias("n_overlaps"))
