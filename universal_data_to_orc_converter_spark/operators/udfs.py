@@ -239,3 +239,61 @@ def op_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "asof_orderkey long, asof_totalprice double",
         )
     )
+
+
+@query(
+    "op_mapinarrow_norm",
+    oracle="""
+        SELECT vec_id,
+               CAST(len(embedding) AS BIGINT) AS dim,
+               list_sum(list_transform(embedding,
+                 x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                 * 1000000 + 0.5) AS BIGINT)))
+                 AS norm2_fixed
+        FROM embeddings
+    """,
+    notes="mapInArrow — the fourth (and lowest-overhead) Python "
+    "execution tier, completing the UDF surface: batches arrive as "
+    "raw pyarrow RecordBatches with NO pandas conversion, the "
+    "zero-copy path for numeric array payloads (Spark 4 docs call "
+    "this out for exactly this embedding-shaped workload). The "
+    "kernel computes per-vector squared norms in numpy over the "
+    "Arrow buffers. Exactness across the Arrow boundary: each "
+    "float32 element widens exactly to double, per-element "
+    "FLOOR(x²·1e6+0.5) is a deterministic integer, and the int64 "
+    "row-sum is order-fixed by the array — so even the "
+    "Python-kernel tier hash-matches a pure-SQL oracle "
+    "(list_transform/list_sum). Scale: embarrassingly parallel map "
+    "stage, zero shuffles, Arrow batch size is the only knob.",
+    tags=("udf", "similarity"),
+)
+def op_mapinarrow_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point squared L2 norm per embedding via mapInArrow."""
+    import pyarrow as pa
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def norms(batches):
+        import numpy as np
+
+        for batch in batches:
+            tbl = batch.to_pydict()
+            ids = tbl["vec_id"]
+            out_dim, out_norm = [], []
+            for vec in tbl["embedding"]:
+                a = np.asarray(vec, dtype=np.float64)
+                out_dim.append(len(a))
+                out_norm.append(
+                    int(np.floor(a * a * 1_000_000 + 0.5).astype(np.int64).sum())
+                )
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "vec_id": pa.array(ids, type=pa.int64()),
+                    "dim": pa.array(out_dim, type=pa.int64()),
+                    "norm2_fixed": pa.array(out_norm, type=pa.int64()),
+                }
+            )
+
+    return emb.mapInArrow(
+        norms, "vec_id bigint, dim bigint, norm2_fixed bigint"
+    )
