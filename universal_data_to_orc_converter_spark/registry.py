@@ -178,6 +178,7 @@ BELOW_FOLD_R5: frozenset[str] = frozenset({
     "op_surrogate_key",
     "op_scd2_build",
     "op_join_interval_overlap",
+    "op_mapinarrow_norm",
 })
 
 
