@@ -342,3 +342,15 @@ def test_time_weighted_avg_single_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     n = len(re.findall(r"Exchange (hash|range)partitioning", plan))
     assert n == 1, f"expected 1 exchange, plan has {n}"
+
+
+def test_rank_fusion_single_exchange_with_group_limit(spark):
+    """Three brand-partitioned windows + the top-3 cut must share ONE
+    exchange, with WindowGroupLimit pruning below it."""
+    import re
+
+    df = q("op_rank_fusion", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = len(re.findall(r"Exchange (hash|range)partitioning", plan))
+    assert n == 1, f"expected 1 exchange, plan has {n}"
+    assert "WindowGroupLimit" in plan

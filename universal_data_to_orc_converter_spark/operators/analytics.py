@@ -1,0 +1,184 @@
+"""Product-analytics / retrieval-fusion composites — §2 extensions.
+
+Two shapes every analytics-on-Spark deployment ends up writing:
+reciprocal-rank fusion (combining heterogeneous retrieval signals —
+the standard hybrid-search merge in RAG stacks) and A/B experiment
+metrics (per-variant means with a Welch z statistic). Both are built
+to the repo's exactness discipline: rank arithmetic is integer,
+scores are a fixed-length sum of exact double terms, variances come
+from wide-integer sums of squares — so both hash-match DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+
+@query(
+    "op_rank_fusion",
+    oracle="""
+        WITH r AS (
+          SELECT p_partkey, p_brand,
+                 ROW_NUMBER() OVER (PARTITION BY p_brand
+                                    ORDER BY p_retailprice DESC,
+                                             p_partkey) AS rk1,
+                 ROW_NUMBER() OVER (PARTITION BY p_brand
+                                    ORDER BY p_size DESC,
+                                             p_partkey) AS rk2
+          FROM part
+        ),
+        s AS (
+          SELECT p_partkey, p_brand,
+                 1.0 / (60 + rk1) + 1.0 / (60 + rk2) AS rrf_score
+          FROM r
+        ),
+        t AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand
+                                       ORDER BY rrf_score DESC,
+                                                p_partkey) AS rn
+          FROM s
+        )
+        SELECT p_brand, p_partkey, rrf_score
+        FROM t WHERE rn <= 3
+    """,
+    notes="Reciprocal-rank fusion (k=60) — the hybrid-search merge "
+    "used to combine keyword (BM25-style) and embedding rankings in "
+    "RAG retrieval, demonstrated over two orthogonal signals per "
+    "brand group. Scale discipline: every ranking is PARTITIONED "
+    "(per query group) — never a global empty-PARTITION ROW_NUMBER "
+    "(the single-task trap op_surrogate_key exists to avoid) — and "
+    "all three windows plus the top-3 keep cluster on p_brand, so "
+    "Catalyst plans ONE exchange end-to-end with a WindowGroupLimit "
+    "for the final cut (plan-asserted). Exactness: ranks are "
+    "integers, the score is a 2-term sum of exact double "
+    "reciprocals evaluated in the same order by both engines.",
+    tags=("window", "text", "scale"),
+)
+def op_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF top-3 per brand from price- and size-rankings."""
+    p = load(spark, sf_dir, "part")
+    w1 = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), "p_partkey"
+    )
+    w2 = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_size"), "p_partkey"
+    )
+    scored = p.select(
+        "p_partkey",
+        "p_brand",
+        (
+            F.lit(1.0) / (F.lit(60) + F.row_number().over(w1))
+            + F.lit(1.0) / (F.lit(60) + F.row_number().over(w2))
+        ).alias("rrf_score"),
+    )
+    wt = Window.partitionBy("p_brand").orderBy(
+        F.desc("rrf_score"), "p_partkey"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "rrf_score")
+    )
+
+
+@query(
+    "op_ab_test",
+    oracle="""
+        WITH v AS (
+          SELECT event_type,
+                 user_id % 2 AS variant,
+                 CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS v6
+          FROM events
+        ),
+        g AS (
+          SELECT event_type, variant,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(v6) AS DOUBLE) / 1000000.0 / COUNT(*) AS mean,
+                 (CAST(SUM(v6 * v6) AS DOUBLE) / 1e12 / COUNT(*))
+                   - POW(CAST(SUM(v6) AS DOUBLE) / 1000000.0
+                         / COUNT(*), 2) AS var_pop
+          FROM v GROUP BY event_type, variant
+        )
+        SELECT a.event_type,
+               a.n AS n_a, b.n AS n_b,
+               a.mean AS mean_a, b.mean AS mean_b,
+               a.mean - b.mean AS mean_diff,
+               (a.mean - b.mean)
+                 / sqrt(a.var_pop / a.n + b.var_pop / b.n) AS welch_z
+        FROM g a JOIN g b
+          ON a.event_type = b.event_type
+         AND a.variant = 0 AND b.variant = 1
+    """,
+    notes="A/B experiment readout: deterministic variant assignment "
+    "(user_id parity — the hash-bucket split every experimentation "
+    "platform uses), per-variant mean and population variance, and "
+    "the Welch z statistic. One fact aggregation (map-side combined "
+    "on (event_type, variant)) + a 2×|event_type|-row self-join — "
+    "O(1) output at any scale. Exactness where it is usually "
+    "impossible: means AND variances are derived from wide-integer "
+    "sums (Σv6, Σv6² in decimal(38,0)/HUGEINT — v6 = 1e-6 fixed "
+    "point), so even E[x²]−E[x]² and the final sqrt are the same "
+    "double expression over identical operands in both engines.",
+    tags=("agg", "scale"),
+)
+def op_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type two-variant comparison with Welch z."""
+    e = load(spark, sf_dir, "events")
+    v6 = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    g = (
+        e.select(
+            "event_type",
+            (F.col("user_id") % 2).alias("variant"),
+            v6.alias("v6"),
+        )
+        .groupBy("event_type", "variant")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            (
+                F.sum("v6").cast("double") / 1e6 / F.count("*")
+            ).alias("mean"),
+            (
+                (F.sum(F.col("v6") * F.col("v6")).cast("double") / 1e12)
+                / F.count("*")
+                - F.pow(
+                    F.sum("v6").cast("double") / 1e6 / F.count("*"),
+                    F.lit(2),
+                )
+            ).alias("var_pop"),
+        )
+    )
+    a = g.filter(F.col("variant") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"),
+        F.col("var_pop").alias("var_a"),
+    )
+    b = g.filter(F.col("variant") == 1).select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"),
+        F.col("var_pop").alias("var_b"),
+    )
+    j = a.join(b, "event_type")
+    diff = F.col("mean_a") - F.col("mean_b")
+    return j.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        diff.alias("mean_diff"),
+        (
+            diff
+            / F.sqrt(
+                F.col("var_a") / F.col("n_a")
+                + F.col("var_b") / F.col("n_b")
+            )
+        ).alias("welch_z"),
+    )

@@ -179,6 +179,8 @@ BELOW_FOLD_R5: frozenset[str] = frozenset({
     "op_scd2_build",
     "op_join_interval_overlap",
     "op_mapinarrow_norm",
+    "op_rank_fusion",
+    "op_ab_test",
 })
 
 
@@ -189,6 +191,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
     # a missing module is an ImportError, not silent lost coverage.
     from .operators import (  # noqa: F401
         aggregates,
+        analytics,
         curate,
         dedup,
         graph,
