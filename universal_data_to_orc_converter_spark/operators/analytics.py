@@ -182,3 +182,76 @@ def op_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("welch_z"),
     )
+
+
+@query(
+    "op_trend_slope",
+    oracle="""
+        WITH based AS (
+          SELECT user_id,
+                 epoch_us(ts) // 1000000
+                   - MIN(epoch_us(ts) // 1000000)
+                       OVER (PARTITION BY user_id) AS x,
+                 CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS y6
+          FROM events
+        ),
+        g AS (
+          SELECT user_id,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(x) AS sx, SUM(y6) AS sy,
+                 SUM(x * y6) AS sxy, SUM(x * x) AS sxx
+          FROM based GROUP BY user_id
+        )
+        SELECT user_id, n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) / 1000000.0
+                 AS slope_per_sec
+        FROM g
+        WHERE n * sxx - sx * sx > 0
+    """,
+    notes="Per-key least-squares trend (metric drift detection): the "
+    "OLS slope from the four classical sums — every sum an exact "
+    "wide integer (x = whole seconds since the key's FIRST "
+    "observation, bounding x² and x·y6 far inside int64; y6 = 1e-6 "
+    "fixed point), one double division at the end, so an actual "
+    "REGRESSION hash-matches across engines. The MIN-over-key "
+    "rebase window and the aggregate share one user_id exchange "
+    "(the op_time_weighted_avg discipline). Degenerate keys (all "
+    "observations at one second) are excluded by the same "
+    "determinant>0 predicate on both sides. At 100 TB this replaces "
+    "collect-and-numpy per entity — the standard anomaly-pipeline "
+    "prefilter before expensive models.",
+    tags=("timeseries", "agg", "scale"),
+)
+def op_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS slope of value-vs-time per user, exact integer sums."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t_s = (F.unix_micros("ts") / 1_000_000).cast("long")
+    based = e.select(
+        "user_id",
+        (t_s - F.min(t_s).over(w)).alias("x"),
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("y6"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = based.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y6"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y6"))).alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return g.filter(det > 0).select(
+        "user_id",
+        "n",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / det.cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("slope_per_sec"),
+    )

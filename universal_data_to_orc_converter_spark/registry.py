@@ -181,6 +181,7 @@ BELOW_FOLD_R5: frozenset[str] = frozenset({
     "op_mapinarrow_norm",
     "op_rank_fusion",
     "op_ab_test",
+    "op_trend_slope",
 })
 
 
