@@ -255,3 +255,54 @@ def op_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1_000_000.0)
         ).alias("slope_per_sec"),
     )
+
+
+@query(
+    "op_event_transitions",
+    oracle="""
+        WITH seq AS (
+          SELECT user_id, event_type AS a,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS b
+          FROM events
+        )
+        SELECT a, b,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions,
+               CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY a) AS p_transition
+        FROM seq WHERE b IS NOT NULL
+        GROUP BY a, b
+    """,
+    notes="First-order Markov transition matrix of per-user event "
+    "sequences — the sequence-mining primitive under next-action "
+    "prediction and journey analysis, and the categorical sibling "
+    "of op_funnel (which checks ONE fixed path; this measures ALL "
+    "adjacent pairs). LEAD over the user timeline (event_id "
+    "tiebreak), pair counts, and row-normalization by source state "
+    "via a window over the |states|² aggregate — the probability is "
+    "one exact-integer division, bit-identical. Two exchanges "
+    "(user_id for the sequence, state-pair for the matrix), output "
+    "O(|states|²) regardless of corpus size.",
+    tags=("timeseries", "agg"),
+)
+def op_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(from,to) transition counts and row-normalized probs."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    counts = seq.groupBy("a", "b").agg(
+        F.count("*").cast("bigint").alias("n_transitions")
+    )
+    wa = Window.partitionBy("a")
+    return counts.select(
+        "a",
+        "b",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wa)
+        ).alias("p_transition"),
+    )

@@ -182,6 +182,7 @@ BELOW_FOLD_R5: frozenset[str] = frozenset({
     "op_rank_fusion",
     "op_ab_test",
     "op_trend_slope",
+    "op_event_transitions",
 })
 
 
