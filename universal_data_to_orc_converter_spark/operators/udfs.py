@@ -246,10 +246,10 @@ def op_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT vec_id,
                CAST(len(embedding) AS BIGINT) AS dim,
-               list_sum(list_transform(embedding,
+               CAST(list_sum(list_transform(embedding,
                  x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
                                  * 1000000 + 0.5) AS BIGINT)))
-                 AS norm2_fixed
+                 AS BIGINT) AS norm2_fixed
         FROM embeddings
     """,
     notes="mapInArrow — the fourth (and lowest-overhead) Python "
