@@ -180,3 +180,41 @@ def op_posexplode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("pos").cast("bigint"), F.lit(-1)).alias("pos"),
         "tok",
     )
+
+
+@query(
+    "op_variant_extract",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(json_extract_string(props, '$.k')
+                             AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(MAX(CAST(json_extract_string(props, '$.k')
+                             AS BIGINT)) AS BIGINT) AS max_k
+        FROM events
+        GROUP BY event_type
+    """,
+    notes="Spark 4 VARIANT — the new semi-structured type the "
+    "from_json/get_json_object ops (op_json_funcs) predate: "
+    "parse_json() ingests the payload ONCE into the binary variant "
+    "encoding, variant_get() then extracts typed paths without "
+    "re-parsing text per access — the engine-native answer to "
+    "schema-on-read at 100 TB (one parse amortized over N path "
+    "reads, shredded columnar storage upstream when written). "
+    "Extracted k is integer end-to-end, so sums are exact and the "
+    "oracle (DuckDB's JSON path extraction) hash-matches.",
+    tags=("semistructured",),
+)
+def op_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_json → variant_get typed extraction → exact aggregate."""
+    e = load(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+    )

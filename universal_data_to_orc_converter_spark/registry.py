@@ -183,6 +183,7 @@ BELOW_FOLD_R5: frozenset[str] = frozenset({
     "op_ab_test",
     "op_trend_slope",
     "op_event_transitions",
+    "op_variant_extract",
 })
 
 
