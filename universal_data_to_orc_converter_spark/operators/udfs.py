@@ -2,12 +2,15 @@
 
 The reference's only "custom logic" is row-wise cell cleanup inside
 its generated converters (data_to_orc_converter.sh:360-363) — here the
-escape hatch is formalized as the three Spark UDF tiers, all
-Arrow-batched (never row-at-a-time Python):
+escape hatch is formalized as the full Spark Python-execution
+surface, all Arrow-batched:
 
 * scalar ``pandas_udf`` — vectorized column → column
 * grouped-agg ``pandas_udf`` — column(s) → scalar per group
-* ``applyInPandas`` — full DataFrame per group (the UDTF/grouped-map)
+* ``applyInPandas`` — full DataFrame per group (grouped map) and per
+  cogroup (``op_cogroup_asof``)
+* ``mapInArrow`` — raw RecordBatches, no pandas (``op_mapinarrow_norm``)
+* ``@udtf`` + SQL LATERAL — Python table function (``op_python_udtf``)
 
 Each query keeps its Python arithmetic exactly SQL-replicable
 (string ops, integer sums, max) so even the UDF tier is oracle-checked
@@ -296,4 +299,60 @@ def op_mapinarrow_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return emb.mapInArrow(
         norms, "vec_id bigint, dim bigint, norm2_fixed bigint"
+    )
+
+
+@query(
+    "op_python_udtf",
+    oracle="""
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct
+        FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents
+        ) t
+        WHERE word <> ''
+        GROUP BY doc_id
+    """,
+    notes="Spark 4 Python UDTF (@udtf + SQL LATERAL) — the fifth and "
+    "final Python execution surface (after scalar/grouped-agg "
+    "pandas_udf, applyInPandas, mapInPandas, mapInArrow): a "
+    "TABLE-VALUED function callable from SQL, the API for "
+    "one-row-to-many-rows custom generators (parsers, chunkers) "
+    "that must compose with SQL text. Arrow transfer is enabled "
+    "(spark.sql.execution.pythonUDTF.arrow.enabled) so batches "
+    "cross the boundary columnar. The kernel is a word tokenizer "
+    "whose lateral expansion + aggregate is exactly replicated by "
+    "the oracle's string_split/unnest — integer counts, exact "
+    "hash-match. For the HOT tokenization path the JVM "
+    "split+explode (op_token_count) remains the default; this op "
+    "pins the API contract for generators Spark cannot express.",
+    tags=("udf", "text"),
+)
+def op_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL Python UDTF word expansion, aggregated per doc."""
+    from pyspark.sql.functions import udtf
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+
+    @udtf(returnType="word: string")
+    class SplitWords:
+        def eval(self, text: str):
+            for w in (text or "").split(" "):
+                if w:
+                    yield (w,)
+
+    spark.udtf.register("udoc_split_words", SplitWords)
+    load(spark, sf_dir, "documents").createOrReplaceTempView(
+        "udoc_udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct
+        FROM udoc_udtf_docs, LATERAL udoc_split_words(text)
+        GROUP BY doc_id
+        """
     )

@@ -184,6 +184,7 @@ BELOW_FOLD_R5: frozenset[str] = frozenset({
     "op_trend_slope",
     "op_event_transitions",
     "op_variant_extract",
+    "op_python_udtf",
 })
 
 
