@@ -354,3 +354,11 @@ def test_rank_fusion_single_exchange_with_group_limit(spark):
     n = len(re.findall(r"Exchange (hash|range)partitioning", plan))
     assert n == 1, f"expected 1 exchange, plan has {n}"
     assert "WindowGroupLimit" in plan
+
+
+def test_bucketed_agg_has_no_exchange(spark):
+    """groupBy on the bucket key of a bucketed table must plan with
+    ZERO exchanges — scan feeds the hash aggregate directly."""
+    df = q("op_agg_bucketed_no_shuffle", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "bucketed agg still shuffles"

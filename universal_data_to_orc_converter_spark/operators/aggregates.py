@@ -856,3 +856,38 @@ def op_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_events"),
         dsum(F.col("v_w"), "winsorized_sum"),
     )
+
+
+@query(
+    "op_agg_bucketed_no_shuffle",
+    oracle=f"""
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {sql_dsum("o_totalprice", "total_price")}
+        FROM orders
+        GROUP BY o_custkey
+    """,
+    notes="The aggregation sibling of op_join_bucketed: a groupBy on "
+    "a table BUCKETED by the grouping key needs NO exchange at all — "
+    "Catalyst sees the bucket layout already satisfies the "
+    "aggregate's clustering requirement, so the whole plan is "
+    "scan→hash-agg (zero-exchange, asserted in tests/test_plans.py). "
+    "At 100 TB this is why fact tables are bucketed by their "
+    "most-aggregated key: every per-key rollup afterwards is "
+    "shuffle-free. The oracle is the identical aggregate over the "
+    "raw parquet, so the bucketed write+read is also value-exact.",
+    tags=("agg", "io", "scale"),
+)
+def op_agg_bucketed_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free per-customer rollup via bucket co-location."""
+    from ..sinks.orc import write_orc_bucketed
+
+    t = "q_bucketed_orders_cust"
+    write_orc_bucketed(
+        load(spark, sf_dir, "orders"), t, "o_custkey", n_buckets=8,
+    )
+    o = spark.table(t)
+    return o.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        dsum(F.col("o_totalprice"), "total_price"),
+    )

@@ -185,6 +185,7 @@ BELOW_FOLD_R5: frozenset[str] = frozenset({
     "op_event_transitions",
     "op_variant_extract",
     "op_python_udtf",
+    "op_agg_bucketed_no_shuffle",
 })
 
 
