@@ -1,0 +1,87 @@
+"""Exact content check for op_bpe_train: the distributed merge loop
+must learn the IDENTICAL merge table as a pure-Python reference BPE
+trainer run on the same token frequencies with the same tiebreak
+(count DESC, then pair ASC). Not approximate — BPE training is
+deterministic, so any divergence (wrong pair scoring, wrong merge
+application order, wrong tiebreak) fails exactly."""
+
+from __future__ import annotations
+
+from universal_data_to_orc_converter_spark.operators.tokenizer_train import (
+    N_MERGES,
+    op_bpe_train,
+)
+
+from .conftest import SF_DIR
+
+
+def _py_bpe(token_counts: dict[str, int], k: int):
+    """Textbook BPE trainer: symbols start as characters; each round
+    scores adjacent pairs weighted by token frequency, merges the
+    winner leftmost-first non-overlapping."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for t, c in token_counts.items():
+        key = tuple(t)
+        vocab[key] = vocab.get(key, 0) + c
+    merges = []
+    for rank in range(k):
+        pc: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] = pc.get(p, 0) + c
+        if not pc:
+            break
+        (a, b), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        ab = a + b
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, c in vocab.items():
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = ab
+                else:
+                    out.append(x)
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+        merges.append((rank, a, b, ab, cnt))
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark, oracle):
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in op_bpe_train(spark, SF_DIR).collect()
+    ]
+    tc = dict(
+        oracle.sql(
+            """
+            SELECT t, COUNT(*) AS c FROM (
+              SELECT unnest(string_split(text, ' ')) AS t FROM documents
+            ) WHERE length(t) >= 2 GROUP BY t
+            """
+        ).fetchall()
+    )
+    want = _py_bpe(tc, N_MERGES)
+    assert got == want
+
+
+def test_bpe_merges_chain(spark):
+    """Later merges must be able to consume earlier merged symbols —
+    the property that distinguishes the LOOP from a single pair-count
+    pass. With N_MERGES rounds on this corpus at least one learned
+    pair has a multi-character side."""
+    rows = op_bpe_train(spark, SF_DIR).collect()
+    assert len(rows) == N_MERGES
+    assert [r["rank"] for r in rows] == list(range(N_MERGES))
+    assert any(
+        len(r["left"]) > 1 or len(r["right"]) > 1 for r in rows
+    ), "no merge consumed a previously merged symbol"
+    # counts are non-increasing only per-pair, but every count is >0
+    # and every merged symbol is the concatenation of its sides
+    for r in rows:
+        assert r["pair_count"] > 0
+        assert r["merged"] == r["left"] + r["right"]

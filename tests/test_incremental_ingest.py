@@ -1,0 +1,82 @@
+"""op_incremental_file_ingest content tests: the manifest discovery,
+no-op replay (idempotence), and crash-retry overwrite semantics. The
+end-to-end hash-vs-oracle check runs in tests/test_oracle.py like every
+oracle-backed query; these tests pin the incremental MECHANISM."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from universal_data_to_orc_converter_spark.catalog import load
+from universal_data_to_orc_converter_spark.operators.maintenance import (
+    ingest_new_files,
+)
+
+from .conftest import SF_DIR
+
+
+def _setup_landing(spark, n_files=4):
+    work = tempfile.mkdtemp(prefix="ingest_t_")
+    landing = os.path.join(work, "landing")
+    e = load(spark, SF_DIR, "events").select(
+        "event_id", "event_type", "value"
+    )
+    e.repartitionByRange(n_files, "event_id").write.parquet(landing)
+    files = sorted(
+        f for f in os.listdir(landing) if f.endswith(".parquet")
+    )
+    return work, landing, files
+
+
+def _state_total(spark, state):
+    df = spark.read.option("recursiveFileLookup", "true").parquet(state)
+    return df.agg(F.sum("n_events")).collect()[0][0]
+
+
+def test_ingest_is_incremental_and_idempotent(spark):
+    work, landing, files = _setup_landing(spark)
+    state = os.path.join(work, "state")
+    manifest = os.path.join(work, "manifest")
+
+    # wave 1: two files visible, both new
+    assert ingest_new_files(spark, landing, files[:2], state, manifest) == 2
+    t1 = _state_total(spark, state)
+    # replay of wave 1: manifest filters everything — no-op
+    assert ingest_new_files(spark, landing, files[:2], state, manifest) == 0
+    assert _state_total(spark, state) == t1
+
+    # wave 2: full listing visible, only the 2 unseen files process
+    assert ingest_new_files(spark, landing, files, state, manifest) == 2
+    total = _state_total(spark, state)
+    # replay of wave 2: still a no-op
+    assert ingest_new_files(spark, landing, files, state, manifest) == 0
+    assert _state_total(spark, state) == total
+
+    # nothing lost or double-counted across waves
+    n_rows = (
+        load(spark, SF_DIR, "events").count()
+    )
+    assert total == n_rows
+
+
+def test_ingest_retry_overwrites_not_duplicates(spark):
+    """Crash-retry path: a wave whose state write succeeded but whose
+    manifest commit was lost re-runs against the OLD manifest. The
+    deterministic sha256-of-fileset destination makes the rewrite land
+    on top of itself — no duplicate partials."""
+    import shutil
+
+    work, landing, files = _setup_landing(spark)
+    state = os.path.join(work, "state")
+    manifest = os.path.join(work, "manifest")
+
+    ingest_new_files(spark, landing, files[:2], state, manifest)
+    t1 = _state_total(spark, state)
+    # simulate the lost manifest commit, then retry the same wave
+    shutil.rmtree(manifest)
+    again = ingest_new_files(spark, landing, files[:2], state, manifest)
+    assert again == 2  # the retry re-processes the wave...
+    assert _state_total(spark, state) == t1  # ...onto the same subdir

@@ -226,6 +226,126 @@ def op_incremental_distinct_maintain(
     )
 
 
+def ingest_new_files(
+    spark: SparkSession,
+    landing: str,
+    visible_files: list[str],
+    state_dir: str,
+    manifest_dir: str,
+) -> int:
+    """Process the files in ``visible_files`` that are not yet in the
+    manifest; append their partial aggregates to the state store.
+    Returns the number of NEW files processed (0 = no-op re-run).
+
+    Idempotence contract: the partial-state for a given new-file set is
+    written with OVERWRITE into a subdirectory named by the sha256 of
+    the sorted file list, so a crashed-and-retried wave lands in the
+    same place instead of double-counting; the manifest is
+    append-only and deduplicated on read. That is the same
+    deterministic-destination trick Spark's own streaming file sink
+    uses for exactly-once file output."""
+    import hashlib
+    import os
+
+    vis = spark.createDataFrame(
+        [(f,) for f in visible_files], "file string"
+    )
+    if os.path.isdir(manifest_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(manifest_dir)
+    ):
+        seen = spark.read.parquet(manifest_dir).distinct()
+        new = vis.join(seen, "file", "left_anti")
+    else:
+        new = vis
+    # file NAMES only — metadata-sized (one row per newly arrived
+    # file), never data; same bounded-driver-list precedent as the CDC
+    # touched-bucket list (streaming/cdc.py)
+    new_files = sorted(r["file"] for r in new.collect())
+    if not new_files:
+        return 0
+    batch = spark.read.parquet(
+        *[os.path.join(landing, f) for f in new_files]
+    )
+    partial = batch.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(_scaled(F.col("value"))).cast("bigint").alias("sum_value_fp"),
+    )
+    bid = hashlib.sha256("\n".join(new_files).encode()).hexdigest()[:16]
+    partial.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"b_{bid}")
+    )
+    spark.createDataFrame(
+        [(f,) for f in new_files], "file string"
+    ).write.mode("append").parquet(manifest_dir)
+    return len(new_files)
+
+
+@query(
+    "op_incremental_file_ingest",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_value_fp
+        FROM events
+        GROUP BY event_type
+    """,
+    notes="Manifest-checkpointed FILE-LEVEL incremental ingest — how a "
+    "100 TB lake absorbs a continuously-landing directory without a "
+    "lakehouse table format: each wave lists the landing dir, "
+    "anti-joins the file list against the processed-file manifest "
+    "(file METADATA rows, never data), reads only the new files' "
+    "bytes, appends their mergeable partial-aggregate states to a "
+    "state store, and commits the manifest. The query lands the "
+    "events table as 6 range-partitioned files, ingests them in three "
+    "arrival waves, then RE-RUNS the final wave to prove the no-op "
+    "re-run (the retry path), and serves the merged rollup — which "
+    "must hash-match the oracle's full single-pass recompute, proving "
+    "no file was lost, reread, or double-counted. Crash-safety comes "
+    "from deterministic state destinations (sha256-of-fileset subdir, "
+    "overwrite mode — a replayed wave overwrites itself) plus a "
+    "dedup-on-read manifest. Per-wave cost is |new files| + |rollup|; "
+    "the already-ingested corpus is never re-read — the difference "
+    "between an ingest that stays O(arrival rate) and one that "
+    "degrades O(table size). Complements op_incremental_agg_maintain "
+    "(which merges a GIVEN delta): here the delta is DISCOVERED from "
+    "file-system state. Idempotence is separately unit-tested in "
+    "tests/test_incremental_ingest.py.",
+    tags=("io", "agg", "scale"),
+)
+def op_incremental_file_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ingest a landing directory in arrival waves via a file
+    manifest; serve the maintained rollup."""
+    import os
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="ingest_")
+    landing = os.path.join(work, "landing")
+    state = os.path.join(work, "state")
+    manifest = os.path.join(work, "manifest")
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    e.repartitionByRange(6, "event_id").write.parquet(landing)
+    files = sorted(
+        f for f in os.listdir(landing) if f.endswith(".parquet")
+    )
+    # three arrival waves + a replay of the last one (must be a no-op)
+    for visible in (files[:2], files[:4], files, files):
+        ingest_new_files(spark, landing, visible, state, manifest)
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(state)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_value_fp").cast("bigint").alias("sum_value_fp"),
+        )
+    )
+
+
 @query(
     "op_quality_audit",
     oracle="""

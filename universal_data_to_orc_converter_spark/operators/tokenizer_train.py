@@ -1,0 +1,160 @@
+"""Distributed BPE tokenizer training — the full merge LOOP, completing
+the single pair-count step of ``op_bpe_pair_counts`` (text.py) into a
+trained merge table (SURVEY.md §2.I extension, r5).
+
+Byte-pair encoding training is the canonical iterative corpus job in an
+LLM data pipeline: k rounds of (score adjacent symbol pairs → pick the
+most frequent → merge it everywhere). The scale decomposition follows
+production trainers (HuggingFace ``tokenizers``, SentencePiece):
+
+1. ONE corpus-scale pass aggregates the corpus to DISTINCT token
+   frequencies — the 10^11-token-instance stream compresses to a
+   |vocab|-row table (tens of rows here, ~10^7 at 100 TB).
+2. Every merge iteration then runs over the |vocab|-row symbol table
+   only: a JVM ``transform``+``explode`` enumerates adjacent pairs
+   weighted by token count, a map-side-combined groupBy scores them,
+   and the winning pair's merge is applied with a JVM ``aggregate``
+   fold (leftmost-first, non-overlapping — textbook BPE order). No
+   Python executes per row; the only driver traffic is ONE (a, b,
+   count) row per iteration — metadata, not data.
+
+The merge applied by the fold is exactly classic BPE: scan symbols
+left→right, gluing ``b`` onto a preceding ``a``; a freshly merged
+symbol never immediately re-merges because the comparison is against
+the whole merged string. Ties are broken (count DESC, a ASC, b ASC) so
+training is deterministic; tests/test_bpe_train.py replays the same
+corpus through a pure-Python reference trainer and asserts the merge
+tables are IDENTICAL (exact, not approximate).
+
+Lineage per iteration is truncated with an eager ``cache()`` of the
+tiny symbol table (the prior iteration is unpersisted) — without it,
+iteration k would replay all k-1 previous folds from the corpus scan.
+Same pattern as op_pagerank (graph.py) and op_dedup_clusters' label
+propagation: iterate on the SMALL derived state, never the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+#: number of merge rounds the query trains (small fixture vocab —
+#: enough rounds to exercise merged-symbol-on-merged-symbol merges)
+N_MERGES = 10
+
+
+def bpe_train_merges(token_counts: DataFrame, n_merges: int) -> list[dict]:
+    """Run ``n_merges`` BPE merge rounds over a ``(t, c)`` DISTINCT
+    token-frequency table; return the learned merge list
+    ``[{rank, left, right, merged, pair_count}, ...]``.
+
+    Distributed shape: each round is one groupBy over the |vocab|-row
+    symbol table plus a 1-row driver fetch of the winner; the corpus
+    itself is never re-read (the caller's aggregation already reduced
+    it). Stops early if no adjacent pair remains.
+    """
+    cur = token_counts.select(
+        "c",
+        F.filter(F.split("t", ""), lambda x: x != F.lit("")).alias("syms"),
+    ).cache()
+    merges: list[dict] = []
+    try:
+        for rank in range(n_merges):
+            pairs = (
+                cur.filter(F.size("syms") >= 2)
+                .select(
+                    "c",
+                    F.explode(
+                        F.transform(
+                            # size>=2 guaranteed by the filter, so the
+                            # sequence is always ascending (Spark's
+                            # sequence(1, 0) would count DOWN)
+                            F.sequence(F.lit(1), F.size("syms") - 1),
+                            lambda i: F.struct(
+                                F.element_at(F.col("syms"), i).alias("a"),
+                                F.element_at(F.col("syms"), i + 1).alias(
+                                    "b"
+                                ),
+                            ),
+                        )
+                    ).alias("p"),
+                )
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("c").cast("bigint").alias("cnt"))
+            )
+            top = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
+            if not top:
+                break
+            a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
+            ab = a + b
+            # leftmost-first non-overlapping merge as a JVM fold: glue
+            # b onto a preceding a; try_element_at(acc, -1) is NULL on
+            # the empty accumulator (plain element_at THROWS under
+            # ANSI), which safely falls to the append arm
+            merged = F.aggregate(
+                F.col("syms"),
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.try_element_at(acc, F.lit(-1)) == F.lit(a))
+                    & (x == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(ab)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            )
+            nxt = cur.select("c", merged.alias("syms")).cache()
+            nxt.count()  # materialize before dropping the parent
+            cur.unpersist()
+            cur = nxt
+            merges.append(
+                {
+                    "rank": rank,
+                    "left": a,
+                    "right": b,
+                    "merged": ab,
+                    "pair_count": int(cnt),
+                }
+            )
+    finally:
+        cur.unpersist()
+    return merges
+
+
+@query(
+    "op_bpe_train",
+    oracle=None,
+    notes="Full distributed BPE training loop (module docstring): one "
+    "corpus-scale pass reduces the corpus to DISTINCT token "
+    "frequencies, then every merge round runs over the |vocab|-row "
+    "symbol table — JVM transform/explode pair scoring, map-side-"
+    "combined groupBy, JVM aggregate-fold merge application, 1-row "
+    "driver fetch per round. rows-only: k-round iterative training is "
+    "not expressible as one SQL statement (same escape hatch as "
+    "op_pagerank); content correctness is pinned EXACTLY instead — "
+    "tests/test_bpe_train.py trains the same corpus with a pure-"
+    "Python reference BPE (same count-DESC/pair-ASC tiebreak) and "
+    "asserts the full merge tables are identical, and a second test "
+    "asserts the learned merges chain (later merges consume earlier "
+    "merged symbols).",
+    tags=("text", "scale"),
+)
+def op_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train N_MERGES BPE merges on the documents corpus; return the
+    merge table (rank, left, right, merged, pair_count)."""
+    d = load(spark, sf_dir, "documents")
+    tc = (
+        d.select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.length("t") >= 2)
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    merges = bpe_train_merges(tc, N_MERGES)
+    schema = (
+        "rank int, left string, right string, merged string, "
+        "pair_count bigint"
+    )
+    return spark.createDataFrame(merges, schema=schema).orderBy("rank")

@@ -186,6 +186,8 @@ BELOW_FOLD_R5: frozenset[str] = frozenset({
     "op_variant_extract",
     "op_python_udtf",
     "op_agg_bucketed_no_shuffle",
+    "op_bpe_train",
+    "op_incremental_file_ingest",
 })
 
 
@@ -211,6 +213,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         sorts,
         subqueries,
         text,
+        tokenizer_train,
         tpch,
         udfs,
         windows,
