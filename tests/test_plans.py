@@ -362,3 +362,45 @@ def test_bucketed_agg_has_no_exchange(spark):
     df = q("op_agg_bucketed_no_shuffle", spark)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, "bucketed agg still shuffles"
+
+
+def test_rolling_median_single_exchange(spark):
+    """The trailing-frame median is one user_id window: exactly one
+    exchange, and the 7-element frame arrays never shuffle (the
+    collect_list runs above the exchange, inside the window)."""
+    import re
+
+    df = q("op_win_rolling_median", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = len(re.findall(r"Exchange (hash|range)partitioning", plan))
+    assert n == 1, f"expected 1 exchange, plan has {n}"
+
+
+def test_ngram_lm_two_exchanges_with_partial_agg(spark):
+    """Trigram counting must keep the map-side partial aggregate (the
+    corpus-scale exchange carries partially-combined counts, not raw
+    trigram instances), then the context-window exchange runs over
+    |distinct trigrams| only. A single-exchange formulation exists
+    (pre-repartition by (w1,w2)) but would forfeit the partial agg and
+    shuffle the raw token stream — asserted AGAINST here."""
+    import re
+
+    df = q("op_ngram_lm_counts", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = len(re.findall(r"Exchange (hash|range)partitioning", plan))
+    assert n == 2, f"expected 2 exchanges, plan has {n}"
+    assert re.search(r"HashAggregate.*partial_count", plan, re.DOTALL) or (
+        "partial" in plan
+    ), "map-side partial aggregate missing"
+    assert "TakeOrderedAndProject" in plan, (
+        "top-50 should use TakeOrderedAndProject, not a global sort"
+    )
+
+
+def test_triangle_joins_are_all_equi(spark):
+    """Wedge enumeration and closure check must plan as equi-joins on
+    node ids — no cartesian or nested-loop fallback anywhere."""
+    df = q("op_graph_triangles", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

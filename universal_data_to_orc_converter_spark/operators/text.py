@@ -1225,3 +1225,77 @@ def op_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), "a", "b")
         .limit(20)
     )
+
+
+@query(
+    "op_ngram_lm_counts",
+    oracle="""
+        WITH toks AS (
+          SELECT list_filter(string_split(lower(text), ' '), x -> x <> '')
+                 AS t
+          FROM documents
+        ),
+        tri AS (
+          SELECT t[u.i] AS w1, t[u.i + 1] AS w2, t[u.i + 2] AS w3
+          FROM toks,
+               LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) u
+          WHERE len(t) >= 3
+        ),
+        cnt AS (
+          SELECT w1, w2, w3, COUNT(*) AS n3 FROM tri GROUP BY 1, 2, 3
+        )
+        SELECT w1, w2, w3,
+               CAST(n3 AS BIGINT) AS tri_count,
+               CAST(SUM(n3) OVER (PARTITION BY w1, w2) AS BIGINT)
+                   AS ctx_count
+        FROM cnt
+        ORDER BY tri_count DESC, w1, w2, w3
+        LIMIT 50
+    """,
+    notes="Trigram language-model count table — the classical-LM "
+    "sibling of op_bpe_train in the tokenizer/LM corpus toolchain: "
+    "top trigrams with their bigram CONTEXT totals, from which the "
+    "MLE conditional p(w3|w1,w2) = tri_count/ctx_count follows "
+    "(emitted as exact integer counts, not the division, so the "
+    "driver hash is float-free). ctx_count sums over trigram "
+    "continuations (not raw bigram occurrences) — the correct LM "
+    "denominator, computed as a window sum over the already-"
+    "aggregated trigram table: at 100 TB that second pass runs over "
+    "|distinct trigrams| (sublinear in corpus size, Heaps' law), "
+    "never the token stream; the only corpus-scale work is the one "
+    "trigram groupBy with map-side combine. JVM "
+    "transform/explode enumeration (no Python); total-order LIMIT "
+    "keeps both engines on the same top 50.",
+    tags=("text", "scale"),
+)
+def op_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 trigrams with MLE context denominators."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.filter(
+            F.split(F.lower("text"), " "), lambda x: x != F.lit("")
+        ).alias("t")
+    ).filter(F.size("t") >= 3)
+    tri = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 2),
+                lambda i: F.struct(
+                    F.element_at(F.col("t"), i).alias("w1"),
+                    F.element_at(F.col("t"), i + 1).alias("w2"),
+                    F.element_at(F.col("t"), i + 2).alias("w3"),
+                ),
+            )
+        ).alias("g")
+    ).select("g.w1", "g.w2", "g.w3")
+    cnt = tri.groupBy("w1", "w2", "w3").agg(
+        F.count("*").cast("bigint").alias("tri_count")
+    )
+    ctx = F.sum("tri_count").over(W.partitionBy("w1", "w2"))
+    return (
+        cnt.withColumn("ctx_count", ctx.cast("bigint"))
+        .orderBy(F.desc("tri_count"), "w1", "w2", "w3")
+        .limit(50)
+    )

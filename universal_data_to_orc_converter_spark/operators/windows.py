@@ -217,3 +217,74 @@ def op_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(full).alias("last_order"),
         F.nth_value("o_orderkey", 2).over(base).alias("second_order"),
     )
+
+
+@query(
+    "op_win_rolling_median",
+    oracle="""
+        WITH b AS (
+          SELECT user_id, event_id, ts,
+                 CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vfp
+          FROM events
+        ),
+        w AS (
+          SELECT user_id, event_id,
+                 list_sort(list(vfp) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+          FROM b
+        )
+        SELECT user_id, event_id,
+               CAST(len(arr) AS INT) AS n_window,
+               CAST(CASE WHEN len(arr) % 2 = 1
+                         THEN 2 * arr[(len(arr) + 1) // 2]
+                         ELSE arr[len(arr) // 2] + arr[len(arr) // 2 + 1]
+                    END AS BIGINT) AS median2_fp
+        FROM w
+    """,
+    notes="EXACT rolling median over a trailing 7-row window — the "
+    "order statistic Spark has no built-in window function for "
+    "(percentile_approx is a sketch; percentile as a window re-sorts "
+    "per frame JVM-side but only for untyped frames). Implemented as "
+    "collect_list over the frame -> array_sort -> middle-element "
+    "arithmetic, all JVM expressions inside the one window exchange. "
+    "Cross-engine float safety: the median interpolation for "
+    "even-sized frames is lo+(hi-lo)/2 in one engine and (lo+hi)/2 in "
+    "another — last-ulp divergent — so the op emits 2x the median in "
+    "exact FIXED-POINT integers (odd frame: 2*mid; even: lo+hi), "
+    "bit-identical by construction; a consumer divides by 2e6 for the "
+    "float value. Scale: one shuffle (the user_id window); the frame "
+    "buffer is bounded at 7 values per row regardless of data volume, "
+    "so memory is O(frame), not O(partition) — this is why the "
+    "collect_list-over-frame trick is safe where "
+    "collect_list-over-partition would not be.",
+    tags=("window", "scale"),
+)
+def op_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-row median of event value per user, in 2x
+    fixed-point integers (see notes for why)."""
+    from ..exprs import _scaled
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, W.currentRow)
+    )
+    arr = F.array_sort(F.collect_list(_scaled(F.col("value")).cast("bigint")).over(w))
+    base = e.select("user_id", "event_id", arr.alias("arr"))
+    n = F.size("arr")
+    median2 = F.when(
+        n % 2 == 1, 2 * F.element_at("arr", ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        F.element_at("arr", (n / 2).cast("int"))
+        + F.element_at("arr", (n / 2 + 1).cast("int"))
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        n.cast("int").alias("n_window"),
+        median2.cast("bigint").alias("median2_fp"),
+    )

@@ -188,6 +188,9 @@ BELOW_FOLD_R5: frozenset[str] = frozenset({
     "op_agg_bucketed_no_shuffle",
     "op_bpe_train",
     "op_incremental_file_ingest",
+    "op_graph_triangles",
+    "op_win_rolling_median",
+    "op_ngram_lm_counts",
 })
 
 
