@@ -404,3 +404,24 @@ def test_triangle_joins_are_all_equi(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_covariance_single_scan_single_exchange(spark):
+    """The covariance co-moment, per-dim sums, and row count must all
+    ride ONE corpus scan and ONE (i, j) exchange — sentinel cells in
+    the same groupBy, sums applied as a driver-side literal map."""
+    import re
+
+    df = q("op_embedding_covariance", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan, "map-side partial aggregate missing"
+    assert "Join" not in plan, "sums must apply as a literal map, not a join"
+    # execution reads the materialized cache: nothing above the
+    # InMemoryRelation may shuffle, and the cached subtree's only
+    # exchange is the (i, j) co-moment one (the repr prints the cached
+    # plan twice, so count KINDS, not occurrences)
+    above = plan.split("InMemoryRelation")[0]
+    assert "InMemoryTableScan" in above
+    assert "Exchange" not in above
+    kinds = set(re.findall(r"Exchange hashpartitioning\(([a-z]+)#", plan))
+    assert kinds == {"i"}, f"unexpected exchange keys {kinds}"

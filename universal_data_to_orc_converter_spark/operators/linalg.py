@@ -1,0 +1,158 @@
+"""Distributed linear algebra via tensor partial aggregation
+(SURVEY.md §2.I extension, r5).
+
+The covariance / Gram matrix of an embedding corpus is the input to
+PCA, whitening, and OPQ-style rotation learning — and at 100 TB it is
+the canonical example of an operation whose OUTPUT is tiny (d×d) while
+its input is the whole corpus. The scale-correct plan is partial
+aggregation of per-partition d×d blocks: every partition reduces its
+rows to ≤ d(d+1)/2 partial sums BEFORE the shuffle (Spark's map-side
+combine does this for free once the computation is phrased as
+groupBy(i, j).sum), so the one exchange carries O(d²) rows per
+partition regardless of corpus size. That is exactly how MLlib's
+RowMatrix computes Gramians, re-expressed here in pure DataFrame ops.
+
+Cross-engine exactness for a sum of float PRODUCTS: both engines
+quantize each coordinate to 1e3 fixed-point first (floor(x·1e3+0.5) —
+the identical FP op), so every product is an exact integer and the
+accumulated co-moment is order-independent. The emitted statistic is
+the covariance NUMERATOR n·Σxy − Σx·Σy — pure integer arithmetic, no
+division, no epsilon. Accumulators are decimal(18,0)-fed (long-backed
+per row, 128-bit-wide sums — the exprs.py convention), with ~1e18 of
+headroom at fixture scale; a 1e11-row corpus would move the final
+n·Σxy product into decimal(38,0) territory, which is the documented
+switch (same arithmetic, wider type).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+DIM = 64
+
+
+@query(
+    "op_embedding_covariance",
+    oracle="""
+        WITH q AS (
+          SELECT list_transform(
+                   embedding,
+                   x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)) AS qv
+          FROM embeddings
+        ),
+        pairs AS (
+          SELECT a.i AS i, b.j AS j, SUM(qv[a.i] * qv[b.j]) AS s
+          FROM q,
+               LATERAL (SELECT unnest(generate_series(1, 64)) AS i) a,
+               LATERAL (SELECT unnest(generate_series(1, 64)) AS j) b
+          WHERE b.j >= a.i
+          GROUP BY 1, 2
+        ),
+        sums AS (
+          SELECT u.i AS i, SUM(qv[u.i]) AS s1
+          FROM q,
+               LATERAL (SELECT unnest(generate_series(1, 64)) AS i) u
+          GROUP BY 1
+        ),
+        n AS (SELECT COUNT(*) AS c FROM q)
+        SELECT p.i - 1 AS i, p.j - 1 AS j,
+               CAST(n.c * p.s - sa.s1 * sb.s1 AS BIGINT) AS cov_num_fp
+        FROM pairs p
+        JOIN sums sa ON sa.i = p.i
+        JOIN sums sb ON sb.i = p.j
+        CROSS JOIN n
+    """,
+    notes="Upper-triangular covariance numerator matrix "
+    "(n*sum(x_i*x_j) - sum(x_i)*sum(x_j), exact 1e3-fixed-point "
+    "integers) of the 64-dim embedding corpus — the PCA/whitening "
+    "input, computed the RowMatrix-Gramian way in ONE corpus scan "
+    "with ONE exchange (plan-asserted): each vector expands JVM-side "
+    "to its d(d+1)/2 upper-triangle products PLUS d per-dim-sum "
+    "sentinel cells (j=-1) and one row-count sentinel (i=j=-1) — all "
+    "three statistics share the same nested-transform/explode/"
+    "groupBy(i,j), so map-side combine reduces every partition to "
+    "<=2145 rows before the shuffle, whether the corpus is 500 "
+    "vectors or 10^11. The 65 sentinel aggregates (n and the 64 "
+    "sums) are pulled to the driver — metadata, not data — and "
+    "applied to the 2080 pair cells as a literal map, so no join and "
+    "no second scan exists anywhere in the plan. The oracle "
+    "recomputes via DuckDB lateral index cross products; the "
+    "integer-exact statistic makes a bitwise cross-engine match "
+    "possible where float covariance never is. Output: 2080 (i<=j) "
+    "cells.",
+    tags=("similarity", "agg", "scale"),
+)
+def op_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-point covariance numerators for all 64x64 (i<=j)
+    embedding coordinate pairs — one scan, one exchange."""
+    em = load(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding", lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("bigint")
+    )
+    q = em.select(qv.alias("qv"))
+
+    def cell(i, j, p):
+        return F.struct(
+            i.cast("int").alias("i"),
+            j.cast("int").alias("j"),
+            p.cast("decimal(18,0)").alias("p"),
+        )
+
+    idx = F.sequence(F.lit(0), F.lit(DIM - 1))
+    tri = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.sequence(i, F.lit(DIM - 1)),
+                lambda j: cell(
+                    i,
+                    j,
+                    F.element_at(F.col("qv"), (i + 1).cast("int"))
+                    * F.element_at(F.col("qv"), (j + 1).cast("int")),
+                ),
+            ),
+        )
+    )
+    dim_sums = F.transform(
+        idx,
+        lambda i: cell(
+            i, F.lit(-1), F.element_at(F.col("qv"), (i + 1).cast("int"))
+        ),
+    )
+    count_cell = F.array(cell(F.lit(-1), F.lit(-1), F.lit(1)))
+    agg = (
+        q.select(
+            F.explode(F.concat(count_cell, dim_sums, tri)).alias("t")
+        )
+        .select("t.i", "t.j", "t.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("s"))
+        .persist()
+    )
+    # 65 sentinel rows to the driver: n and the per-dim sums (metadata)
+    n = int(agg.filter((F.col("i") == -1) & (F.col("j") == -1)).first()["s"])
+    sums = {
+        r["i"]: int(r["s"])
+        for r in agg.filter((F.col("j") == -1) & (F.col("i") >= 0)).collect()
+    }
+    sum_map = F.create_map(
+        *[F.lit(v) for i in sorted(sums) for v in (i, sums[i])]
+    )
+    return (
+        agg.filter(F.col("j") >= 0)
+        .select(
+            "i",
+            "j",
+            (
+                F.lit(n) * F.col("s")
+                - sum_map[F.col("i")].cast("decimal(28,0)")
+                * sum_map[F.col("j")].cast("decimal(28,0)")
+            )
+            .cast("bigint")
+            .alias("cov_num_fp"),
+        )
+    )

@@ -191,6 +191,7 @@ BELOW_FOLD_R5: frozenset[str] = frozenset({
     "op_graph_triangles",
     "op_win_rolling_median",
     "op_ngram_lm_counts",
+    "op_embedding_covariance",
 })
 
 
@@ -207,6 +208,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         graph,
         io,
         joins,
+        linalg,
         maintenance,
         multimodal,
         relational,
