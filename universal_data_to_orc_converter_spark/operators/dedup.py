@@ -143,32 +143,11 @@ _BANDS = 8
 _ROWS_PER_BAND = _NUM_PERM // _BANDS
 
 
-@query(
-    "op_dedup_minhash_lsh",
-    oracle=None,
-    notes="MinHash signatures are blake2b/splitmix64-based (fixed "
-    "constants and seed, fully deterministic), computed in one "
-    "Arrow-batched numpy pass, so no SQL oracle; rows-only check. "
-    "Recall vs the exact op_dedup_ngram_jaccard pairs is asserted in "
-    "tests/test_quality.py.",
-    tags=("dedup", "approx"),
-)
-def op_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup: signature → band → bucket-join →
-    exact-Jaccard verify. The full-document shingle sets never shuffle;
-    only (band_id, band_hash, doc_id) triples do. This is the operator
-    that replaces op_dedup_ngram_jaccard's inverted index when even
-    Σ bucket² is too large (very common shingles at web scale).
-
-    Tokenize → shingle-hash → 16 minhash permutations → 8 band hashes
-    all happen in ONE Arrow-batched mapInPandas pass, vectorized in
-    numpy uint64 (wraparound multiply-add is the permutation family;
-    the only per-item Python work is one blake2b per *unique* token per
-    batch). Round 1 computed the signatures as 16 interpreted
-    higher-order-function transforms (~4M interpreted xxhash64 calls at
-    sf0.1) — the Arrow pass is ~2× faster end-to-end at sf0.1 and the
-    gap widens with document count. Deterministic: fixed hash
-    constants, fixed rng seed for the permutation table."""
+def make_minhash_sig_batches():
+    """Build the Arrow-batched MinHash signature kernel (full design
+    notes in op_dedup_minhash_lsh's docstring below). Module-level so
+    the STREAMING incremental dedup (streaming/dedup_stream.py)
+    computes bit-identical signatures from the same constants."""
     import numpy as np
 
     num_perm, bands = _NUM_PERM, _BANDS
@@ -252,6 +231,36 @@ def op_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "h": h_out, "bands": band_out}
             )
+    return sig_batches
+
+
+@query(
+    "op_dedup_minhash_lsh",
+    oracle=None,
+    notes="MinHash signatures are blake2b/splitmix64-based (fixed "
+    "constants and seed, fully deterministic), computed in one "
+    "Arrow-batched numpy pass, so no SQL oracle; rows-only check. "
+    "Recall vs the exact op_dedup_ngram_jaccard pairs is asserted in "
+    "tests/test_quality.py.",
+    tags=("dedup", "approx"),
+)
+def op_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: signature → band → bucket-join →
+    exact-Jaccard verify. The full-document shingle sets never shuffle;
+    only (band_id, band_hash, doc_id) triples do. This is the operator
+    that replaces op_dedup_ngram_jaccard's inverted index when even
+    Σ bucket² is too large (very common shingles at web scale).
+
+    Tokenize → shingle-hash → 16 minhash permutations → 8 band hashes
+    all happen in ONE Arrow-batched mapInPandas pass, vectorized in
+    numpy uint64 (wraparound multiply-add is the permutation family;
+    the only per-item Python work is one blake2b per *unique* token per
+    batch). Round 1 computed the signatures as 16 interpreted
+    higher-order-function transforms (~4M interpreted xxhash64 calls at
+    sf0.1) — the Arrow pass is ~2× faster end-to-end at sf0.1 and the
+    gap widens with document count. Deterministic: fixed hash
+    constants, fixed rng seed for the permutation table."""
+    sig_batches = make_minhash_sig_batches()
 
     # The single-file fixture arrives as one partition; spread the raw
     # docs before the compute-bound signature pass (no-op on a real

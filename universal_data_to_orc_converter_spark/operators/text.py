@@ -1299,3 +1299,81 @@ def op_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tri_count"), "w1", "w2", "w3")
         .limit(50)
     )
+
+
+@query(
+    "op_duplicate_ngram_spans",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '')
+                 AS t
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id,
+                 array_to_string(t[u.i : u.i + 7], ' ') AS gram
+          FROM toks,
+               LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) u
+          WHERE len(t) >= 8
+        )
+        SELECT gram,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_occur,
+               MIN(doc_id) AS example_doc
+        FROM grams
+        GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 2
+        ORDER BY n_docs DESC, n_occur DESC, gram
+        LIMIT 30
+    """,
+    notes="Cross-document repeated-span detection — the exact-"
+    "substring dedup signal (a la 'Deduplicating Training Data Makes "
+    "Language Models Better'): every 8-token window is enumerated "
+    "JVM-side (transform over index sequence + explode, no Python), "
+    "grouped corpus-wide, and spans appearing in >=2 DISTINCT "
+    "documents surface with their document/occurrence counts and an "
+    "example doc — the spans a span-level deduper would excise. "
+    "Complements the EXISTING doc-level tiers (minhash/simhash = "
+    "whole-doc similarity, winnowing = per-doc fingerprints): this "
+    "finds the literal shared text. Scale posture: one corpus-scale "
+    "groupBy with map-side combine; the count_distinct plans as the "
+    "standard two-phase expand (gram,doc) distinct then count — both "
+    "exchanges carry (gram, doc) pairs, and at 100 TB the refinement "
+    "is grouping on xxhash64(gram) with the string carried only for "
+    "the surviving >=2-doc spans (fixed-width shuffle keys; collision "
+    "probability ~n^2/2^64 documented, not silent). Total-order "
+    "LIMIT keeps both engines on the same top 30.",
+    tags=("text", "dedup", "scale"),
+)
+def op_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 8-token spans shared verbatim across documents."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), " "), lambda x: x != F.lit("")
+        ).alias("t"),
+    ).filter(F.size("t") >= 8)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 7),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("t"), i, F.lit(8))
+                ),
+            )
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_occur"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occur"), "gram")
+        .limit(30)
+    )

@@ -192,6 +192,8 @@ BELOW_FOLD_R5: frozenset[str] = frozenset({
     "op_win_rolling_median",
     "op_ngram_lm_counts",
     "op_embedding_covariance",
+    "op_duplicate_ngram_spans",
+    "op_stream_dedup_minhash",
 })
 
 
@@ -226,7 +228,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
     )
     from .functions import scalar, semistructured  # noqa: F401
     from .sources import replay_stream  # noqa: F401
-    from .streaming import batch_windows, cdc  # noqa: F401
+    from .streaming import batch_windows, cdc, dedup_stream  # noqa: F401
 
     missing = [n for n in DRIVER_PRIORITY if n not in QUERIES]
     if missing:
