@@ -69,6 +69,45 @@ def test_bpe_train_matches_python_reference(spark, oracle):
     assert got == want
 
 
+def test_bpe_apply_matches_python_reference(spark, oracle):
+    """Train + apply through the engine must equal train + apply
+    through the pure-Python reference: identical top-20 subword
+    frequency table after 10 merges."""
+    from universal_data_to_orc_converter_spark.operators.tokenizer_train import (
+        op_bpe_apply,
+    )
+
+    got = [
+        (r["symbol"], r["n_occur"])
+        for r in op_bpe_apply(spark, SF_DIR).collect()
+    ]
+    tc = dict(
+        oracle.sql(
+            """
+            SELECT t, COUNT(*) AS c FROM (
+              SELECT unnest(string_split(text, ' ')) AS t FROM documents
+            ) WHERE length(t) >= 2 GROUP BY t
+            """
+        ).fetchall()
+    )
+    merges = _py_bpe(tc, N_MERGES)
+    counts: dict[str, int] = {}
+    for t, c in tc.items():
+        syms: list[str] = list(t)
+        for _, a, b, ab, _cnt in merges:
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = ab
+                else:
+                    out.append(x)
+            syms = out
+        for s in syms:
+            counts[s] = counts.get(s, 0) + c
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == want
+
+
 def test_bpe_merges_chain(spark):
     """Later merges must be able to consume earlier merged symbols —
     the property that distinguishes the LOOP from a single pair-count

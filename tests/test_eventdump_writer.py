@@ -1,0 +1,73 @@
+"""Commit-protocol hygiene for the Python DataSource writer: the
+round-trip hash check lives in test_oracle.py like every oracle query;
+these tests pin the two-phase commit artifacts."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from universal_data_to_orc_converter_spark.catalog import load
+from universal_data_to_orc_converter_spark.sources.eventdump_writer import (
+    EventDumpSink,
+)
+
+from .conftest import SF_DIR
+
+
+def test_commit_publishes_parts_and_manifest(spark):
+    spark.dataSource.register(EventDumpSink)
+    out = tempfile.mkdtemp(prefix="eventdump_t_")
+    e = load(spark, SF_DIR, "events").select(
+        "event_id", "event_type", "value"
+    )
+    n = e.count()
+    (
+        e.repartition(4)
+        .write.format("eventdump")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    parts = sorted(glob.glob(os.path.join(out, "part-*.dump")))
+    assert len(parts) == 4, "one published part per task expected"
+    # driver commit is the ONLY publisher: no temp residue survives
+    assert not os.path.isdir(os.path.join(out, "_tmp"))
+    # the manifest's total equals the source row count
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        assert int(f.read().strip()) == n
+    # and the physical lines add up to the manifest
+    lines = sum(1 for p in parts for _ in open(p))
+    assert lines == n
+
+
+def test_readback_row_identity(spark):
+    """Not just aggregates: every (event_id) written must read back
+    exactly once — the writer neither drops nor duplicates rows."""
+    spark.dataSource.register(EventDumpSink)
+    out = tempfile.mkdtemp(prefix="eventdump_t2_")
+    e = load(spark, SF_DIR, "events").select(
+        "event_id", "event_type", "value"
+    )
+    (
+        e.repartition(4)
+        .write.format("eventdump")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    back = (
+        spark.read.schema("event_id bigint, event_type string, value double")
+        .option("sep", ";")
+        .csv(os.path.join(out, "part-*.dump"))
+    )
+    diff = (
+        back.select("event_id")
+        .exceptAll(e.select("event_id"))
+        .unionAll(e.select("event_id").exceptAll(back.select("event_id")))
+    )
+    assert diff.count() == 0
+    assert back.count() == e.count()

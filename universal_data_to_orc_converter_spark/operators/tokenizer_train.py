@@ -158,3 +158,62 @@ def op_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pair_count bigint"
     )
     return spark.createDataFrame(merges, schema=schema).orderBy("rank")
+
+
+def merge_fold_expr(col, a: str, b: str, ab: str):
+    """The leftmost-first non-overlapping merge of pair (a, b) -> ab
+    over a symbol array, as a pure JVM fold expression (same logic as
+    the training loop's merge step)."""
+    return F.aggregate(
+        col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(ab))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+@query(
+    "op_bpe_apply",
+    oracle=None,
+    notes="BPE ENCODING with the merges op_bpe_train learns — the "
+    "apply half of the tokenizer lifecycle, and a structurally "
+    "different computation than training: training is inherently "
+    "iterative (each merge depends on the argmax AFTER the previous "
+    "one: k rounds, k tiny jobs), but application of a FIXED merge "
+    "list composes all k folds lazily into ONE JVM expression chain — "
+    "a single corpus-scale pass, zero intermediate jobs, no Python. "
+    "The op trains 10 merges, encodes the distinct-token vocabulary "
+    "(corpus->vocab compression again: folds run over |vocab| rows, "
+    "weighted by token frequency), and emits the top-20 subword "
+    "symbols by occurrence. rows-only (the merges come from the "
+    "iterative trainer); tests/test_bpe_train.py replays train+apply "
+    "through the pure-Python reference and asserts the symbol "
+    "frequency table matches EXACTLY.",
+    tags=("text", "scale"),
+)
+def op_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus vocabulary with trained BPE merges; top-20
+    subword symbols by weighted frequency."""
+    d = load(spark, sf_dir, "documents")
+    tc = (
+        d.select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.length("t") >= 2)
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    merges = bpe_train_merges(tc, N_MERGES)
+    col = F.filter(F.split("t", ""), lambda x: x != F.lit(""))
+    for m in merges:
+        col = merge_fold_expr(col, m["left"], m["right"], m["merged"])
+    return (
+        tc.select("c", F.explode(col).alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("c").cast("bigint").alias("n_occur"))
+        .orderBy(F.desc("n_occur"), "symbol")
+        .limit(20)
+    )

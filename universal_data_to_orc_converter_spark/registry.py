@@ -194,6 +194,8 @@ BELOW_FOLD_R5: frozenset[str] = frozenset({
     "op_embedding_covariance",
     "op_duplicate_ngram_spans",
     "op_stream_dedup_minhash",
+    "op_python_datasource_writer",
+    "op_bpe_apply",
 })
 
 
@@ -227,7 +229,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         zorder,
     )
     from .functions import scalar, semistructured  # noqa: F401
-    from .sources import replay_stream  # noqa: F401
+    from .sources import eventdump_writer, replay_stream  # noqa: F401
     from .streaming import batch_windows, cdc, dedup_stream  # noqa: F401
 
     missing = [n for n in DRIVER_PRIORITY if n not in QUERIES]
