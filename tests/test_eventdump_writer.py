@@ -71,3 +71,43 @@ def test_readback_row_identity(spark):
     )
     assert diff.count() == 0
     assert back.count() == e.count()
+
+
+def test_stream_commit_is_idempotent_per_epoch(tmp_path):
+    """A replayed epoch (checkpoint recovery re-delivers the batch
+    whose commit never landed) must be a no-op: same parts, same
+    _COMMITS log, no duplicates."""
+    import os
+
+    from universal_data_to_orc_converter_spark.sources.eventdump_writer import (
+        _EventDumpStreamWriter,
+        _PartCommit,
+    )
+
+    out = str(tmp_path / "out")
+    os.makedirs(os.path.join(out, "_tmp"))
+    w = _EventDumpStreamWriter({"path": out})
+
+    def stage(name, lines):
+        with open(os.path.join(out, "_tmp", name), "w") as f:
+            f.write("".join(lines))
+        return _PartCommit(tmp_name=name, rows=len(lines))
+
+    msgs = [stage("a.part", ["1;x;0.5\n"]), stage("b.part", ["2;y;1.5\n"])]
+    w.commit(msgs, batchId=7)
+    parts = sorted(os.listdir(out))
+    assert "part-00007-00000.dump" in parts
+    assert "part-00007-00001.dump" in parts
+
+    # replay of epoch 7: fresh temp files, same batchId
+    os.makedirs(os.path.join(out, "_tmp"), exist_ok=True)
+    msgs2 = [stage("c.part", ["1;x;0.5\n"]), stage("d.part", ["2;y;1.5\n"])]
+    w.commit(msgs2, batchId=7)
+    assert sorted(os.listdir(out)) == parts, "replayed epoch re-published"
+    with open(os.path.join(out, "_COMMITS")) as f:
+        assert f.read().count("7,") == 1
+
+    # the NEXT epoch still commits normally
+    os.makedirs(os.path.join(out, "_tmp"), exist_ok=True)
+    w.commit([stage("e.part", ["3;z;2.5\n"])], batchId=8)
+    assert "part-00008-00000.dump" in os.listdir(out)

@@ -196,6 +196,7 @@ BELOW_FOLD_R5: frozenset[str] = frozenset({
     "op_stream_dedup_minhash",
     "op_python_datasource_writer",
     "op_bpe_apply",
+    "op_stream_python_sink",
 })
 
 

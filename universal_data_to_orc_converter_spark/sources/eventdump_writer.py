@@ -36,6 +36,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -152,6 +153,129 @@ def op_python_datasource_writer(
         .mode("append")
         .save()
     )
+    back = (
+        spark.read.schema("event_id bigint, event_type string, value double")
+        .option("sep", ";")
+        .csv(os.path.join(out, "part-*.dump"))
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), dsum(F.col("value"), "sum_value")
+    )
+
+
+class _EventDumpStreamWriter(DataSourceStreamWriter):
+    """Streaming variant: same task-temp/driver-rename protocol, but
+    the commit is PER EPOCH and IDEMPOTENT — ``commit(messages,
+    batchId)`` first consults the ``_COMMITS`` log and becomes a no-op
+    for an already-committed epoch, which is exactly what makes a
+    replayed micro-batch (checkpoint recovery re-delivers the epoch
+    whose commit never landed) safe: the rerun's temp files are
+    discarded, not double-published. This is the sink-side half of
+    Structured Streaming's exactly-once story, implemented through
+    the Spark 4 Python DataSourceStreamWriter API."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    # executor-side: identical to the batch writer
+    write = _EventDumpWriter.write
+
+    def _committed(self) -> set[int]:
+        log = os.path.join(self.path, "_COMMITS")
+        if not os.path.exists(log):
+            return set()
+        with open(log) as f:
+            return {int(line.split(",")[0]) for line in f if line.strip()}
+
+    def commit(self, messages, batchId: int) -> None:
+        import shutil
+
+        tmp_dir = os.path.join(self.path, "_tmp")
+        if batchId in self._committed():
+            # replayed epoch: the previous commit already published it
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            return
+        total = 0
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            os.replace(
+                os.path.join(tmp_dir, m.tmp_name),
+                os.path.join(self.path, f"part-{batchId:05d}-{i:05d}.dump"),
+            )
+            total += m.rows
+        with open(os.path.join(self.path, "_COMMITS"), "a") as f:
+            f.write(f"{batchId},{total}\n")
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: ARG002
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_tmp"), ignore_errors=True)
+
+
+def _stream_writer(self, schema, overwrite):  # noqa: ARG001
+    return _EventDumpStreamWriter(self.options)
+
+
+EventDumpSink.streamWriter = _stream_writer
+
+
+@query(
+    "op_stream_python_sink",
+    oracle=f"""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               {sql_dsum("value", "sum_value")}
+        FROM events
+        GROUP BY event_type
+    """,
+    notes="Structured Streaming INTO a user-defined Python sink — the "
+    "fourth and final leg of the Python DataSource surface (batch "
+    "read: sqldump; stream read: events_replay; batch write: "
+    "op_python_datasource_writer; this op: stream write). The events "
+    "fixture is re-sharded into 4 files and streamed "
+    "maxFilesPerTrigger=1 into the eventdump sink under availableNow, "
+    "so the per-EPOCH two-phase commit runs 4 times (task temp files "
+    "-> driver rename + _COMMITS log append; an already-logged epoch "
+    "is a no-op, making checkpoint-recovery replays exactly-once — "
+    "idempotence unit-tested in tests/test_eventdump_writer.py). The "
+    "committed dumps read back and aggregate to the batch oracle: no "
+    "row lost or duplicated across epoch boundaries.",
+    tags=("streaming", "io", "scale"),
+)
+def op_stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events stream -> Python streaming sink (4 epochs) -> read back
+    -> aggregate (must equal the batch table)."""
+    import tempfile
+
+    from ..catalog import load
+
+    spark.dataSource.register(EventDumpSink)
+    work = tempfile.mkdtemp(prefix="eventdump_s_")
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "out")
+    os.makedirs(out, exist_ok=True)
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    e.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.format("eventdump")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
     back = (
         spark.read.schema("event_id bigint, event_type string, value double")
         .option("sep", ";")
