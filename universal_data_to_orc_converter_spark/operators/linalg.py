@@ -156,3 +156,68 @@ def op_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cov_num_fp"),
         )
     )
+
+
+def principal_axes(cells, k: int = 2) -> list[list[int]]:
+    """Driver-side eigensolve of the d x d covariance-numerator matrix
+    (a METADATA-sized object — d², not corpus-sized; the numerator
+    n·Σxy − Σx·Σy shares eigenvectors with the covariance). Returns
+    the top-k eigenvectors quantized to 1e6 fixed-point ints, sign-
+    normalized so the largest-magnitude component is positive (eigh's
+    sign is otherwise arbitrary). Standard PCA decomposition at scale:
+    the corpus-sized work produced the d x d matrix; the O(d³) solve
+    is driver math, exactly as MLlib's PCA does it."""
+    import numpy as np
+
+    m = np.zeros((DIM, DIM))
+    for r in cells:
+        m[r["i"], r["j"]] = m[r["j"], r["i"]] = r["cov_num_fp"]
+    _, v = np.linalg.eigh(m)
+    axes = v[:, ::-1][:, :k]
+    out = []
+    for c in range(k):
+        col = axes[:, c]
+        j = int(np.argmax(np.abs(col)))
+        if col[j] < 0:
+            col = -col
+        out.append([int(np.floor(x * 1_000_000 + 0.5)) for x in col])
+    return out
+
+
+@query(
+    "op_pca_project",
+    oracle=None,
+    notes="PCA projection — the capstone of the linalg module: the "
+    "single-scan covariance op produces the d x d matrix, "
+    "principal_axes() eigensolves it ON THE DRIVER (d x d is "
+    "metadata; O(d^3) driver math is how MLlib's own PCA works), and "
+    "the projection onto the top-2 axes runs distributed as a JVM "
+    "zip_with/aggregate integer dot product — quantized vector "
+    "(1e3) x quantized axis (1e6), exact bigint arithmetic, no "
+    "Python per row, no shuffle at all in the projection stage (a "
+    "pure map). rows-only: the eigensolve is float (same escape "
+    "hatch as the sketch ops); content is pinned EXACTLY in "
+    "tests/test_linalg_content.py — a numpy replica using the SAME "
+    "principal_axes helper must reproduce every projected value "
+    "bit-for-bit, plus an orthogonality check on the axes.",
+    tags=("similarity", "scale"),
+)
+def op_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project embeddings onto the corpus' top-2 principal axes;
+    exact fixed-point projections."""
+    cells = op_embedding_covariance(spark, sf_dir).collect()
+    axes = principal_axes(cells, k=2)
+    em = load(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding", lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("bigint")
+    )
+    base = em.select("vec_id", "label", qv.alias("qv"))
+    for c, ax in enumerate(axes):
+        lit = F.array(*[F.lit(a).cast("bigint") for a in ax])
+        dot = F.aggregate(
+            F.zip_with(F.col("qv"), lit, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        base = base.withColumn(f"pc{c + 1}_fp", dot)
+    return base.select("vec_id", "label", "pc1_fp", "pc2_fp")

@@ -197,6 +197,7 @@ BELOW_FOLD_R5: frozenset[str] = frozenset({
     "op_python_datasource_writer",
     "op_bpe_apply",
     "op_stream_python_sink",
+    "op_pca_project",
 })
 
 
