@@ -221,3 +221,185 @@ def op_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         base = base.withColumn(f"pc{c + 1}_fp", dot)
     return base.select("vec_id", "label", "pc1_fp", "pc2_fp")
+
+
+#: k-means configuration: k centers, ITERS assignment+update rounds,
+#: then a final assignment that the output aggregates
+K_CENTERS = 8
+KMEANS_ITERS = 2
+
+
+def _tdiv(s: int, c: int) -> int:
+    """Integer division truncating toward zero — the semantic BOTH
+    engines use (Spark ``div``, DuckDB ``//``), unlike Python's
+    flooring ``//`` on negatives."""
+    q = abs(s) // c
+    return q if s >= 0 else -q
+
+
+@query(
+    "op_kmeans",
+    oracle="""
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(
+                   embedding,
+                   x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)) AS qv
+          FROM embeddings
+        ),
+        c0 AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                   AS cid,
+                 qv AS cv
+          FROM (SELECT * FROM q ORDER BY vec_id LIMIT 8)
+        ),
+        a0 AS (
+          SELECT vec_id, cid, dist FROM (
+            SELECT vec_id, cid, dist,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM (
+              SELECT q.vec_id, c.cid,
+                     CAST(list_sum(list_transform(
+                       generate_series(1, 64),
+                       i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))
+                       AS BIGINT) AS dist
+              FROM q CROSS JOIN c0 c)
+          ) WHERE rn = 1
+        ),
+        c1 AS (
+          SELECT cid, list(CAST(m AS BIGINT) ORDER BY dim) AS cv FROM (
+            SELECT a.cid, u.i AS dim,
+                   SUM(q.qv[u.i]) // COUNT(*) AS m
+            FROM a0 a JOIN q USING (vec_id),
+                 LATERAL (SELECT unnest(generate_series(1, 64)) AS i) u
+            GROUP BY a.cid, u.i
+          ) GROUP BY cid
+        ),
+        a1 AS (
+          SELECT vec_id, cid, dist FROM (
+            SELECT vec_id, cid, dist,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM (
+              SELECT q.vec_id, c.cid,
+                     CAST(list_sum(list_transform(
+                       generate_series(1, 64),
+                       i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))
+                       AS BIGINT) AS dist
+              FROM q CROSS JOIN c1 c)
+          ) WHERE rn = 1
+        ),
+        c2 AS (
+          SELECT cid, list(CAST(m AS BIGINT) ORDER BY dim) AS cv FROM (
+            SELECT a.cid, u.i AS dim,
+                   SUM(q.qv[u.i]) // COUNT(*) AS m
+            FROM a1 a JOIN q USING (vec_id),
+                 LATERAL (SELECT unnest(generate_series(1, 64)) AS i) u
+            GROUP BY a.cid, u.i
+          ) GROUP BY cid
+        ),
+        a2 AS (
+          SELECT vec_id, cid, dist FROM (
+            SELECT vec_id, cid, dist,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM (
+              SELECT q.vec_id, c.cid,
+                     CAST(list_sum(list_transform(
+                       generate_series(1, 64),
+                       i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))
+                       AS BIGINT) AS dist
+              FROM q CROSS JOIN c2 c)
+          ) WHERE rn = 1
+        )
+        SELECT cid AS center_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(dist) AS BIGINT) AS inertia
+        FROM a2 GROUP BY cid
+    """,
+    notes="Distributed Lloyd's k-means, ORACLE-CHECKED — the thing "
+    "float k-means can never be across engines: coordinates quantize "
+    "to 1e3 fixed-point, distances are exact integer squared-L2, "
+    "argmin tiebreaks on center id, and centroid updates use "
+    "truncating integer division (the semantic Spark div and DuckDB "
+    "// share), so 2 full assignment+update rounds later the "
+    "(members, inertia) per center hash-match DuckDB's unrolled-CTE "
+    "replica bit-for-bit (same technique as op_pagerank). Spark "
+    "side is the MLlib shape: assignment is a ZERO-SHUFFLE map "
+    "(k x d centers as literal expressions, JVM zip_with/aggregate "
+    "distances, array_min struct argmin); the update is one "
+    "map-side-combined groupBy(cid, dim) producing k x d = 512 rows "
+    "collected to the driver (metadata, like the IVF centers); the "
+    "driver loop carries centers only, never data. Init = the 8 "
+    "lowest-vec_id vectors (deterministic; k-means++ would randomize "
+    "across engines). Scale: per round, one exchange carrying <=512 "
+    "partials per partition.",
+    tags=("similarity", "iterative", "scale"),
+)
+def op_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact 2-round Lloyd's k-means over embeddings; per-
+    center membership and inertia."""
+    em = load(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding", lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("bigint")
+    )
+    q = em.select("vec_id", qv.alias("qv")).cache()
+    try:
+        centers = [
+            list(r["qv"])
+            for r in q.orderBy("vec_id").limit(K_CENTERS).collect()
+        ]
+
+        def assigned_col():
+            cands = F.array(
+                *[
+                    F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("qv"),
+                                F.array(
+                                    *[F.lit(v).cast("bigint") for v in c]
+                                ),
+                                lambda x, y: (x - y) * (x - y),
+                            ),
+                            F.lit(0).cast("bigint"),
+                            lambda acc, x: acc + x,
+                        ).alias("dist"),
+                        F.lit(j).cast("int").alias("cid"),
+                    )
+                    for j, c in enumerate(centers)
+                ]
+            )
+            # struct ordering is field-by-field: min = (nearest, then
+            # lowest center id) — the deterministic argmin
+            return F.array_min(cands)
+
+        for _ in range(KMEANS_ITERS):
+            a = q.select(
+                "vec_id", "qv", assigned_col()["cid"].alias("cid")
+            )
+            stats = (
+                a.select("cid", F.posexplode("qv").alias("dim", "x"))
+                .groupBy("cid", "dim")
+                .agg(F.sum("x").alias("s"), F.count("*").alias("c"))
+                .collect()
+            )
+            new = {}
+            for r in stats:
+                new.setdefault(r["cid"], [0] * DIM)[r["dim"]] = _tdiv(
+                    int(r["s"]), int(r["c"])
+                )
+            # an emptied cluster keeps its previous center
+            centers = [
+                new.get(j, centers[j]) for j in range(K_CENTERS)
+            ]
+        final = q.select("vec_id", assigned_col().alias("m")).select(
+            "vec_id", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist")
+        )
+        return final.groupBy(F.col("cid").alias("center_id")).agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.sum("dist").cast("bigint").alias("inertia"),
+        )
+    finally:
+        q.unpersist()

@@ -198,6 +198,7 @@ BELOW_FOLD_R5: frozenset[str] = frozenset({
     "op_bpe_apply",
     "op_stream_python_sink",
     "op_pca_project",
+    "op_kmeans",
 })
 
 
