@@ -409,3 +409,63 @@ def op_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("o_custkey_fk_missing").alias("rule"), "n_violations")
     )
     return report.unionByName(fk)
+
+
+@query(
+    "op_observed_metrics",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) FILTER (value < 10) AS BIGINT) AS n_low,
+               CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_value_fp,
+               MIN(event_id) AS min_event_id,
+               MAX(event_id) AS max_event_id
+        FROM events
+    """,
+    notes="QC metrics via Spark's Observation API — named aggregate "
+    "expressions attached to a DataFrame with df.observe() are "
+    "accumulated DURING whatever action the plan runs anyway and "
+    "delivered to the driver as listener metadata: the query runs a "
+    "representative production pass (the observed frame written to "
+    "the noop sink) and serves the observed values, which must "
+    "hash-match the oracle's direct aggregation. At 100 TB this is "
+    "the difference between QC-as-a-free-rider and QC-as-a-second-"
+    "full-scan — the same economics as op_quality_audit's one-scan "
+    "rule pack, but with ZERO extra aggregation subtree in the plan: "
+    "the metrics ride the task completion events of the pass that "
+    "was already paid for. Sum uses the exprs.py fixed-point "
+    "convention so the observed double accumulation is "
+    "order-independent.",
+    tags=("agg", "io", "scale"),
+)
+def op_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Piggyback corpus QC metrics on a working pass via observe()."""
+    from pyspark.sql import Observation
+
+    e = load(spark, sf_dir, "events").select("event_id", "value")
+    obs = Observation("qc")
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("value") < 10, 1)).alias("n_low"),
+        F.sum(_scaled(F.col("value"))).cast("bigint").alias("sum_value_fp"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+    # the "real work" pass the metrics ride on (noop sink = a stand-in
+    # for any production write)
+    observed.write.mode("overwrite").format("noop").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_low"],
+                m["sum_value_fp"],
+                m["min_event_id"],
+                m["max_event_id"],
+            )
+        ],
+        "n_rows bigint, n_low bigint, sum_value_fp bigint, "
+        "min_event_id bigint, max_event_id bigint",
+    )

@@ -199,6 +199,7 @@ BELOW_FOLD_R5: frozenset[str] = frozenset({
     "op_stream_python_sink",
     "op_pca_project",
     "op_kmeans",
+    "op_observed_metrics",
 })
 
 
