@@ -200,6 +200,7 @@ BELOW_FOLD_R5: frozenset[str] = frozenset({
     "op_pca_project",
     "op_kmeans",
     "op_observed_metrics",
+    "op_session_dynamic_gap",
 })
 
 

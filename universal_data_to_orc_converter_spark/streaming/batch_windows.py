@@ -1057,3 +1057,73 @@ def op_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(
         F.col("ua").alias("user_a"), F.col("ub").alias("user_b")
     ).agg(F.count("*").cast("bigint").alias("n_overlaps"))
+
+
+@query(
+    "op_session_dynamic_gap",
+    oracle="""
+        WITH base AS (
+          SELECT user_id, event_id, epoch_us(ts) AS t,
+                 CASE WHEN event_type = 'click'
+                      THEN 600000000 ELSE 1800000000 END AS gap_us
+          FROM events
+        ),
+        m AS (
+          SELECT *,
+                 MAX(t + gap_us) OVER (
+                   PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_end
+          FROM base
+        ),
+        flagged AS (
+          SELECT *,
+                 CASE WHEN prev_end IS NULL OR t >= prev_end
+                      THEN 1 ELSE 0 END AS is_new
+          FROM m
+        ),
+        numbered AS (
+          SELECT *,
+                 SUM(is_new) OVER (PARTITION BY user_id
+                                   ORDER BY t, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM flagged
+        )
+        SELECT user_id,
+               make_timestamp(MIN(t)) AS session_start,
+               make_timestamp(MAX(t + gap_us)) AS session_end,
+               COUNT(*) AS n_events
+        FROM numbered
+        GROUP BY user_id, sess_id
+    """,
+    notes="session_window with a DYNAMIC gap — the inactivity "
+    "threshold is an expression of the row ('click' events hold the "
+    "session open 10 minutes, everything else 30), which is the form "
+    "real session logic takes (checkout pages get longer grace than "
+    "scrolls) and a distinct engine surface from the fixed-gap "
+    "op_stream_session: each event extends the session to ts+gap(ts), "
+    "and sessions merge while the next event starts strictly before "
+    "the RUNNING MAXIMUM of extended ends. The oracle mirrors exactly "
+    "that with a cumulative-max gaps-and-islands rewrite in integer "
+    "microseconds (the >= / < boundary and the running max are where "
+    "naive lag-based rewrites silently diverge from the engine). "
+    "Same scale posture as every session op: one user_id exchange, "
+    "sort-and-merge within partitions, never a self-join.",
+    tags=("streaming", "window"),
+)
+def op_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type dynamic-gap session windows per user."""
+    e = load(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "click", F.lit("10 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
