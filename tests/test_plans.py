@@ -425,3 +425,34 @@ def test_covariance_single_scan_single_exchange(spark):
     assert "Exchange" not in above
     kinds = set(re.findall(r"Exchange hashpartitioning\(([a-z]+)#", plan))
     assert kinds == {"i"}, f"unexpected exchange keys {kinds}"
+
+
+def test_pca_projection_is_zero_shuffle(spark):
+    """After the covariance/eigensolve produce the axis literals, the
+    projection itself must be a pure map: no exchange anywhere in the
+    returned plan."""
+    df = q("op_pca_project", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "projection stage shuffles"
+    assert "Join" not in plan
+
+
+def test_duplicate_spans_partial_agg_and_topk(spark):
+    """The corpus-scale gram groupBy must keep map-side partials and
+    the top-30 must plan as TakeOrderedAndProject, not a global sort."""
+    df = q("op_duplicate_ngram_spans", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial" in plan, "map-side partial aggregate missing"
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dynamic_gap_sessions_single_exchange(spark):
+    """Dynamic-gap sessionization is one user_id exchange + in-
+    partition sort/merge — never a self-join."""
+    import re
+
+    df = q("op_session_dynamic_gap", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    n = len(re.findall(r"Exchange (hash|range)partitioning", plan))
+    assert n == 1, f"expected 1 exchange, got {n}"
