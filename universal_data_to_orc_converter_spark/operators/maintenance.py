@@ -469,3 +469,110 @@ def op_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, n_low bigint, sum_value_fp bigint, "
         "min_event_id bigint, max_event_id bigint",
     )
+
+
+@query(
+    "op_manifest_audit",
+    oracle="""
+        SELECT 'tracked' AS status,
+               CAST(6 AS BIGINT) AS n_files,
+               (SELECT COUNT(*) FROM events) AS n_rows
+        UNION ALL
+        SELECT 'orphan', CAST(2 AS BIGINT), CAST(100 AS BIGINT)
+        UNION ALL
+        SELECT 'missing', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+    """,
+    notes="Manifest-vs-disk consistency audit — the precondition for "
+    "safe VACUUM in a manifest-tracked lake (the op_incremental_file_"
+    "ingest world): every file on disk is classified tracked (listed "
+    "in the manifest), orphan (on disk but never committed — a "
+    "crashed writer's debris, the files vacuum may delete), or "
+    "missing (committed but gone — data loss, the state that must "
+    "page someone). The audit is two anti-joins over FILE METADATA "
+    "rows plus a real read of each class's bytes for row counts. The "
+    "fixture plants all three states deterministically: 6 ingested "
+    "files, 2 orphans carrying 100 known rows, 1 ghost manifest "
+    "entry. The oracle pins the expected classification (tracked row "
+    "count anchored to the events table — the audit must actually "
+    "read the tracked bytes, not trust the listing). At 100 TB the "
+    "metadata joins are millions of file names (trivial); only the "
+    "orphan/tracked row counts touch data, and a production audit "
+    "would sample or use footer metadata for those.",
+    tags=("io", "scale"),
+)
+def op_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify landing-dir files as tracked / orphan / missing
+    against the ingest manifest; count each class's rows."""
+    import os
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="audit_")
+    landing = os.path.join(work, "landing")
+    manifest_dir = os.path.join(work, "manifest")
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    e.repartitionByRange(6, "event_id").write.parquet(landing)
+    tracked_files = sorted(
+        f for f in os.listdir(landing) if f.endswith(".parquet")
+    )
+    # commit the manifest: the 6 real files plus one GHOST entry
+    # (committed but lost — the data-loss state)
+    spark.createDataFrame(
+        [(f,) for f in tracked_files] + [("ghost.parquet",)],
+        "file string",
+    ).write.parquet(manifest_dir)
+    # plant 2 orphan files (a crashed writer's uncommitted debris):
+    # 50 known rows each, written then renamed into the landing dir
+    orphan_src = os.path.join(work, "orphan_src")
+    e.filter(F.col("event_id") < 100).coalesce(1).write.parquet(orphan_src)
+    src = next(
+        f for f in os.listdir(orphan_src) if f.endswith(".parquet")
+    )
+    half = spark.read.parquet(os.path.join(orphan_src, src))
+    for i, cond in enumerate(
+        (F.col("event_id") < 50, F.col("event_id") >= 50)
+    ):
+        part_dir = os.path.join(work, f"orphan_{i}")
+        half.filter(cond).coalesce(1).write.parquet(part_dir)
+        p = next(
+            f for f in os.listdir(part_dir) if f.endswith(".parquet")
+        )
+        os.replace(
+            os.path.join(part_dir, p),
+            os.path.join(landing, f"orphan-{i}.parquet"),
+        )
+
+    on_disk = spark.createDataFrame(
+        [
+            (f,)
+            for f in os.listdir(landing)
+            if f.endswith(".parquet")
+        ],
+        "file string",
+    )
+    manifest = spark.read.parquet(manifest_dir).distinct()
+    tracked = on_disk.join(manifest, "file", "semi")
+    orphan = on_disk.join(manifest, "file", "left_anti")
+    missing = manifest.join(on_disk, "file", "left_anti")
+
+    def class_row(status: str, files_df) -> DataFrame:
+        names = [r["file"] for r in files_df.collect()]  # metadata
+        if names and status != "missing":
+            n_rows = (
+                spark.read.parquet(
+                    *[os.path.join(landing, f) for f in names]
+                ).count()
+            )
+        else:
+            n_rows = 0
+        return spark.createDataFrame(
+            [(status, len(names), n_rows)],
+            "status string, n_files bigint, n_rows bigint",
+        )
+
+    return (
+        class_row("tracked", tracked)
+        .unionByName(class_row("orphan", orphan))
+        .unionByName(class_row("missing", missing))
+    )

@@ -201,6 +201,7 @@ BELOW_FOLD_R5: frozenset[str] = frozenset({
     "op_kmeans",
     "op_observed_metrics",
     "op_session_dynamic_gap",
+    "op_manifest_audit",
 })
 
 
