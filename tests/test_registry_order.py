@@ -13,7 +13,12 @@ from universal_data_to_orc_converter_spark.registry import (
 FAMILY_REPS = {
     "A_io": {"op_orc_roundtrip", "op_jdbc_roundtrip", "op_cdc_merge",
              "op_jsonl_roundtrip", "op_schema_evolution_scan",
-             "op_jsonl_corrupt_scan", "op_compact_small_files"},
+             "op_jsonl_corrupt_scan", "op_compact_small_files",
+             # r5 additions — all genuinely io/maintenance ops
+             "op_incremental_distinct_maintain", "op_quality_audit",
+             "op_zorder_clustered_scan", "op_scd2_build",
+             "op_surrogate_key", "op_incremental_file_ingest",
+             "op_python_datasource_writer", "op_manifest_audit"},
     "B_relational": {"op_filter", "op_filter_date", "op_project",
                      "op_filter_compound", "op_unpivot",
                      "op_sql_passthrough", "op_select_star"},
@@ -21,17 +26,27 @@ FAMILY_REPS = {
                 "op_join_multiway", "op_join_salted",
                 "op_join_broadcast", "op_join_shuffle",
                 "op_join_outer", "op_join_semi", "op_join_nullsafe",
-                "op_join_range_bucketized"},
+                "op_join_range_bucketized",
+                # r5 additions
+                "op_partition_pruned_join", "op_join_fuzzy_blocked",
+                "op_federated_join", "op_join_interval_overlap"},
     "D_aggregates": {"op_agg_groupby", "op_agg_percentile", "op_agg_stats",
                      "op_agg_salted_twophase", "op_agg_global",
                      "op_agg_having", "op_histogram", "op_agg_rollup",
                      "op_agg_cube", "op_agg_gsets",
                      "op_agg_count_distinct", "op_agg_conditional",
-                     "op_agg_listagg", "op_agg_bitwise", "op_row_count"},
+                     "op_agg_listagg", "op_agg_bitwise", "op_row_count",
+                     # r5 additions
+                     "op_agg_grouping_id", "op_agg_bucketed_no_shuffle",
+                     "op_skew_profile", "op_winsorize",
+                     "op_observed_metrics"},
     "E_windows": {"op_win_rank", "op_win_lag_lead", "op_win_frame",
                   "op_win_topk_group", "op_win_range_frame",
                   "op_win_rank_family", "op_win_first_last",
-                  "op_latest_by_key", "op_win_time_range"},
+                  "op_latest_by_key", "op_win_time_range",
+                  # r5 additions
+                  "op_time_weighted_avg", "op_ewma",
+                  "op_win_rolling_median"},
     "F_sorts": {"op_sort", "op_topk", "op_limit_offset"},
     "G_setops": {"op_union_all", "op_intersect", "op_union_mixed_schema",
                  "op_union_distinct", "op_except"},
@@ -41,13 +56,20 @@ FAMILY_REPS = {
                  "op_null_handling"},
     "H_semistructured": {"op_json_funcs", "op_array_funcs", "op_map_funcs",
                          "op_json_agg", "op_array_explode",
-                         "op_posexplode_outer"},
+                         "op_posexplode_outer",
+                         # r5 addition (Spark 4 VARIANT)
+                         "op_variant_extract"},
     "I_dedup": {"op_dedup_embedding", "op_dedup_minhash_lsh",
                 "op_dedup_exact", "op_dedup_clusters",
-                "op_cluster_representative", "op_dedup_ngram_jaccard"},
+                "op_cluster_representative", "op_dedup_ngram_jaccard",
+                # r5 additions
+                "op_duplicate_ngram_spans", "op_stream_dedup_minhash"},
     "I_similarity": {"op_sim_ann_ivf", "op_sim_ann_ivfpq", "op_sim_topk",
                      "op_dedup_embedding_cell", "op_sim_ann_lsh",
-                     "op_embedding_quantize"},
+                     "op_embedding_quantize",
+                     # r5 additions (embedding linalg tier)
+                     "op_rank_fusion", "op_embedding_covariance",
+                     "op_pca_project", "op_kmeans"},
     "I_multimodal": {"op_multimodal_meta", "op_multimodal_frames",
                      "op_multimodal_decode", "op_multimodal_audio"},
     "J_streaming": {"op_stream_tumbling", "op_stream_watermark",
@@ -55,12 +77,20 @@ FAMILY_REPS = {
                     "op_stream_availablenow", "op_stream_stateful",
                     "op_stream_sliding", "op_stream_session",
                     "op_stream_static_join", "op_stream_update_counts",
-                    "op_stream_sessionize"},
+                    "op_stream_sessionize",
+                    # r5 additions
+                    "op_stream_python_source", "op_stream_python_sink",
+                    "op_session_dynamic_gap"},
     "K_udf": {"op_udf_scalar", "op_udaf", "op_doc_winnow",
-              "op_cogroup_asof"},
+              "op_cogroup_asof",
+              # r5 additions
+              "op_mapinarrow_norm", "op_python_udtf"},
     "text": {"op_text_stats", "op_lang_id", "op_vocab_encode",
              "op_pack_sequences", "op_text_quality", "op_tfidf_topterms",
-             "op_bm25", "op_span_corruption", "op_token_count"},
+             "op_bm25", "op_span_corruption", "op_token_count",
+             # r5 additions (tokenizer/LM toolchain)
+             "op_doc_chunk", "op_bpe_pair_counts", "op_bpe_train",
+             "op_bpe_apply", "op_ngram_lm_counts"},
     "sampling": {"op_stratified_sample", "op_domain_mixture",
                  "op_shard_assign", "op_grouped_sample"},
     "subquery": {"op_subquery_scalar", "op_subquery_correlated"},
@@ -95,13 +125,13 @@ def test_no_silent_post_freeze_registration():
     whole round. Make that state unreachable: every registered name
     must be inside the pinned window, already driver-verified in a
     prior round (a CORRECTNESS_r*.json row), or explicitly acknowledged
-    in BELOW_FOLD_R5."""
+    in BELOW_FOLD_R6."""
     import glob
     import json
     import os
 
     from universal_data_to_orc_converter_spark.registry import (
-        BELOW_FOLD_R5,
+        BELOW_FOLD_R6,
     )
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -113,10 +143,10 @@ def test_no_silent_post_freeze_registration():
         for n in load_all_queries()
         if n not in DRIVER_PRIORITY
         and n not in verified
-        and n not in BELOW_FOLD_R5
+        and n not in BELOW_FOLD_R6
     ]
     assert not unaccounted, (
         f"queries registered after the driver window was pinned with no "
         f"window slot and no below-fold tag: {unaccounted} — either seat "
-        f"them in DRIVER_PRIORITY or add them to BELOW_FOLD_R5"
+        f"them in DRIVER_PRIORITY or add them to BELOW_FOLD_R6"
     )

@@ -85,82 +85,12 @@ def query(
 DRIVER_PRIORITY: tuple[str, ...] = (
     # headline flagship — always in the window
     "flagship_revenue_by_nation",
-    # (0) r4's ONE red row: the driver's canonicalizer crashed on the
-    # list-typed codes column; now emitted as a CSV string on both
-    # sides — must re-verify externally this round
-    "op_embedding_quantize",
-    # (a) never driver-verified in ANY round — the 14 ops registered
-    # after r4's window froze (local oracle green only until now)
-    "op_tpch_q4_order_priority",
-    "op_tpch_q14_promo_share",
-    "op_tpch_q19_disjunctive",
-    "op_agg_conditional",
-    "op_agg_listagg",
-    "op_agg_bitwise",
-    "op_grouped_sample",
-    "op_win_time_range",
-    "op_posexplode_outer",
-    "op_stream_static_join",
-    "op_stream_update_counts",
-    "op_cogroup_asof",
-    "op_jsonl_corrupt_scan",
-    "op_compact_small_files",
-    # (b) NEW in round 5 — first driver verification
-    "op_stream_sessionize",
-    "op_tpch_q2_min_cost_supplier",
-    "op_tpch_q5_local_supplier",
-    "op_tpch_q6_forecast_revenue",
-    "op_tpch_q8_market_share",
-    "op_tpch_q9_product_profit",
-    "op_tpch_q11_important_stock",
-    "op_tpch_q15_top_supplier",
-    "op_tpch_q16_parts_supplier",
-    "op_tpch_q20_part_promotion",
-    "op_tpch_q21_waiting_supplier",
-    "op_tpch_q22_global_sales",
-    "op_xml_roundtrip",
-    "op_incremental_agg_maintain",
-    "op_snapshot_diff",
-    "op_dedup_url_canonical",
-    # (c) r1-verified-only stragglers rotated out in r4 — stalest rows
-    # in the ledger (COVERAGE.md)
-    "op_join_nullsafe",
-    "op_union_distinct",
-    "op_except",
-    "op_agg_rollup",
-    "op_agg_cube",
-    "op_join_range_bucketized",
-    "op_select_star",
-    "op_row_count",
-    "op_agg_count_distinct",
-    "op_agg_gsets",
-    "op_join_outer",
-    "op_join_semi",
-    # (d) stalest r2-verified names, chosen to keep ≥1 rep of every
-    # SURVEY §2 family inside the window
-    "op_limit_offset",
-    "op_regexp",
-    "op_dedup_minhash_lsh",
-    "op_multimodal_audio",
-    "op_lang_id",
-    "op_subquery_correlated",
-)
-
-#: Names registered AFTER this round's DRIVER_PRIORITY was pinned that
-#: deliberately wait below the fold for the next rotation. Every
-#: registered query must be (1) in DRIVER_PRIORITY, (2) already
-#: driver-verified in a prior round's CORRECTNESS file, or (3) listed
-#: here — tests/test_registry_order.py fails otherwise, so a
-#: post-freeze registration can never again be silently unverified
-#: (r4 accumulated 14 such names before this gate existed).
-BELOW_FOLD_R5: frozenset[str] = frozenset({
-    # rows-only sketch op; every remaining window seat is a sole family
-    # representative, so it waits for the r6 rotation (its content
-    # correctness is pinned by tests/test_quality.py either way)
+    # (a) the 42 BELOW_FOLD_R5 names — every one registered after the
+    # r5 window froze, locally oracle-/exact-reference-checked but
+    # never driver-verified in any round. Verdict r5 item #1: seat all
+    # of them first; nothing outranks converting last round's work
+    # into driver evidence.
     "op_incremental_distinct_maintain",
-    # oracle-backed but arrived after every displaceable seat was taken
-    # (the remaining (d) names are each their family's only rep);
-    # locally oracle-checked every round, rotates into r6
     "op_stream_python_source",
     "op_agg_grouping_id",
     "op_quality_audit",
@@ -202,7 +132,31 @@ BELOW_FOLD_R5: frozenset[str] = frozenset({
     "op_observed_metrics",
     "op_session_dynamic_gap",
     "op_manifest_audit",
-})
+    # (b) 7 seats for the families the 42 above leave uncovered
+    # (relational, sorts, setops, scalar, multimodal, sampling,
+    # subquery), filled with each family's STALEST ledger row
+    # (COVERAGE.md): op_filter/op_cast/op_union_all/op_multimodal_meta/
+    # op_stratified_sample last verified r2, op_sort/op_subquery_scalar
+    # r3.
+    "op_filter",
+    "op_sort",
+    "op_union_all",
+    "op_cast",
+    "op_multimodal_meta",
+    "op_stratified_sample",
+    "op_subquery_scalar",
+)
+
+#: Names registered AFTER this round's DRIVER_PRIORITY was pinned that
+#: deliberately wait below the fold for the next rotation. Every
+#: registered query must be (1) in DRIVER_PRIORITY, (2) already
+#: driver-verified in a prior round's CORRECTNESS file, or (3) listed
+#: here — tests/test_registry_order.py fails otherwise, so a
+#: post-freeze registration can never again be silently unverified
+#: (r4 accumulated 14 such names before this gate existed). The r5
+#: set (42 names) is fully seated in the r6 window above; new r6
+#: registrations accumulate here for the r7 rotation.
+BELOW_FOLD_R6: frozenset[str] = frozenset()
 
 
 def load_all_queries() -> dict[str, QuerySpec]:
