@@ -111,3 +111,45 @@ def test_stream_commit_is_idempotent_per_epoch(tmp_path):
     os.makedirs(os.path.join(out, "_tmp"), exist_ok=True)
     w.commit([stage("e.part", ["3;z;2.5\n"])], batchId=8)
     assert "part-00008-00000.dump" in os.listdir(out)
+
+
+def test_append_jobs_do_not_clobber_and_overwrite_clears(spark):
+    """Two append saves to the same path must publish DISJOINT part
+    names (per-job id) and a running-total manifest; an overwrite save
+    must clear prior parts and reset the manifest (r5 advice — the
+    old fixed part-00000... names made the second append silently
+    os.replace the first's parts)."""
+    spark.dataSource.register(EventDumpSink)
+    out = tempfile.mkdtemp(prefix="eventdump_t3_")
+    e = load(spark, SF_DIR, "events").select(
+        "event_id", "event_type", "value"
+    )
+    n = e.count()
+
+    for _ in range(2):
+        (
+            e.repartition(2)
+            .write.format("eventdump")
+            .option("path", out)
+            .mode("append")
+            .save()
+        )
+    parts = sorted(glob.glob(os.path.join(out, "part-*.dump")))
+    assert len(parts) == 4, "second append clobbered the first's parts"
+    lines = sum(1 for p in parts for _ in open(p))
+    assert lines == 2 * n
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        assert int(f.read().strip()) == 2 * n
+
+    (
+        e.repartition(3)
+        .write.format("eventdump")
+        .option("path", out)
+        .mode("overwrite")
+        .save()
+    )
+    parts = sorted(glob.glob(os.path.join(out, "part-*.dump")))
+    assert len(parts) == 3, "overwrite must clear previous parts"
+    assert sum(1 for p in parts for _ in open(p)) == n
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        assert int(f.read().strip()) == n

@@ -65,8 +65,8 @@ def test_ingest_is_incremental_and_idempotent(spark):
 def test_ingest_retry_overwrites_not_duplicates(spark):
     """Crash-retry path: a wave whose state write succeeded but whose
     manifest commit was lost re-runs against the OLD manifest. The
-    deterministic sha256-of-fileset destination makes the rewrite land
-    on top of itself — no duplicate partials."""
+    deterministic per-file (fid=sha256(file)) destinations make the
+    rewrite land on top of itself — no duplicate partials."""
     import shutil
 
     work, landing, files = _setup_landing(spark)
@@ -79,4 +79,26 @@ def test_ingest_retry_overwrites_not_duplicates(spark):
     shutil.rmtree(manifest)
     again = ingest_new_files(spark, landing, files[:2], state, manifest)
     assert again == 2  # the retry re-processes the wave...
-    assert _state_total(spark, state) == t1  # ...onto the same subdir
+    assert _state_total(spark, state) == t1  # ...onto the same partitions
+
+
+def test_ingest_retry_with_new_arrivals_not_double_counted(spark):
+    """The r5-advice scenario a per-WAVE state destination could not
+    survive: the manifest commit is lost AND new files land before the
+    retry, so the retry wave is a superset of the crashed one. Per-file
+    destinations make the old files overwrite themselves while the new
+    ones add fresh partitions — nothing is orphaned or double-counted."""
+    import shutil
+
+    work, landing, files = _setup_landing(spark)
+    state = os.path.join(work, "state")
+    manifest = os.path.join(work, "manifest")
+
+    ingest_new_files(spark, landing, files[:2], state, manifest)
+    # lost manifest commit + a third file arrives before the retry
+    shutil.rmtree(manifest)
+    again = ingest_new_files(spark, landing, files[:3], state, manifest)
+    assert again == 3
+    paths = [os.path.join(landing, f) for f in files[:3]]
+    expected = spark.read.parquet(*paths).count()
+    assert _state_total(spark, state) == expected

@@ -44,3 +44,62 @@ def test_principal_axes_are_orthonormal(spark):
     assert abs(np.dot(axes[0], axes[0]) - 1.0) < 1e-4
     assert abs(np.dot(axes[1], axes[1]) - 1.0) < 1e-4
     assert abs(np.dot(axes[0], axes[1])) < 1e-4
+
+
+def test_kmeans_empty_cluster_oracle_parity(spark, tmp_path):
+    """An assignment round can empty a cluster (here: duplicate init
+    vectors make every cid-1 candidate tiebreak to cid 0). The Spark
+    side keeps the emptied cluster's PREVIOUS center as a candidate
+    (``new.get(j, centers[j])``); the oracle mirrors it with a
+    COALESCE against the prior round's centers over the c0 spine —
+    without that, the engines' assignment sets silently diverge the
+    moment any cluster empties (r5 advice)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from universal_data_to_orc_converter_spark.operators.linalg import (
+        DIM,
+        op_kmeans,
+    )
+    from universal_data_to_orc_converter_spark.registry import QUERIES
+
+    from .conftest import assert_frames_match
+
+    # first-dim-only vectors (quantized x1000): init centers land at
+    # 0, 0(dup), 100k..600k; vec8 at 600 joins cid 0, whose round-1
+    # centroid moves to 200 — so in round 2 the duplicates at 0 are
+    # recaptured by the EMPTIED cid 1's kept center at 0.
+    first = [0.0, 0.0, 100.0, 200.0, 300.0, 400.0, 500.0, 600.0, 0.6]
+    embs = [[x] + [0.0] * (DIM - 1) for x in first]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(first)), pa.int64()),
+            "embedding": pa.array(embs, pa.list_(pa.float32())),
+            "label": pa.array([0] * len(first), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    got = op_kmeans(spark, str(tmp_path))
+    rows = {
+        r["center_id"]: (r["n_members"], r["inertia"])
+        for r in got.collect()
+    }
+    # the emptied cluster must exist in the final assignment again
+    assert rows[1] == (2, 0), rows
+    assert rows[0] == (1, 0), rows
+
+    con = duckdb.connect()
+    try:
+        con.sql(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{tmp_path}/embeddings.parquet'"
+        )
+        assert_frames_match(
+            got,
+            con.sql(QUERIES["op_kmeans"].oracle),
+            "op_kmeans_empty_cluster",
+        )
+    finally:
+        con.close()

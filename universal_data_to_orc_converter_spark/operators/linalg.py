@@ -133,29 +133,41 @@ def op_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("p").alias("s"))
         .persist()
     )
-    # 65 sentinel rows to the driver: n and the per-dim sums (metadata)
-    n = int(agg.filter((F.col("i") == -1) & (F.col("j") == -1)).first()["s"])
-    sums = {
-        r["i"]: int(r["s"])
-        for r in agg.filter((F.col("j") == -1) & (F.col("i") >= 0)).collect()
-    }
-    sum_map = F.create_map(
-        *[F.lit(v) for i in sorted(sums) for v in (i, sums[i])]
-    )
-    return (
-        agg.filter(F.col("j") >= 0)
-        .select(
-            "i",
-            "j",
-            (
-                F.lit(n) * F.col("s")
-                - sum_map[F.col("i")].cast("decimal(28,0)")
-                * sum_map[F.col("j")].cast("decimal(28,0)")
-            )
-            .cast("bigint")
-            .alias("cov_num_fp"),
+    try:
+        # 65 sentinel rows to the driver: n and per-dim sums (metadata)
+        n = int(
+            agg.filter((F.col("i") == -1) & (F.col("j") == -1)).first()["s"]
         )
-    )
+        sums = {
+            r["i"]: int(r["s"])
+            for r in agg.filter(
+                (F.col("j") == -1) & (F.col("i") >= 0)
+            ).collect()
+        }
+        sum_map = F.create_map(
+            *[F.lit(v) for i in sorted(sums) for v in (i, sums[i])]
+        )
+        # <= d(d+1)/2 = 2080 cells: eagerly materialize (truncating the
+        # lineage off the cached agg) so the cache can be released even
+        # though the caller consumes the result lazily — repeated calls
+        # within a session must not accumulate cached partitions
+        return (
+            agg.filter(F.col("j") >= 0)
+            .select(
+                "i",
+                "j",
+                (
+                    F.lit(n) * F.col("s")
+                    - sum_map[F.col("i")].cast("decimal(28,0)")
+                    * sum_map[F.col("j")].cast("decimal(28,0)")
+                )
+                .cast("bigint")
+                .alias("cov_num_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        agg.unpersist()
 
 
 def principal_axes(cells, k: int = 2) -> list[list[int]]:
@@ -267,7 +279,7 @@ def _tdiv(s: int, c: int) -> int:
               FROM q CROSS JOIN c0 c)
           ) WHERE rn = 1
         ),
-        c1 AS (
+        c1n AS (
           SELECT cid, list(CAST(m AS BIGINT) ORDER BY dim) AS cv FROM (
             SELECT a.cid, u.i AS dim,
                    SUM(q.qv[u.i]) // COUNT(*) AS m
@@ -275,6 +287,13 @@ def _tdiv(s: int, c: int) -> int:
                  LATERAL (SELECT unnest(generate_series(1, 64)) AS i) u
             GROUP BY a.cid, u.i
           ) GROUP BY cid
+        ),
+        -- a cid emptied by the assignment keeps its PREVIOUS center
+        -- (mirrors the Spark side's new.get(j, centers[j]); c0 always
+        -- carries all 8 cids, so it doubles as the spine)
+        c1 AS (
+          SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+          FROM c0 p LEFT JOIN c1n n USING (cid)
         ),
         a1 AS (
           SELECT vec_id, cid, dist FROM (
@@ -290,7 +309,7 @@ def _tdiv(s: int, c: int) -> int:
               FROM q CROSS JOIN c1 c)
           ) WHERE rn = 1
         ),
-        c2 AS (
+        c2n AS (
           SELECT cid, list(CAST(m AS BIGINT) ORDER BY dim) AS cv FROM (
             SELECT a.cid, u.i AS dim,
                    SUM(q.qv[u.i]) // COUNT(*) AS m
@@ -298,6 +317,10 @@ def _tdiv(s: int, c: int) -> int:
                  LATERAL (SELECT unnest(generate_series(1, 64)) AS i) u
             GROUP BY a.cid, u.i
           ) GROUP BY cid
+        ),
+        c2 AS (
+          SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+          FROM c1 p LEFT JOIN c2n n USING (cid)
         ),
         a2 AS (
           SELECT vec_id, cid, dist FROM (

@@ -237,14 +237,18 @@ def ingest_new_files(
     manifest; append their partial aggregates to the state store.
     Returns the number of NEW files processed (0 = no-op re-run).
 
-    Idempotence contract: the partial-state for a given new-file set is
-    written with OVERWRITE into a subdirectory named by the sha256 of
-    the sorted file list, so a crashed-and-retried wave lands in the
-    same place instead of double-counting; the manifest is
-    append-only and deduplicated on read. That is the same
+    Idempotence contract: partial state is written PER SOURCE FILE —
+    one ``fid=sha256(file)`` partition each, via dynamic partition
+    overwrite — so a crashed-and-retried wave rewrites exactly its own
+    files' partitions no matter how the retry's wave is composed. A
+    per-WAVE destination (the previous design) only survived
+    identical retries: if the manifest append was lost and new files
+    landed before the retry, the bigger wave hashed to a fresh subdir
+    while the orphaned old one kept counting (r5 advice). The
+    manifest is append-only and deduplicated on read. Same
     deterministic-destination trick Spark's own streaming file sink
-    uses for exactly-once file output."""
-    import hashlib
+    uses for exactly-once file output; the per-file grouping still
+    runs as ONE job (groupBy(fid, event_type)), not a job per file."""
     import os
 
     vis = spark.createDataFrame(
@@ -266,13 +270,19 @@ def ingest_new_files(
     batch = spark.read.parquet(
         *[os.path.join(landing, f) for f in new_files]
     )
-    partial = batch.groupBy("event_type").agg(
+    fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    partial = batch.groupBy(
+        F.substring(F.sha2(fname, 256), 1, 16).alias("fid"),
+        "event_type",
+    ).agg(
         F.count("*").alias("n_events"),
         F.sum(_scaled(F.col("value"))).cast("bigint").alias("sum_value_fp"),
     )
-    bid = hashlib.sha256("\n".join(new_files).encode()).hexdigest()[:16]
-    partial.write.mode("overwrite").parquet(
-        os.path.join(state_dir, f"b_{bid}")
+    (
+        partial.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("fid")
+        .parquet(state_dir)
     )
     spark.createDataFrame(
         [(f,) for f in new_files], "file string"
@@ -302,9 +312,10 @@ def ingest_new_files(
     "re-run (the retry path), and serves the merged rollup — which "
     "must hash-match the oracle's full single-pass recompute, proving "
     "no file was lost, reread, or double-counted. Crash-safety comes "
-    "from deterministic state destinations (sha256-of-fileset subdir, "
-    "overwrite mode — a replayed wave overwrites itself) plus a "
-    "dedup-on-read manifest. Per-wave cost is |new files| + |rollup|; "
+    "from deterministic PER-FILE state destinations (fid=sha256(file) "
+    "partitions, dynamic partition overwrite — a replayed wave "
+    "rewrites exactly its own files' partitions even if NEW files "
+    "joined the retry wave) plus a dedup-on-read manifest. Per-wave cost is |new files| + |rollup|; "
     "the already-ingested corpus is never re-read — the difference "
     "between an ingest that stays O(arrival rate) and one that "
     "degrades O(table size). Complements op_incremental_agg_maintain "

@@ -11,9 +11,12 @@ task-temp + driver-commit protocol every distributed writer needs:
   carrying the temp name and its row count — no task publishes
   directly to the final location;
 * the DRIVER's ``commit`` renames every acknowledged part into place
-  (``part-<i>.dump``) and writes a ``_SUCCESS`` manifest with the
-  total row count — an atomic publish: a failed or speculative task
-  attempt's file is simply never renamed;
+  (``part-<job>-<i>.dump`` — the per-job id keeps successive append
+  jobs' name sets disjoint) and writes a ``_SUCCESS`` manifest with
+  the destination's total row count — an atomic publish: a failed or
+  speculative task attempt's file is simply never renamed. The
+  ``overwrite`` save-mode flag is honored: overwrite clears prior
+  parts before publishing, append keeps them;
 * ``abort`` removes the temp dir, leaving the destination untouched.
 
 This is the same job-commit design as Spark's own
@@ -49,8 +52,16 @@ class _PartCommit(WriterCommitMessage):
 
 
 class _EventDumpWriter(DataSourceWriter):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, overwrite: bool):
+        import uuid
+
         self.path = options["path"]
+        self.overwrite = overwrite
+        # per-job id embedded in the published part names: two append
+        # jobs to the same path publish disjoint name sets instead of
+        # the second silently clobbering the first's part-00000...
+        # (r5 advice)
+        self.job_id = uuid.uuid4().hex[:8]
 
     def write(self, iterator) -> _PartCommit:
         # runs on the EXECUTOR: serialize this partition to a task-temp
@@ -70,14 +81,30 @@ class _EventDumpWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         # runs on the DRIVER: atomic publish of acknowledged parts only
+        import glob
         import shutil
 
         tmp_dir = os.path.join(self.path, "_tmp")
         total = 0
+        if self.overwrite:
+            # SaveMode.Overwrite: clear previously published parts
+            # before publishing this job's (v1-commit semantics: the
+            # clear+rename window is the known non-atomic trade-off)
+            for old in glob.glob(os.path.join(self.path, "part-*.dump")):
+                os.remove(old)
+        else:
+            # SaveMode.Append: keep prior parts; manifest stays the
+            # destination's running total
+            success = os.path.join(self.path, "_SUCCESS")
+            if os.path.exists(success):
+                with open(success) as f:
+                    total = int(f.read().strip() or 0)
         for i, m in enumerate(messages):
             os.replace(
                 os.path.join(tmp_dir, m.tmp_name),
-                os.path.join(self.path, f"part-{i:05d}.dump"),
+                os.path.join(
+                    self.path, f"part-{self.job_id}-{i:05d}.dump"
+                ),
             )
             total += m.rows
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
@@ -98,7 +125,7 @@ class EventDumpSink(DataSource):
         return "eventdump"
 
     def writer(self, schema, overwrite: bool):  # noqa: ARG002
-        return _EventDumpWriter(self.options)
+        return _EventDumpWriter(self.options, overwrite)
 
 
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402

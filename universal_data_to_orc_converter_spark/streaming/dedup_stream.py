@@ -11,13 +11,17 @@ Per micro-batch the foreachBatch merge:
    and batch signatures are bit-identical);
 2. joins the new band triples against the accumulated signature
    store's bands PLUS the batch's own (so intra-batch pairs are found
-   too), exact-Jaccard-verifies the candidates, and appends the
+   too), exact-Jaccard-verifies the candidates, and writes the
    surviving pairs to the result store;
-3. appends the new signatures to the signature store.
+3. writes the new signatures to the signature store.
 
 Every near-dup pair is emitted exactly once — at the micro-batch
 where its LATER member arrives (earlier-vs-history pairs can't recur,
-and intra-batch pairs are deduplicated before the append).
+and intra-batch pairs are deduplicated before the write). The
+exactly-once contract survives checkpoint recovery: both stores are
+laid out as deterministic per-batch ``b_<batch_id>`` subdirectories
+written in overwrite mode, so foreachBatch's at-least-once replay
+overwrites its own prior attempt instead of appending a second copy.
 
 100 TB cost model: per batch, the work is |new| signature computations
 plus a band-bucket join of |new| triples against the store — never
@@ -50,24 +54,45 @@ from ..registry import query
 _SIG_SCHEMA = "doc_id bigint, h array<bigint>, bands array<bigint>"
 
 
+def _has_parquet(root: str) -> bool:
+    for _dir, _sub, names in os.walk(root):
+        if any(n.endswith(".parquet") for n in names):
+            return True
+    return False
+
+
 def dedup_batch(
     spark: SparkSession,
     batch_df: DataFrame,
     sig_store: str,
     pair_store: str,
+    batch_id: int,
 ) -> None:
     """Process one micro-batch of documents: emit near-dup pairs vs
-    history + batch, then append the batch's signatures to the store."""
+    history + batch, then add the batch's signatures to the store.
+
+    foreachBatch is at-least-once: a checkpoint-recovered micro-batch
+    REPLAYS with the same batch_id and (file source) the same rows.
+    Both outputs therefore go to deterministic per-batch
+    subdirectories (``b_<batch_id>``) in OVERWRITE mode, so a replay
+    lands on top of its own previous attempt instead of double-
+    emitting pairs and duplicating signature rows (r5 advice) — the
+    same deterministic-destination idempotence as
+    ``ingest_new_files`` and the event-dump streaming sink."""
     sig_batches = make_minhash_sig_batches()
     new_sigs = (
         batch_df.select("doc_id", "text")
         .mapInPandas(sig_batches, _SIG_SCHEMA)
         .localCheckpoint()  # one signature pass per batch, reused 4×
     )
-    if os.path.isdir(sig_store) and any(
-        f.endswith(".parquet") for f in os.listdir(sig_store)
-    ):
-        known = spark.read.parquet(sig_store)
+    if os.path.isdir(sig_store) and _has_parquet(sig_store):
+        known = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(sig_store)
+            # a replayed batch must dedup against HISTORY only, not
+            # its own crashed attempt's signatures
+            .filter(~F.input_file_name().contains(f"/b_{batch_id}/"))
+        )
     else:
         known = spark.createDataFrame([], _SIG_SCHEMA)
     all_sigs = known.unionByName(new_sigs)
@@ -103,8 +128,12 @@ def dedup_batch(
         .filter(F.col("jaccard") >= 0.7)
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    pairs.write.mode("append").parquet(pair_store)
-    new_sigs.write.mode("append").parquet(sig_store)
+    pairs.write.mode("overwrite").parquet(
+        os.path.join(pair_store, f"b_{batch_id}")
+    )
+    new_sigs.write.mode("overwrite").parquet(
+        os.path.join(sig_store, f"b_{batch_id}")
+    )
 
 
 @query(
@@ -145,7 +174,9 @@ def op_stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = (
         stream.writeStream.foreachBatch(
-            lambda bdf, _id: dedup_batch(spark, bdf, sig_store, pair_store)
+            lambda bdf, bid: dedup_batch(
+                spark, bdf, sig_store, pair_store, bid
+            )
         )
         .option("checkpointLocation", os.path.join(work, "ckpt"))
         .trigger(availableNow=True)
@@ -153,11 +184,12 @@ def op_stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
 
-    if not (
-        os.path.isdir(pair_store)
-        and any(f.endswith(".parquet") for f in os.listdir(pair_store))
-    ):
+    if not (os.path.isdir(pair_store) and _has_parquet(pair_store)):
         return spark.createDataFrame(
             [], "doc_a bigint, doc_b bigint, jaccard double"
         )
-    return spark.read.parquet(pair_store).select("doc_a", "doc_b", "jaccard")
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(pair_store)
+        .select("doc_a", "doc_b", "jaccard")
+    )
