@@ -440,10 +440,39 @@ def test_pca_projection_is_zero_shuffle(spark):
 def test_duplicate_spans_partial_agg_and_topk(spark):
     """The corpus-scale gram groupBy must keep map-side partials and
     the top-30 must plan as TakeOrderedAndProject, not a global sort."""
-    df = q("op_duplicate_ngram_spans", spark)
+    from universal_data_to_orc_converter_spark.operators.text import (
+        op_duplicate_ngram_spans,
+    )
+
+    df = op_duplicate_ngram_spans(spark, SF_DIR, _materialize=False)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial" in plan, "map-side partial aggregate missing"
     assert "TakeOrderedAndProject" in plan
+
+
+def test_duplicate_spans_wide_exchanges_carry_hash_keys(spark):
+    """The r5-verdict refinement: every corpus-wide hash exchange must
+    partition on the fixed-width xxhash64 key (gh), never on the raw
+    8-gram STRINGS (whose shuffle payload at 100 TB is ~8x the corpus
+    token bytes); strings ride only the broadcast recovery join over
+    the example docs."""
+    import re
+
+    from universal_data_to_orc_converter_spark.operators.text import (
+        op_duplicate_ngram_spans,
+    )
+
+    df = op_duplicate_ngram_spans(spark, SF_DIR, _materialize=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    keys = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert keys, "expected at least one hash exchange (the gh groupBy)"
+    for k in keys:
+        assert k.strip().startswith("gh#"), (
+            f"wide exchange partitions on {k!r}, not the hash key"
+        )
+    assert "BroadcastExchange" in plan, (
+        "string recovery must broadcast the tiny candidate set"
+    )
 
 
 def test_dynamic_gap_sessions_single_exchange(spark):

@@ -1301,6 +1301,28 @@ def op_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _enum_8grams(d: DataFrame) -> DataFrame:
+    """(doc_id, gram) for every 8-token window — JVM transform +
+    explode, no Python in the loop."""
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), " "), lambda x: x != F.lit("")
+        ).alias("t"),
+    ).filter(F.size("t") >= 8)
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 7),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("t"), i, F.lit(8))
+                ),
+            )
+        ).alias("gram"),
+    )
+
+
 @query(
     "op_duplicate_ngram_spans",
     oracle="""
@@ -1336,44 +1358,91 @@ def op_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "example doc — the spans a span-level deduper would excise. "
     "Complements the EXISTING doc-level tiers (minhash/simhash = "
     "whole-doc similarity, winnowing = per-doc fingerprints): this "
-    "finds the literal shared text. Scale posture: one corpus-scale "
-    "groupBy with map-side combine; the count_distinct plans as the "
-    "standard two-phase expand (gram,doc) distinct then count — both "
-    "exchanges carry (gram, doc) pairs, and at 100 TB the refinement "
-    "is grouping on xxhash64(gram) with the string carried only for "
-    "the surviving >=2-doc spans (fixed-width shuffle keys; collision "
-    "probability ~n^2/2^64 documented, not silent). Total-order "
+    "finds the literal shared text. Scale posture (r6: the hash-key "
+    "refinement is IMPLEMENTED, plan-asserted in tests/test_plans.py): "
+    "the corpus-wide exchanges carry (xxhash64(gram), doc_id) — "
+    "fixed-width 16-byte keys, never the ~8x-corpus-bytes gram "
+    "strings; the count_distinct two-phase expand runs on hashes too. "
+    "Strings are recovered ONLY for rows that can still reach the "
+    "top 30 under the (n_docs, n_occur, gram) total order: the 30-row "
+    "boundary is collected (bounded metadata), and the boundary-or-"
+    "better survivors (<=30 + ties) are recovered from their OWN "
+    "example_docs — a broadcast point-lookup of <=|cand| documents "
+    "(every >=2-doc span occurs in its min doc_id by construction), "
+    "so the recovery pass reads ~30 documents, not the corpus. Cost: "
+    "ONE corpus scan + hash-keyed shuffles + an O(candidates) "
+    "recovery job; a 64-bit collision merges two spans' counts with "
+    "probability ~n^2/2^65 — documented, not silent. Total-order "
     "LIMIT keeps both engines on the same top 30.",
     tags=("text", "dedup", "scale"),
 )
-def op_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-30 8-token spans shared verbatim across documents."""
+def op_duplicate_ngram_spans(
+    spark: SparkSession, sf_dir: str, _materialize: bool = True
+) -> DataFrame:
+    """Top-30 8-token spans shared verbatim across documents.
+
+    ``_materialize=False`` skips the eager localCheckpoint so plan
+    tests can inspect the recovery pipeline's physical plan."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.filter(
-            F.split(F.lower("text"), " "), lambda x: x != F.lit("")
-        ).alias("t"),
-    ).filter(F.size("t") >= 8)
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 7),
-                lambda i: F.concat_ws(
-                    " ", F.slice(F.col("t"), i, F.lit(8))
-                ),
-            )
-        ).alias("gram"),
-    )
-    return (
-        grams.groupBy("gram")
+    # corpus-wide aggregation on FIXED-WIDTH hash keys: the wide
+    # exchanges carry (gh, doc_id), never the gram strings. The
+    # survivor set (>=2-doc spans, hash-keyed fixed-width rows — a
+    # small fraction of the corpus) is cached because it feeds both
+    # the boundary probe and the candidate filter.
+    survivors = (
+        _enum_8grams(d)
+        .select(F.xxhash64("gram").alias("gh"), "doc_id")
+        .groupBy("gh")
         .agg(
             F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
             F.count("*").cast("bigint").alias("n_occur"),
             F.min("doc_id").alias("example_doc"),
         )
         .filter(F.col("n_docs") >= 2)
-        .orderBy(F.desc("n_docs"), F.desc("n_occur"), "gram")
-        .limit(30)
+        .persist()
     )
+    try:
+        # 30-row order boundary (bounded metadata to the driver, like
+        # the IVF centers): any row that can still reach the top 30 is
+        # boundary-or-better on (n_docs desc, n_occur desc) — ties at
+        # the boundary are kept because the final order tiebreaks on
+        # the gram string, which only the recovered set can decide
+        top = (
+            survivors.orderBy(F.desc("n_docs"), F.desc("n_occur"))
+            .limit(30)
+            .collect()
+        )
+        if not top:
+            return spark.createDataFrame(
+                [],
+                "gram string, n_docs bigint, n_occur bigint, "
+                "example_doc bigint",
+            )
+        b_docs, b_occ = min((r["n_docs"], r["n_occur"]) for r in top)
+        cand = survivors.filter(
+            (F.col("n_docs") > b_docs)
+            | ((F.col("n_docs") == b_docs) & (F.col("n_occur") >= b_occ))
+        )
+        # recover strings for the tiny candidate set only — and only
+        # from the docs that are KNOWN to contain them: every >=2-doc
+        # span occurs in its example_doc (= min doc_id), so the
+        # recovery pass enumerates the grams of <=|cand| point-looked-
+        # up documents (broadcast id join, pushdown-prunable), never
+        # re-scans the corpus. The <=30-row result is materialized
+        # eagerly so the cache can be released before returning the
+        # (lazy) DataFrame.
+        # no distinct: repeated example_docs just multiply the tiny
+        # broadcast probe; the trailing dropDuplicates(gh) dedups
+        ex = cand.select(F.col("example_doc").alias("doc_id"))
+        out = (
+            _enum_8grams(d.join(F.broadcast(ex), "doc_id"))
+            .select("gram", F.xxhash64("gram").alias("gh"))
+            .join(F.broadcast(cand), "gh")
+            .dropDuplicates(["gh"])
+            .select("gram", "n_docs", "n_occur", "example_doc")
+            .orderBy(F.desc("n_docs"), F.desc("n_occur"), "gram")
+            .limit(30)
+        )
+        return out.localCheckpoint(eager=True) if _materialize else out
+    finally:
+        survivors.unpersist()
