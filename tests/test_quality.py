@@ -559,3 +559,38 @@ def test_chunk_window_math_tiles_every_document():
             assert hi1 - lo2 == SZ - STRIDE, (n_chars, spans)
 
     check()
+
+
+def test_maintained_rollup_hll_regime(spark):
+    """op_incremental_agg_maintain's approx_users column is pinned by
+    an EXACT COUNT(DISTINCT) oracle — valid only while every (day,
+    event_type) group's sketch stays in sparse mode, where DataSketches
+    HLL is exact. Guard the regime: the merged estimate must equal the
+    exact per-group distinct count at the tested fixture, and group
+    cardinalities must sit far below the lgK=12 dense-promotion zone,
+    so a fixture change that would break the oracle fails HERE first."""
+    import pyspark.sql.functions as F
+
+    from universal_data_to_orc_converter_spark.catalog import load
+    from universal_data_to_orc_converter_spark.operators.maintenance import (
+        op_incremental_agg_maintain,
+    )
+
+    from .conftest import SF_DIR
+
+    maintained = {
+        (r["day"], r["event_type"]): r["approx_users"]
+        for r in op_incremental_agg_maintain(spark, SF_DIR).collect()
+    }
+    exact = {
+        (r["day"], r["event_type"]): r["n"]
+        for r in load(spark, SF_DIR, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"), "event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert maintained == exact, "HLL left the exact (sparse) regime"
+    assert max(exact.values()) < 512, (
+        "group cardinality approaching dense promotion — the exact "
+        "COUNT(DISTINCT) oracle for approx_users is no longer safe"
+    )

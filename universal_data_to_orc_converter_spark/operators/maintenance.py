@@ -37,7 +37,8 @@ from ..registry import query
                CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
                     AS BIGINT) AS sum_value_fp,
                MIN(value) AS min_value,
-               MAX(value) AS max_value
+               MAX(value) AS max_value,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS approx_users
         FROM events
         GROUP BY day, event_type
     """,
@@ -45,14 +46,25 @@ from ..registry import query
     "rollup is first materialized WITHOUT the final 7 days, then the "
     "late batch arrives and is folded in by unioning the two partial-"
     "state frames and re-aggregating — count adds, fixed-point sums "
-    "add, min/max combine. The result must hash-match the oracle's "
-    "full recompute over all events, proving the merge algebra is "
-    "lossless. The maintained sum is kept as the INTEGER fixed-point "
-    "state (sum_value_fp) end-to-end — merging already-divided "
-    "doubles would reintroduce order dependence. At 100 TB the delta "
-    "pass scans only the new partition and the merge shuffles "
-    "|rollup| + |delta-groups| rows; the base table is never re-read "
-    "— the difference between maintaining a dashboard and recomputing "
+    "add, min/max combine, and (r6) the NON-ALGEBRAIC distinct-user "
+    "count is maintained as a mergeable DataSketches HLL register "
+    "(hll_sketch_agg state, hll_union_agg fold-in, "
+    "hll_sketch_estimate serve) — union is exactly the algebra HLL "
+    "registers obey, so maintenance never needs the raw user_ids "
+    "back. The result must hash-match the oracle's full recompute "
+    "over all events, proving the merge algebra is lossless; the "
+    "oracle pins approx_users with an EXACT COUNT(DISTINCT) because "
+    "at this fixture's per-group cardinality the sketch is in sparse "
+    "mode and therefore exact — a regime assumption guarded by "
+    "tests/test_quality.py::test_maintained_rollup_hll_regime, so a "
+    "fixture change that promotes a sketch to dense fails locally "
+    "before it can red-row the driver. The maintained sum is kept as "
+    "the INTEGER fixed-point state (sum_value_fp) end-to-end — "
+    "merging already-divided doubles would reintroduce order "
+    "dependence. At 100 TB the delta pass scans only the new "
+    "partition and the merge shuffles |rollup| + |delta-groups| rows "
+    "(sketch states are ~KB each); the base table is never re-read — "
+    "the difference between maintaining a dashboard and recomputing "
     "it.",
     tags=("agg", "io", "scale"),
 )
@@ -61,7 +73,9 @@ def op_incremental_agg_maintain(
 ) -> DataFrame:
     """Maintain a daily rollup by merging a late batch's partial
     states — never rescanning the base."""
-    e = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    e = load(spark, sf_dir, "events").select(
+        "ts", "event_type", "value", "user_id"
+    )
     cutoff = F.lit("2024-01-24").cast("timestamp")
 
     def states(df: DataFrame) -> DataFrame:
@@ -74,12 +88,13 @@ def op_incremental_agg_maintain(
             .alias("sum_value_fp"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
+            F.hll_sketch_agg("user_id").alias("users_sk"),
         )
 
     base_rollup = states(e.filter(F.col("ts") < cutoff))
     delta_rollup = states(e.filter(F.col("ts") >= cutoff))
-    # merge partial states: count/sum add, min/max combine — the
-    # algebra every mergeable aggregate obeys
+    # merge partial states: count/sum add, min/max combine, HLL
+    # registers union — the algebra every mergeable aggregate obeys
     return (
         base_rollup.unionByName(delta_rollup)
         .groupBy("day", "event_type")
@@ -88,6 +103,9 @@ def op_incremental_agg_maintain(
             F.sum("sum_value_fp").cast("bigint").alias("sum_value_fp"),
             F.min("min_value").alias("min_value"),
             F.max("max_value").alias("max_value"),
+            F.hll_sketch_estimate(F.hll_union_agg("users_sk"))
+            .cast("bigint")
+            .alias("approx_users"),
         )
     )
 
