@@ -463,7 +463,12 @@ def ivfpq_topk(
     (rerank_factor * top_k): the knob that trades ADC distortion for
     re-rank cost — tightly-clustered corpora need a deeper shortlist
     because the true top-k are fine distinctions among near-identical
-    distances that 4-bit sub-codes cannot order.
+    distances that 4-bit sub-codes cannot order. Measured (r6,
+    tests/test_quality.py::test_ivfpq_adc_error_is_resolution_bound):
+    ADC-only recall on the clustered fixture is resolution-bound —
+    0.495 at the default 8x16 codes (4 B/vec), 0.90 at FAISS-default
+    PQ16x8 (16 B/vec) — so at high compression the re-rank is
+    REQUIRED, and the remedy scales with code width, not probe count.
 
     The 100 TB shape for ANN candidate scoring. Vectors are
     stored as (cell, 8 sub-codes) — 8 bytes instead of 256+ — so the
