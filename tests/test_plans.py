@@ -485,3 +485,31 @@ def test_dynamic_gap_sessions_single_exchange(spark):
     assert "Join" not in plan
     n = len(re.findall(r"Exchange (hash|range)partitioning", plan))
     assert n == 1, f"expected 1 exchange, got {n}"
+
+
+def test_self_repetition_is_zero_shuffle(spark):
+    """op_doc_self_repetition's scale claim: scoring happens entirely
+    inside the row (array expressions), so the plan must contain NO
+    exchange — just scan -> project -> TakeOrderedAndProject."""
+    df = q("op_doc_self_repetition", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "self-repetition scoring shuffled"
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_duplication_coverage_two_fixed_width_exchanges(spark):
+    """op_doc_duplication_coverage's scale claim: per-doc gram dedup
+    happens inside the row, so the whole plan is exactly two hash
+    exchanges — the gh window and the doc_id rollup — both on
+    fixed-width keys, never gram strings."""
+    import re
+
+    df = q("op_doc_duplication_coverage", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    keys = [
+        k.strip()
+        for k in re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    ]
+    assert len(keys) == 2, f"expected 2 hash exchanges, got {keys}"
+    assert any(k.startswith("gh#") for k in keys), keys
+    assert any(k.startswith("doc_id#") for k in keys), keys

@@ -1446,3 +1446,165 @@ def op_duplicate_ngram_spans(
         return out.localCheckpoint(eager=True) if _materialize else out
     finally:
         survivors.unpersist()
+
+
+@query(
+    "op_doc_self_repetition",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '')
+                 AS t
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id,
+                 list_transform(
+                   generate_series(1, len(t) - 2),
+                   i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS grams
+          FROM toks
+          WHERE len(t) >= 3
+        )
+        SELECT doc_id,
+               CAST(len(grams) AS BIGINT) AS n_grams,
+               CAST(len(grams) - len(list_distinct(grams)) AS BIGINT)
+                 AS n_dup,
+               CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                 / len(grams) AS dup_frac
+        FROM g
+        ORDER BY dup_frac DESC, doc_id
+        LIMIT 50
+    """,
+    notes="Intra-document self-repetition — the Gopher-rules quality "
+    "signal the cross-doc tiers don't cover: a document that repeats "
+    "ITSELF (boilerplate loops, scraped nav bars, degenerate "
+    "generations) is low-quality even if globally unique. Per doc, "
+    "the fraction of 3-gram instances that duplicate an earlier "
+    "instance in the SAME doc: 1 - |distinct grams|/|grams|, computed "
+    "entirely with JVM array expressions INSIDE the row (transform + "
+    "array_distinct) — a ZERO-SHUFFLE map over the corpus; the only "
+    "movement is the TakeOrderedAndProject top-50 (most-repetitive "
+    "docs first, doc_id tiebreak). dup_frac is one exact-integer "
+    "division on both engines, so the double hash-matches. At 100 TB "
+    "this is the cheapest possible shape: score every doc in one "
+    "scan, no exchange, and feed the fraction to the same gate as "
+    "op_quality_filter.",
+    tags=("text", "quality", "scale"),
+)
+def op_doc_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 most self-repetitive docs by duplicated-3-gram fraction."""
+    d = load(spark, sf_dir, "documents")
+    t = F.filter(
+        F.split(F.lower("text"), " "), lambda x: x != F.lit("")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 2),
+        lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, F.lit(3))),
+    )
+    scored = (
+        d.select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= 3)
+        .select("doc_id", grams.alias("grams"))
+        .select(
+            "doc_id",
+            F.size("grams").cast("bigint").alias("n_grams"),
+            (F.size("grams") - F.size(F.array_distinct("grams")))
+            .cast("bigint")
+            .alias("n_dup"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.col("n_dup").cast("double") / F.col("n_grams"),
+        )
+    )
+    return scored.orderBy(F.desc("dup_frac"), "doc_id").limit(50)
+
+
+@query(
+    "op_doc_duplication_coverage",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '')
+                 AS t
+          FROM documents
+        ),
+        dg AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(t[u.i : u.i + 7], ' ') AS gram
+          FROM toks,
+               LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) u
+          WHERE len(t) >= 8
+        ),
+        marked AS (
+          SELECT doc_id,
+                 COUNT(*) OVER (PARTITION BY gram) >= 2 AS is_shared
+          FROM dg
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(COUNT(*) FILTER (is_shared) AS BIGINT) AS n_shared,
+               CAST(COUNT(*) FILTER (is_shared) AS DOUBLE) / COUNT(*)
+                 AS shared_frac
+        FROM marked
+        GROUP BY doc_id
+        ORDER BY shared_frac DESC, doc_id
+        LIMIT 50
+    """,
+    notes="Per-document cross-corpus duplication coverage — the doc-"
+    "level decision variable behind span dedup (Lee et al.: how much "
+    "of THIS doc is verbatim elsewhere?): the fraction of a doc's "
+    "distinct 8-grams that also appear in >=1 OTHER document, the "
+    "score a curation gate thresholds to drop mostly-duplicated "
+    "docs. Complements op_duplicate_ngram_spans (which finds the "
+    "spans) and the minhash tiers (whole-doc similarity). Scale "
+    "shape: per-doc distinct grams are computed INSIDE the row "
+    "(array_distinct before explode — no dedup exchange), then the "
+    "corpus-wide sharing test is one window count over "
+    "xxhash64(gram) fixed-width keys and the per-doc rollup one "
+    "doc_id groupBy — exactly two exchanges, both on fixed-width "
+    "keys, plan-asserted; gram STRINGS never shuffle (the oracle "
+    "groups by string — 64-bit collisions, probability ~n^2/2^65, "
+    "would surface as a hash mismatch). shared_frac is one exact-"
+    "integer division on both engines.",
+    tags=("text", "dedup", "quality", "scale"),
+)
+def op_doc_duplication_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-50 docs by fraction of 8-grams shared with other docs."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    t = F.filter(
+        F.split(F.lower("text"), " "), lambda x: x != F.lit("")
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 7),
+            lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, F.lit(8))),
+        )
+    )
+    dg = (
+        d.select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= 8)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .select("doc_id", F.xxhash64("gram").alias("gh"))
+    )
+    shared = F.count("*").over(W.partitionBy("gh")) >= 2
+    return (
+        dg.withColumn("is_shared", shared)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.count(F.when(F.col("is_shared"), 1))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+        .withColumn(
+            "shared_frac",
+            F.col("n_shared").cast("double") / F.col("n_grams"),
+        )
+        .orderBy(F.desc("shared_frac"), "doc_id")
+        .limit(50)
+    )

@@ -156,7 +156,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: (r4 accumulated 14 such names before this gate existed). The r5
 #: set (42 names) is fully seated in the r6 window above; new r6
 #: registrations accumulate here for the r7 rotation.
-BELOW_FOLD_R6: frozenset[str] = frozenset()
+BELOW_FOLD_R6: frozenset[str] = frozenset({
+    "op_doc_self_repetition",
+    "op_doc_duplication_coverage",
+})
 
 
 def load_all_queries() -> dict[str, QuerySpec]:
