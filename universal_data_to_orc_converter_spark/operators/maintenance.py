@@ -605,3 +605,93 @@ def op_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(class_row("orphan", orphan))
         .unionByName(class_row("missing", missing))
     )
+
+
+@query(
+    "op_quantile_histogram_maintain",
+    oracle="""
+        WITH b AS (
+          SELECT event_type,
+                 CAST(FLOOR(value) AS BIGINT) AS bin,
+                 COUNT(*) AS c
+          FROM events
+          GROUP BY event_type, bin
+        ),
+        w AS (
+          SELECT event_type, bin,
+                 SUM(c) OVER (PARTITION BY event_type ORDER BY bin)
+                   AS cum,
+                 SUM(c) OVER (PARTITION BY event_type) AS n
+          FROM b
+        )
+        SELECT event_type,
+               CAST(MIN(CASE WHEN cum * 2 >= n THEN bin END) AS DOUBLE)
+                 AS p50_lo,
+               CAST(MIN(CASE WHEN cum * 10 >= 9 * n THEN bin END)
+                    AS DOUBLE) AS p90_lo,
+               CAST(MIN(CASE WHEN cum * 100 >= 99 * n THEN bin END)
+                    AS DOUBLE) AS p99_lo
+        FROM w
+        GROUP BY event_type
+    """,
+    notes="Mergeable QUANTILE maintenance — the third non-algebraic "
+    "aggregate the rollup-maintenance family covers (count/sum/min/"
+    "max merge trivially, distinct-count merges as HLL registers in "
+    "op_incremental_agg_maintain; quantiles merge as HISTOGRAM "
+    "states): per-(event_type, unit-width bin) counts are the partial "
+    "state, a late batch folds in by ADDING bin counts — histogram "
+    "addition is exactly the algebra — and p50/p90/p99 are served as "
+    "the lower edge of the first bin whose cumulative count crosses "
+    "the integer rank threshold (cum*2>=n, cum*10>=9n, cum*100>=99n — "
+    "ALL-INTEGER comparisons, no float rank math, so the maintained "
+    "answer hash-matches the oracle's single-pass recompute exactly). "
+    "State is |types| x |occupied bins| rows — bounded by the value "
+    "range, independent of row count; the serve step's window runs "
+    "over that state, never the base. The deliberate trade vs "
+    "op_agg_approx_quantile (t-digest-style, data-adaptive, not "
+    "mergeable in SQL): fixed bins give up adaptive resolution to "
+    "gain exact mergeability — the same trade every metrics store "
+    "makes.",
+    tags=("agg", "io", "scale"),
+)
+def op_quantile_histogram_maintain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maintain per-type value quantiles via mergeable histogram-bin
+    states; serve p50/p90/p99 after folding in a late batch."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    cutoff = F.lit("2024-01-24").cast("timestamp")
+
+    def bins(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type", F.floor("value").cast("bigint").alias("bin")
+        ).agg(F.count("*").alias("c"))
+
+    merged = (
+        bins(e.filter(F.col("ts") < cutoff))
+        .unionByName(bins(e.filter(F.col("ts") >= cutoff)))
+        .groupBy("event_type", "bin")
+        .agg(F.sum("c").alias("c"))
+    )
+    cum = F.sum("c").over(
+        W.partitionBy("event_type").orderBy("bin")
+    )
+    n = F.sum("c").over(W.partitionBy("event_type"))
+    w = merged.select(
+        "event_type", "bin", cum.alias("cum"), n.alias("n")
+    )
+    return w.groupBy("event_type").agg(
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("bin")))
+        .cast("double")
+        .alias("p50_lo"),
+        F.min(F.when(F.col("cum") * 10 >= 9 * F.col("n"), F.col("bin")))
+        .cast("double")
+        .alias("p90_lo"),
+        F.min(
+            F.when(F.col("cum") * 100 >= 99 * F.col("n"), F.col("bin"))
+        )
+        .cast("double")
+        .alias("p99_lo"),
+    )

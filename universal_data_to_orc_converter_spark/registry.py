@@ -159,6 +159,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 BELOW_FOLD_R6: frozenset[str] = frozenset({
     "op_doc_self_repetition",
     "op_doc_duplication_coverage",
+    "op_quantile_histogram_maintain",
 })
 
 
