@@ -513,3 +513,24 @@ def test_duplication_coverage_two_fixed_width_exchanges(spark):
     assert len(keys) == 2, f"expected 2 hash exchanges, got {keys}"
     assert any(k.startswith("gh#") for k in keys), keys
     assert any(k.startswith("doc_id#") for k in keys), keys
+
+
+def test_lm_doc_score_exchanges_are_fixed_width(spark):
+    """op_lm_doc_score's scale claim: both count attachments are
+    windows over xxhash64 keys and the rollup groups by doc_id — every
+    hash exchange partitions on a fixed-width key (th/ch/doc_id),
+    never the trigram strings."""
+    import re
+
+    df = q("op_lm_doc_score", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    keys = [
+        k.strip()
+        for k in re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    ]
+    assert keys, "expected hash exchanges"
+    for k in keys:
+        assert k.startswith(("th#", "ch#", "doc_id#")), (
+            f"exchange partitions on {k!r} — trigram strings leaked "
+            "into a shuffle key"
+        )

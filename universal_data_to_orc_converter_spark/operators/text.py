@@ -1608,3 +1608,112 @@ def op_doc_duplication_coverage(
         .orderBy(F.desc("shared_frac"), "doc_id")
         .limit(50)
     )
+
+
+@query(
+    "op_lm_doc_score",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '')
+                 AS t
+          FROM documents
+        ),
+        tri AS (
+          SELECT doc_id, t[u.i] AS w1, t[u.i + 1] AS w2, t[u.i + 2] AS w3
+          FROM toks,
+               LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) u
+          WHERE len(t) >= 3
+        ),
+        m AS (
+          SELECT doc_id,
+                 COUNT(*) OVER (PARTITION BY w1, w2, w3) AS tri_c,
+                 COUNT(*) OVER (PARTITION BY w1, w2) AS ctx_c
+          FROM tri
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tri,
+               CAST(SUM((tri_c * 1000000) // ctx_c) AS BIGINT)
+                 AS sum_p_fp,
+               CAST(SUM((tri_c * 1000000) // ctx_c) AS DOUBLE) / COUNT(*)
+                 AS avg_p_fp
+        FROM m
+        GROUP BY doc_id
+        ORDER BY avg_p_fp ASC, doc_id
+        LIMIT 50
+    """,
+    notes="LM-based document scoring — the CCNet/perplexity-filter "
+    "curation step, in EXACT arithmetic: every document is scored "
+    "under the corpus's own trigram model as the average conditional "
+    "probability p(w3|w1,w2) = count(w1w2w3)/count(w1w2) over its "
+    "trigram instances, and the 50 most-surprising (lowest-score) "
+    "docs surface — the ones a perplexity gate would drop or route "
+    "for review. Real perplexity exponentiates a mean LOG-prob; ln() "
+    "drifts by ulps across engines (see op_bm25), so the score keeps "
+    "the rational form and fixes each instance's probability to "
+    "integer fixed-point with truncating division "
+    "((tri_c*1e6) DIV ctx_c — both engines' integer division "
+    "semantics agree on positives), making the per-doc SUM "
+    "order-independent and the final double one identical division. "
+    "Scale shape: trigram instances are enumerated once; both count "
+    "attachments are WINDOWS partitioned on xxhash64 of the gram "
+    "(fixed-width keys — the span-op discipline; string collisions "
+    "~n^2/2^65 documented), not self-joins, so the corpus shuffles "
+    "twice on 8-byte keys plus once on doc_id for the rollup; the "
+    "model is never materialized driver-side. Trains-on-self like "
+    "CCNet's target-domain LM; swapping the count source for a "
+    "reference corpus's tables (op_ngram_lm_counts) changes one "
+    "input, not the shape.",
+    tags=("text", "quality", "scale"),
+)
+def op_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """50 most-surprising docs by average trigram probability under
+    the corpus trigram model (exact fixed-point)."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    t = F.filter(
+        F.split(F.lower("text"), " "), lambda x: x != F.lit("")
+    )
+    tri = (
+        d.select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("t"), i).alias("w1"),
+                        F.element_at(F.col("t"), i + 1).alias("w2"),
+                        F.element_at(F.col("t"), i + 2).alias("w3"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select(
+            "doc_id",
+            F.xxhash64("g.w1", "g.w2", "g.w3").alias("th"),
+            F.xxhash64("g.w1", "g.w2").alias("ch"),
+        )
+    )
+    tri_c = F.count("*").over(W.partitionBy("th"))
+    ctx_c = F.count("*").over(W.partitionBy("ch"))
+    m = tri.withColumn("tri_c", tri_c).withColumn("ctx_c", ctx_c)
+    return (
+        m.select(
+            "doc_id",
+            F.expr("tri_c * 1000000 DIV ctx_c").alias("p_fp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tri"),
+            F.sum("p_fp").cast("bigint").alias("sum_p_fp"),
+        )
+        .withColumn(
+            "avg_p_fp",
+            F.col("sum_p_fp").cast("double") / F.col("n_tri"),
+        )
+        .orderBy(F.asc("avg_p_fp"), "doc_id")
+        .limit(50)
+    )
