@@ -161,3 +161,41 @@ def test_url_canonicalizer_is_idempotent(spark):
     ).collect()
     moved = [(r.url, r.c1, r.c2) for r in rows if r.c1 != r.c2]
     assert not moved, f"canonicalizer not idempotent: {moved}"
+
+
+def test_span_excise_cuts_exactly_the_shared_windows(spark, tmp_path):
+    """Hand-built corpus pins the excision semantics: the 8-token span
+    shared verbatim by docs 0 and 1 is cut from BOTH (every position
+    any shared 8-gram covers), doc-unique text survives, and a doc
+    with no shared spans passes through byte-identical."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from universal_data_to_orc_converter_spark.operators.text import (
+        op_span_excise,
+    )
+
+    span = "one two three four five six seven eight"
+    docs = [
+        f"alpha beta {span} gamma",
+        f"delta {span} epsilon zeta",
+        "totally unique words that repeat nowhere else at all",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_excised"], r["clean_text"])
+        for r in op_span_excise(spark, str(tmp_path)).collect()
+    }
+    # doc 0: 11 tokens; the shared 8-gram occupies positions 3..10
+    assert got[0] == (11, 8, "alpha beta gamma")
+    # doc 1: 11 tokens; span at positions 2..9
+    assert got[1] == (11, 8, "delta epsilon zeta")
+    # doc 2 untouched
+    assert got[2] == (9, 0, docs[2])

@@ -534,3 +534,22 @@ def test_lm_doc_score_exchanges_are_fixed_width(spark):
             f"exchange partitions on {k!r} — trigram strings leaked "
             "into a shuffle key"
         )
+
+
+def test_span_excise_exchanges_are_fixed_width(spark):
+    """op_span_excise's scale claim: sharedness is a window over the
+    xxhash64 gram key and the rebuild joins on doc_id — every hash
+    exchange partitions on gh or doc_id, never gram/text strings."""
+    import re
+
+    df = q("op_span_excise", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    keys = [
+        k.strip()
+        for k in re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    ]
+    assert keys, "expected hash exchanges"
+    for k in keys:
+        assert k.startswith(("gh#", "doc_id#")), (
+            f"exchange partitions on {k!r}"
+        )

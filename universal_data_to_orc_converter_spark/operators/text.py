@@ -1717,3 +1717,120 @@ def op_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("avg_p_fp"), "doc_id")
         .limit(50)
     )
+
+
+@query(
+    "op_span_excise",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '')
+                 AS t
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, u.i AS i,
+                 array_to_string(t[u.i : u.i + 7], ' ') AS gram
+          FROM toks,
+               LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) u
+          WHERE len(t) >= 8
+        ),
+        sh AS (
+          SELECT doc_id, i FROM (
+            SELECT doc_id, i,
+                   MIN(doc_id) OVER (PARTITION BY gram)
+                     <> MAX(doc_id) OVER (PARTITION BY gram) AS s
+            FROM g
+          ) WHERE s
+        ),
+        cov AS (
+          SELECT DISTINCT doc_id, u2.p
+          FROM sh,
+               LATERAL (SELECT unnest(generate_series(i, i + 7)) AS p) u2
+        ),
+        covs AS (
+          SELECT doc_id, list(p) AS lp FROM cov GROUP BY doc_id
+        )
+        SELECT k.doc_id,
+               CAST(len(k.t) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(len(c.lp), 0) AS BIGINT) AS n_excised,
+               -- COALESCE: DuckDB's array_to_string of an empty list
+               -- is NULL; Spark's concat_ws is '' (fully-excised docs)
+               COALESCE(array_to_string(
+                 list_transform(
+                   list_filter(
+                     generate_series(1, len(k.t)),
+                     j -> NOT list_contains(COALESCE(c.lp, []), j)),
+                   j -> k.t[j]),
+                 ' '), '') AS clean_text
+        FROM toks k LEFT JOIN covs c USING (doc_id)
+    """,
+    notes="Span EXCISION — the action step of exact-substring dedup "
+    "(Lee et al.): every token position covered by an 8-gram that "
+    "also appears in ANOTHER document is cut, and the cleaned text "
+    "is rebuilt from the surviving tokens — the transform a span-"
+    "level deduper actually applies to the corpus, where "
+    "op_duplicate_ngram_spans only reports the spans and "
+    "op_doc_duplication_coverage only scores them. Cross-doc "
+    "sharedness per gram instance is min(doc_id)!=max(doc_id) over a "
+    "window partitioned on the xxhash64 gram key — an O(1)-state "
+    "window (no distinct-count, no self-join) on a FIXED-WIDTH key; "
+    "covered positions then explode to (doc_id, pos) pairs, roll up "
+    "to a per-doc position set, and one broadcast-free doc_id join "
+    "rebuilds each document in-row with array expressions. Exchanges: "
+    "gh window + doc_id rollup + doc_id join — all fixed-width keys "
+    "(plan-asserted); the rebuilt strings move only doc-locally. "
+    "Every doc is emitted (clean docs pass through unchanged), so "
+    "the op composes as a corpus map stage in a curation pipeline.",
+    tags=("text", "dedup", "scale"),
+)
+def op_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove cross-document duplicated 8-gram spans from every doc;
+    emit the cleaned text with excision counts."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    t = F.filter(
+        F.split(F.lower("text"), " "), lambda x: x != F.lit("")
+    )
+    toks_df = d.select("doc_id", t.alias("t"))
+    g = toks_df.filter(F.size("t") >= 8).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 7),
+                lambda i: F.struct(
+                    i.cast("int").alias("i"),
+                    F.xxhash64(
+                        F.concat_ws(" ", F.slice(F.col("t"), i, F.lit(8)))
+                    ).alias("gh"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.i", "s.gh")
+    w = W.partitionBy("gh")
+    shared = F.min("doc_id").over(w) != F.max("doc_id").over(w)
+    cov = (
+        g.withColumn("sh", shared)
+        .filter("sh")
+        .select(
+            "doc_id",
+            F.explode(F.sequence("i", F.col("i") + 7)).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("lp"))
+    )
+    lp = F.coalesce(F.col("lp"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.sequence(F.lit(1), F.size("t")),
+        lambda j: ~F.array_contains(lp, j),
+    )
+    return toks_df.join(cov, "doc_id", "left").select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        F.size(lp).cast("bigint").alias("n_excised"),
+        F.concat_ws(
+            " ",
+            F.transform(kept, lambda j: F.element_at(F.col("t"), j)),
+        ).alias("clean_text"),
+    )

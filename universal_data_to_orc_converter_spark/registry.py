@@ -161,6 +161,7 @@ BELOW_FOLD_R6: frozenset[str] = frozenset({
     "op_doc_duplication_coverage",
     "op_quantile_histogram_maintain",
     "op_lm_doc_score",
+    "op_span_excise",
 })
 
 
