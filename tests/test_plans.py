@@ -553,3 +553,14 @@ def test_span_excise_exchanges_are_fixed_width(spark):
         assert k.startswith(("gh#", "doc_id#")), (
             f"exchange partitions on {k!r}"
         )
+
+
+def test_bucket_pruned_lookup_reads_one_bucket(spark):
+    """op_bucket_pruned_lookup's contract: the equality predicate on
+    the bucket column prunes the scan to exactly one of the 8 bucket
+    file-sets."""
+    df = q("op_bucket_pruned_lookup", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount: 1 out of 8" in plan, (
+        "bucket pruning did not engage on the point lookup"
+    )

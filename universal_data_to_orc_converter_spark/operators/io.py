@@ -554,3 +554,46 @@ def op_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice"), "total_price"),
         )
     )
+
+
+@query(
+    "op_bucket_pruned_lookup",
+    oracle=f"""
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {sql_dsum("o_totalprice", "total_price")}
+        FROM orders
+        WHERE o_custkey = 7
+        GROUP BY o_custkey
+    """,
+    notes="Bucket PRUNING on read — the third leg of the bucketing "
+    "story (op_join_bucketed kills the join exchange, "
+    "op_agg_bucketed_no_shuffle the agg exchange; this kills the "
+    "SCAN): orders is bucket-stored on o_custkey, so an equality "
+    "predicate on the bucket column lets Spark read exactly 1 of the "
+    "8 bucket file-sets — 'SelectedBucketsCount: 1 out of 8' in the "
+    "scan node, plan-asserted. At 100 TB this is the difference "
+    "between a point lookup costing a full-table scan and costing "
+    "1/n_buckets of one, with no index structure to maintain — the "
+    "poor man's primary index every bucketed lake table gets for "
+    "free. The oracle runs the identical filter over raw parquet, so "
+    "the bucketed write+pruned read must also be value-exact.",
+    tags=("io", "scale"),
+)
+def op_bucket_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup on a bucketed table reading only its bucket."""
+    from ..sinks.orc import write_orc_bucketed
+
+    t = "q_bucketed_orders_ck"
+    write_orc_bucketed(
+        load(spark, sf_dir, "orders"), t, "o_custkey", n_buckets=8,
+    )
+    return (
+        spark.table(t)
+        .filter(F.col("o_custkey") == 7)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            dsum(F.col("o_totalprice"), "total_price"),
+        )
+    )

@@ -162,6 +162,7 @@ BELOW_FOLD_R6: frozenset[str] = frozenset({
     "op_quantile_histogram_maintain",
     "op_lm_doc_score",
     "op_span_excise",
+    "op_bucket_pruned_lookup",
 })
 
 
