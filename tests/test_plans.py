@@ -409,10 +409,16 @@ def test_triangle_joins_are_all_equi(spark):
 def test_covariance_single_scan_single_exchange(spark):
     """The covariance co-moment, per-dim sums, and row count must all
     ride ONE corpus scan and ONE (i, j) exchange — sentinel cells in
-    the same groupBy, sums applied as a driver-side literal map."""
+    the same groupBy, sums applied as a driver-side literal map.
+    (_materialize=False: the production path eagerly checkpoints the
+    2080-cell result and releases the cache, which hides this plan.)"""
     import re
 
-    df = q("op_embedding_covariance", spark)
+    from universal_data_to_orc_converter_spark.operators.linalg import (
+        op_embedding_covariance,
+    )
+
+    df = op_embedding_covariance(spark, SF_DIR, _materialize=False)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_sum" in plan, "map-side partial aggregate missing"
     assert "Join" not in plan, "sums must apply as a literal map, not a join"
@@ -425,6 +431,8 @@ def test_covariance_single_scan_single_exchange(spark):
     assert "Exchange" not in above
     kinds = set(re.findall(r"Exchange hashpartitioning\(([a-z]+)#", plan))
     assert kinds == {"i"}, f"unexpected exchange keys {kinds}"
+    # the lazy path leaves the agg cached (caller-owned): release it
+    spark.catalog.clearCache()
 
 
 def test_pca_projection_is_zero_shuffle(spark):

@@ -86,9 +86,15 @@ DIM = 64
     "cells.",
     tags=("similarity", "agg", "scale"),
 )
-def op_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def op_embedding_covariance(
+    spark: SparkSession, sf_dir: str, _materialize: bool = True
+) -> DataFrame:
     """Exact fixed-point covariance numerators for all 64x64 (i<=j)
-    embedding coordinate pairs — one scan, one exchange."""
+    embedding coordinate pairs — one scan, one exchange.
+
+    ``_materialize=False`` returns the lazy pipeline (the cached agg is
+    NOT released — the caller owns the cache lifetime); used by plan
+    tests that must inspect the pre-checkpoint physical plan."""
     em = load(spark, sf_dir, "embeddings")
     qv = F.transform(
         "embedding", lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("bigint")
@@ -133,7 +139,7 @@ def op_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("p").alias("s"))
         .persist()
     )
-    try:
+    def build() -> DataFrame:
         # 65 sentinel rows to the driver: n and per-dim sums (metadata)
         n = int(
             agg.filter((F.col("i") == -1) & (F.col("j") == -1)).first()["s"]
@@ -147,25 +153,26 @@ def op_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_map = F.create_map(
             *[F.lit(v) for i in sorted(sums) for v in (i, sums[i])]
         )
+        return agg.filter(F.col("j") >= 0).select(
+            "i",
+            "j",
+            (
+                F.lit(n) * F.col("s")
+                - sum_map[F.col("i")].cast("decimal(28,0)")
+                * sum_map[F.col("j")].cast("decimal(28,0)")
+            )
+            .cast("bigint")
+            .alias("cov_num_fp"),
+        )
+
+    if not _materialize:
+        return build()
+    try:
         # <= d(d+1)/2 = 2080 cells: eagerly materialize (truncating the
         # lineage off the cached agg) so the cache can be released even
         # though the caller consumes the result lazily — repeated calls
         # within a session must not accumulate cached partitions
-        return (
-            agg.filter(F.col("j") >= 0)
-            .select(
-                "i",
-                "j",
-                (
-                    F.lit(n) * F.col("s")
-                    - sum_map[F.col("i")].cast("decimal(28,0)")
-                    * sum_map[F.col("j")].cast("decimal(28,0)")
-                )
-                .cast("bigint")
-                .alias("cov_num_fp"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        return build().localCheckpoint(eager=True)
     finally:
         agg.unpersist()
 

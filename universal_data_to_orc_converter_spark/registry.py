@@ -163,6 +163,7 @@ BELOW_FOLD_R6: frozenset[str] = frozenset({
     "op_lm_doc_score",
     "op_span_excise",
     "op_bucket_pruned_lookup",
+    "op_stream_dedup_within_watermark",
 })
 
 

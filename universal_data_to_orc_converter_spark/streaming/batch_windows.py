@@ -224,9 +224,13 @@ def op_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def op_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup on event_id over a deliberately
-    duplicated stream. The state store holds one key per event inside
-    the watermark horizon; duplicates beyond it age out — the 100 TB
-    answer to exactly-once event feeds."""
+    duplicated stream. Caveat the docs are explicit about: with plain
+    ``dropDuplicates`` the watermark only evicts state when the
+    event-time column is part of the dedup key — keyed on event_id
+    alone (as here, the realistic key) the state store grows with the
+    key space. The bounded-state form for exactly this case is
+    ``op_stream_dedup_within_watermark`` below (Spark 3.5+
+    dropDuplicatesWithinWatermark)."""
     from .runner import read_events_stream, run_available_now
 
     s1 = read_events_stream(spark, sf_dir)
@@ -235,6 +239,46 @@ def op_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup = (
         dup.withWatermark("ts", "1 hour")
         .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return run_available_now(dedup, output_mode="append")
+
+
+@query(
+    "op_stream_dedup_within_watermark",
+    oracle="""
+        SELECT event_id, user_id, event_type
+        FROM events
+    """,
+    notes="BOUNDED-STATE streaming dedup — the Spark 3.5+ "
+    "dropDuplicatesWithinWatermark operator, which evicts a key's "
+    "state once the watermark passes its first-arrival time even "
+    "though the event-time column is NOT part of the dedup key. That "
+    "is the missing piece plain dropDuplicates has at 100 TB: keyed "
+    "on a guid alone its state grows with the key space forever "
+    "(op_stream_dedup documents the caveat); keyed on (guid, ts) it "
+    "evicts but misses duplicates with differing timestamps. "
+    "WithinWatermark guarantees dedup for duplicates arriving within "
+    "the watermark delay of first arrival AND bounds state to the "
+    "horizon — the correct contract for at-least-once event feeds "
+    "where retries land seconds apart. Same doubled-source fixture "
+    "as op_stream_dedup: the stream must reconstruct the original "
+    "table exactly.",
+    tags=("streaming", "scale"),
+)
+def op_stream_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bounded-state streaming dedup via dropDuplicatesWithinWatermark
+    over a deliberately duplicated stream."""
+    from .runner import read_events_stream, run_available_now
+
+    s1 = read_events_stream(spark, sf_dir)
+    s2 = read_events_stream(spark, sf_dir)
+    dedup = (
+        s1.unionByName(s2)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type")
     )
     return run_available_now(dedup, output_mode="append")
