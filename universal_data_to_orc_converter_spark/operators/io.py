@@ -597,3 +597,67 @@ def op_bucket_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice"), "total_price"),
         )
     )
+
+
+@query(
+    "op_fixed_width_roundtrip",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_cents,
+               MIN(CAST(o_orderdate AS DATE)) AS first_date,
+               MAX(CAST(o_orderdate AS DATE)) AS last_date
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    notes="FIXED-WIDTH text round-trip — the mainframe/COBOL-era "
+    "layout every long-lived conversion tool eventually meets, and a "
+    "source format the reference's CSV/dump paths don't cover: "
+    "orders is serialized to 50-byte fixed-width records (right-"
+    "aligned zero-padded numerics, left-aligned status, ISO date; "
+    "price carried as integer CENTS so no float formatting ever hits "
+    "the text layer), written distributed through the text sink, "
+    "read back with spark.read.text, and parsed by pure substring/"
+    "trim/cast column expressions — no UDF, whole-stage-codegen "
+    "parsing. The aggregate over the PARSED columns must hash-match "
+    "the oracle over the original table, proving the layout "
+    "round-trips losslessly. At 100 TB both directions are "
+    "embarrassingly parallel narrow maps; the parse adds zero "
+    "exchanges beyond the final rollup's.",
+    tags=("io", "scale"),
+)
+def op_fixed_width_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """orders -> fixed-width text -> substring-parsed read-back ->
+    rollup (must equal the source table)."""
+    o = load(spark, sf_dir, "orders")
+    out = os.path.join(_scratch("fw_rt_"), "orders_fw")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    line = F.concat(
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+        F.lpad(F.col("o_custkey").cast("string"), 12, "0"),
+        F.rpad(F.col("o_orderstatus"), 1, " "),
+        F.lpad(cents.cast("string"), 15, "0"),
+        F.rpad(F.col("o_orderdate").cast("string"), 10, " "),
+    )
+    o.select(line.alias("value")).write.mode("overwrite").text(out)
+    raw = spark.read.text(out)
+    parsed = raw.select(
+        F.substring("value", 1, 12).cast("bigint").alias("o_orderkey"),
+        F.substring("value", 13, 12).cast("bigint").alias("o_custkey"),
+        F.substring("value", 25, 1).alias("o_orderstatus"),
+        F.substring("value", 26, 15).cast("bigint").alias("total_cents"),
+        F.trim(F.substring("value", 41, 10)).cast("date").alias(
+            "o_orderdate"
+        ),
+    )
+    return parsed.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("total_cents").cast("bigint").alias("total_cents"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )

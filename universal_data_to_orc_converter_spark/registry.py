@@ -164,6 +164,8 @@ BELOW_FOLD_R6: frozenset[str] = frozenset({
     "op_span_excise",
     "op_bucket_pruned_lookup",
     "op_stream_dedup_within_watermark",
+    "op_fixed_width_roundtrip",
+    "op_stream_interval_join_outer",
 })
 
 

@@ -534,6 +534,129 @@ def op_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "op_stream_interval_join_outer",
+    oracle="""
+        SELECT v.user_id AS v_user,
+               v.event_id AS view_id,
+               p.event_id AS purchase_id
+        FROM events v
+        LEFT JOIN events p
+          ON v.user_id = p.user_id
+         AND p.event_type = 'purchase'
+         AND p.ts >= v.ts
+         AND p.ts < v.ts + INTERVAL 30 MINUTE
+        WHERE v.event_type = 'view'
+    """,
+    notes="Stream-stream LEFT OUTER interval join, TRUE streaming "
+    "execution — with the heartbeat pattern that makes outer "
+    "emission complete: an unmatched left row only emits its NULL "
+    "once the global watermark passes its join window, so a drained "
+    "availableNow stream silently WITHHOLDS the tail (measured: 6 of "
+    "1982 rows missing on this fixture without the fix — the classic "
+    "production gotcha). The op re-stages the source as [real "
+    "events, far-future heartbeat] files with maxFilesPerTrigger=1: "
+    "the heartbeat batch advances each side's watermark past all "
+    "real data, flushing every withheld NULL before termination — "
+    "exactly the synthetic-heartbeat remedy streaming pipelines "
+    "deploy; the heartbeat rows themselves (sentinel users -1/-2, "
+    "mutually unjoinable) stay in state and never emit. Result must "
+    "hash-match the batch LEFT JOIN oracle — completeness, not "
+    "just no-dups. State per key is bounded by interval + watermark "
+    "delay.",
+    tags=("streaming", "join", "scale"),
+)
+def op_stream_interval_join_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """True streaming left-outer attribution join; heartbeat batch
+    flushes the withheld tail before the stream drains."""
+    import os
+    import shutil
+    import tempfile
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .runner import run_available_now
+
+    src = tempfile.mkdtemp(prefix="ssoj_")
+    real = os.path.join(sf_dir, "events.parquet")
+    shutil.copyfile(real, os.path.join(src, "a_events.parquet"))
+    # heartbeat file: one far-future row PER SIDE (the global watermark
+    # is the min over both sides' watermarks, each fed only by rows
+    # passing its own type filter); distinct sentinel users so the two
+    # heartbeats cannot join each other and never emit
+    schema = pq.read_schema(real)
+    hb = datetime(2030, 1, 1)
+    cols = {}
+    for field in schema:
+        if field.name == "ts":
+            if pa.types.is_timestamp(field.type):
+                arr = pa.array([hb, hb], type=field.type)
+            else:  # TIMESTAMP(NANOS) era fixtures surface as int64
+                ns = int(hb.timestamp() * 1_000_000_000)
+                arr = pa.array([ns, ns], type=field.type)
+        elif field.name == "event_id":
+            arr = pa.array([-1, -2], type=field.type)
+        elif field.name == "user_id":
+            arr = pa.array([-1, -2], type=field.type)
+        elif field.name == "event_type":
+            arr = pa.array(["view", "purchase"], type=field.type)
+        else:
+            arr = pa.array([None, None], type=field.type)
+        cols[field.name] = arr
+    pq.write_table(
+        pa.table(cols, schema=schema),
+        os.path.join(src, "z_heartbeat.parquet"),
+    )
+
+    batch_schema = spark.read.parquet(real).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def side(typ: str, prefix: str) -> DataFrame:
+        return (
+            stream.filter(F.col("event_type") == typ)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "10 minutes")
+        )
+
+    v, p = side("view", "v"), side("purchase", "p")
+    j = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") < F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    )
+    out = run_available_now(
+        j.select("v_user", "v_id", "p_id"),
+        output_mode="append",
+        timeout_sec=180,
+    )
+    return out.filter(F.col("v_user") >= 0).select(
+        "v_user",
+        F.col("v_id").alias("view_id"),
+        F.col("p_id").alias("purchase_id"),
+    )
+
+
+@query(
     "op_time_gapfill",
     oracle=f"""
         WITH bounds AS (
