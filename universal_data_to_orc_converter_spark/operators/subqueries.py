@@ -129,3 +129,61 @@ def op_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice"), "small_revenue"),
         )
     )
+
+
+@query(
+    "op_recursive_cte",
+    oracle="""
+        WITH RECURSIVE h AS (
+          SELECT n_nationkey AS k, n_name AS name,
+                 CAST(0 AS BIGINT) AS depth,
+                 CAST(n_name AS VARCHAR) AS path
+          FROM nation WHERE n_nationkey = 0
+          UNION ALL
+          SELECT n.n_nationkey, n.n_name, h.depth + 1,
+                 h.path || '>' || n.n_name
+          FROM nation n
+          JOIN h ON (n.n_nationkey - 1) // 2 = h.k
+          WHERE n.n_nationkey > 0
+        )
+        SELECT k, name, depth, path FROM h
+    """,
+    notes="RECURSIVE CTE — new SQL surface in Spark 4 (WITH "
+    "RECURSIVE; UnionLoop execution): transitive closure over a "
+    "hierarchy, the query class plain SQL could not express before. "
+    "The hierarchy is derived deterministically from nation "
+    "(parent(k) = (k-1) div 2, a binary tree over the 25 keys); the "
+    "recursion computes every node's depth and root path, and both "
+    "engines run the SAME recursive SQL text natively — integer "
+    "division is the truncating div both agree on for non-negative "
+    "keys. Scale posture: each iteration joins the FRONTIER (rows "
+    "added last round) to the edge table, so depth bounds the "
+    "iteration count (log n here); for corpus-scale graphs with "
+    "unbounded depth the engine's iterative-DataFrame ops "
+    "(op_pagerank, op_dedup_clusters) with their checkpointed-"
+    "lineage loops remain the right tool — this op pins the SQL-"
+    "surface parity for moderate-depth hierarchies (org charts, "
+    "BOM explosions, folder trees).",
+    tags=("subquery", "composite"),
+)
+def op_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy closure (depth + root path) via Spark 4's WITH
+    RECURSIVE over a derived nation tree."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView(
+        "nation_rcte_v"
+    )
+    return spark.sql("""
+        WITH RECURSIVE h AS (
+          SELECT n_nationkey AS k, n_name AS name,
+                 CAST(0 AS BIGINT) AS depth,
+                 CAST(n_name AS STRING) AS path
+          FROM nation_rcte_v WHERE n_nationkey = 0
+          UNION ALL
+          SELECT n.n_nationkey, n.n_name, h.depth + 1,
+                 h.path || '>' || n.n_name
+          FROM nation_rcte_v n
+          JOIN h ON (n.n_nationkey - 1) DIV 2 = h.k
+          WHERE n.n_nationkey > 0
+        )
+        SELECT k, name, depth, path FROM h
+    """)

@@ -166,6 +166,7 @@ BELOW_FOLD_R6: frozenset[str] = frozenset({
     "op_stream_dedup_within_watermark",
     "op_fixed_width_roundtrip",
     "op_stream_interval_join_outer",
+    "op_recursive_cte",
 })
 
 
