@@ -187,3 +187,49 @@ def op_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT k, name, depth, path FROM h
     """)
+
+
+@query(
+    "op_sql_pipe_syntax",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                 AS total_qty,
+               {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    notes="SQL PIPE syntax — the second new Spark 4 SQL surface "
+    "(|> operators, alongside WITH RECURSIVE): the Q1-shape "
+    "filter->aggregate->order expressed as a linear pipeline "
+    "(FROM |> WHERE |> AGGREGATE ... GROUP BY |> ORDER BY), parsed "
+    "by Spark's own pipe-operator grammar into the IDENTICAL logical "
+    "plan as the classic form — so the oracle is the classic-SQL "
+    "text (DuckDB has no pipe grammar) and the hash-match proves the "
+    "two surfaces are semantically one. Sums ride the engine's "
+    "exact-fixed-point convention inside the pipe stage; Catalyst "
+    "treats both forms identically, so every pushdown/partial-agg "
+    "property the plan tests pin for Q1 holds here too.",
+    tags=("subquery", "composite"),
+)
+def op_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-shape rollup written in Spark 4's |> pipe-operator SQL."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_pipe_v"
+    )
+    return spark.sql("""
+        FROM lineitem_pipe_v
+        |> WHERE l_shipdate <= DATE '1998-09-02'
+        |> AGGREGATE
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+               AS total_qty,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                 * 1000000 + 0.5) AS DECIMAL(28, 0)))
+                  AS DOUBLE) / 1000000.0 AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+    """)

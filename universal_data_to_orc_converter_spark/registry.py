@@ -167,6 +167,7 @@ BELOW_FOLD_R6: frozenset[str] = frozenset({
     "op_fixed_width_roundtrip",
     "op_stream_interval_join_outer",
     "op_recursive_cte",
+    "op_sql_pipe_syntax",
 })
 
 
