@@ -582,7 +582,13 @@ def op_stream_interval_join_outer(
 
     src = tempfile.mkdtemp(prefix="ssoj_")
     real = os.path.join(sf_dir, "events.parquet")
-    shutil.copyfile(real, os.path.join(src, "a_events.parquet"))
+    real_copy = os.path.join(src, "a_events.parquet")
+    shutil.copyfile(real, real_copy)
+    # the file source processes oldest-modTime first: pin an explicit
+    # 1-hour gap so the heartbeat can NEVER batch before the real
+    # events (heartbeat-first would watermark-drop the whole fixture)
+    past = os.path.getmtime(real_copy) - 3600
+    os.utime(real_copy, (past, past))
     # heartbeat file: one far-future row PER SIDE (the global watermark
     # is the min over both sides' watermarks, each fed only by rows
     # passing its own type filter); distinct sentinel users so the two
