@@ -199,3 +199,32 @@ def test_span_excise_cuts_exactly_the_shared_windows(spark, tmp_path):
     assert got[1] == (11, 8, "delta epsilon zeta")
     # doc 2 untouched
     assert got[2] == (9, 0, docs[2])
+
+
+def test_span_excise_survives_empty_and_tiny_docs(spark, tmp_path):
+    """Edge docs the fixture lacks: an EMPTY text (0 tokens — Spark's
+    sequence(1, 0) is the descending [1, 0], so an unguarded rebuild
+    calls element_at(t, 0) and throws) and a sub-8-token doc must both
+    pass through unchanged."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from universal_data_to_orc_converter_spark.operators.text import (
+        op_span_excise,
+    )
+
+    docs = ["", "   ", "just three tokens"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_excised"], r["clean_text"])
+        for r in op_span_excise(spark, str(tmp_path)).collect()
+    }
+    assert got[0] == (0, 0, "")
+    assert got[1] == (0, 0, "")
+    assert got[2] == (3, 0, "just three tokens")

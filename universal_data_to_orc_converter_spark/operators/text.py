@@ -1821,10 +1821,13 @@ def op_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_set("p").alias("lp"))
     )
     lp = F.coalesce(F.col("lp"), F.array().cast("array<int>"))
-    kept = F.filter(
-        F.sequence(F.lit(1), F.size("t")),
-        lambda j: ~F.array_contains(lp, j),
-    )
+    # guard the empty-token doc: Spark's sequence(1, 0) is the
+    # DESCENDING [1, 0] (not [] like DuckDB's generate_series), and
+    # element_at(t, 0) throws — emit an empty position list instead
+    positions = F.when(
+        F.size("t") >= 1, F.sequence(F.lit(1), F.size("t"))
+    ).otherwise(F.array().cast("array<int>"))
+    kept = F.filter(positions, lambda j: ~F.array_contains(lp, j))
     return toks_df.join(cov, "doc_id", "left").select(
         "doc_id",
         F.size("t").cast("bigint").alias("n_tokens"),
