@@ -1837,3 +1837,127 @@ def op_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(kept, lambda j: F.element_at(F.col("t"), j)),
         ).alias("clean_text"),
     )
+
+
+@query(
+    "op_lm_doc_score_heldout",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '')
+                 AS t
+          FROM documents
+        ),
+        tri AS (
+          SELECT doc_id, t[u.i] AS w1, t[u.i + 1] AS w2, t[u.i + 2] AS w3
+          FROM toks,
+               LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) u
+          WHERE len(t) >= 3
+        ),
+        train AS (SELECT * FROM tri WHERE doc_id % 2 = 0),
+        tc AS (
+          SELECT w1, w2, w3, COUNT(*) AS c FROM train GROUP BY w1, w2, w3
+        ),
+        cc AS (SELECT w1, w2, COUNT(*) AS c FROM train GROUP BY w1, w2),
+        v AS (
+          SELECT COUNT(DISTINCT u.tok) AS n
+          FROM (SELECT t FROM toks WHERE doc_id % 2 = 0) s,
+               LATERAL (SELECT unnest(s.t) AS tok) u
+        ),
+        scored AS (
+          SELECT s.doc_id,
+                 ((COALESCE(tc.c, 0) + 1) * 1000000)
+                   // (COALESCE(cc.c, 0) + v.n) AS p_fp
+          FROM tri s
+          LEFT JOIN tc USING (w1, w2, w3)
+          LEFT JOIN cc USING (w1, w2)
+          CROSS JOIN v
+          WHERE s.doc_id % 2 = 1
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tri,
+               CAST(SUM(p_fp) AS BIGINT) AS sum_p_fp,
+               CAST(SUM(p_fp) AS DOUBLE) / COUNT(*) AS avg_p_fp
+        FROM scored
+        GROUP BY doc_id
+        ORDER BY avg_p_fp ASC, doc_id
+        LIMIT 50
+    """,
+    notes="HELDOUT LM scoring — the true CCNet decomposition "
+    "op_lm_doc_score's self-scoring variant approximates: the "
+    "trigram model TRAINS on one corpus split (even doc_ids) and "
+    "SCORES the other, with add-one (Laplace) smoothing — "
+    "p = (tri_c+1)/(ctx_c+|V|) — so unseen trigrams and contexts "
+    "get well-defined exact probabilities; every term is integer "
+    "fixed-point ((tri_c+1)*1e6 integer-DIV (ctx_c+V)), so the "
+    "cross-split joins stay hash-checkable. Shape: the count tables "
+    "attach to the score split via LEFT JOINs on xxhash64 gram keys "
+    "(not windows — the counts come from a DIFFERENT row set), "
+    "still fixed-width shuffle payloads; |V| is one scalar "
+    "(count_distinct of hashed tokens) broadcast as a literal "
+    "cross-join. Swapping the train split for a curated reference "
+    "corpus is a one-line change — this is the quality-filter "
+    "pipeline's production form. Hash-collision caveat as the other "
+    "gram ops (~n^2/2^65, oracle uses strings).",
+    tags=("text", "quality", "scale"),
+)
+def op_lm_doc_score_heldout(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Score odd-doc_id docs under the even-doc trigram model with
+    add-one smoothing (exact fixed-point)."""
+    d = load(spark, sf_dir, "documents")
+    t = F.filter(
+        F.split(F.lower("text"), " "), lambda x: x != F.lit("")
+    )
+    toks_df = d.select("doc_id", t.alias("t"))
+    tri = (
+        toks_df.filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("t"), i).alias("w1"),
+                        F.element_at(F.col("t"), i + 1).alias("w2"),
+                        F.element_at(F.col("t"), i + 2).alias("w3"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select(
+            "doc_id",
+            F.xxhash64("g.w1", "g.w2", "g.w3").alias("th"),
+            F.xxhash64("g.w1", "g.w2").alias("ch"),
+        )
+    )
+    train = tri.filter(F.col("doc_id") % 2 == 0)
+    tc = train.groupBy("th").agg(F.count("*").alias("tc"))
+    cc = train.groupBy("ch").agg(F.count("*").alias("cc"))
+    vocab = int(
+        toks_df.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode("t").alias("tok"))
+        .agg(F.count_distinct(F.xxhash64("tok")))
+        .first()[0]
+    )
+    p_fp = F.expr(
+        f"(coalesce(tc, 0) + 1) * 1000000 DIV (coalesce(cc, 0) + {vocab})"
+    )
+    return (
+        tri.filter(F.col("doc_id") % 2 == 1)
+        .join(tc, "th", "left")
+        .join(cc, "ch", "left")
+        .select("doc_id", p_fp.alias("p_fp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tri"),
+            F.sum("p_fp").cast("bigint").alias("sum_p_fp"),
+        )
+        .withColumn(
+            "avg_p_fp",
+            F.col("sum_p_fp").cast("double") / F.col("n_tri"),
+        )
+        .orderBy(F.asc("avg_p_fp"), "doc_id")
+        .limit(50)
+    )

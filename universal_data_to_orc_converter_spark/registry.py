@@ -168,6 +168,7 @@ BELOW_FOLD_R6: frozenset[str] = frozenset({
     "op_stream_interval_join_outer",
     "op_recursive_cte",
     "op_sql_pipe_syntax",
+    "op_lm_doc_score_heldout",
 })
 
 
