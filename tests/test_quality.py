@@ -659,3 +659,43 @@ def test_maintained_rollup_hll_regime(spark):
         "group cardinality approaching dense promotion — the exact "
         "COUNT(DISTINCT) oracle for approx_users is no longer safe"
     )
+
+
+def test_lsh_recall_on_clustered_corpus(spark):
+    """Completes the per-tier clustered-corpus recall evidence (IVF r5,
+    IVF-PQ r6): the SAME lsh_topk code path, on a corpus with genuine
+    cluster structure, recovers the exact top-10 essentially perfectly
+    — random-projection buckets at bucketLength 0.5 keep tight
+    clusters together, so the candidate join sees every true
+    neighbor. Measured 1.0 on this seeded fixture; bound at 0.95."""
+    import numpy as np
+
+    from universal_data_to_orc_converter_spark.operators.similarity import (
+        lsh_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    n_clusters, per_cluster, dim = 16, 125, 32
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = np.repeat(centers, per_cluster, axis=0) + 0.15 * rng.normal(
+        size=(n_clusters * per_cluster, dim)
+    )
+    vecs = vecs[rng.permutation(len(vecs))]
+    em = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    n_query, top_k = 20, 10
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = unit[:n_query] @ unit.T
+    exact = set()
+    for q in range(n_query):
+        s = sims[q].copy()
+        s[q] = -np.inf
+        idx = sorted(range(len(s)), key=lambda i: (-s[i], i))[:top_k]
+        exact |= {(q, i) for i in idx}
+    got = lsh_topk(spark, em, n_query=n_query, top_k=top_k)
+    ann = {(r["q_id"], r["vec_id"]) for r in got.collect()}
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.95, f"clustered-corpus LSH recall {recall:.3f}"

@@ -103,11 +103,24 @@ def op_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (unit-sphere euclidean distance is monotone in cosine, so the LSH
     preserves cosine ranking). Candidates come from
     approxSimilarityJoin — a bucket-equi-join, never a cross join."""
+    par = spark.sparkContext.defaultParallelism
+    em = load(spark, sf_dir, "embeddings").repartition(par, "vec_id")
+    return lsh_topk(spark, em)
+
+
+def lsh_topk(
+    spark: SparkSession,
+    em: DataFrame,
+    n_query: int = _N_QUERY_VECS,
+    top_k: int = _TOP_K,
+) -> DataFrame:
+    """LSH ANN core over any (vec_id, embedding) frame — shared by
+    op_sim_ann_lsh and the clustered-corpus recall test (the same
+    code-path-on-both-regimes evidence pattern as ivf_topk /
+    ivfpq_topk)."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    par = spark.sparkContext.defaultParallelism
-    em = load(spark, sf_dir, "embeddings").repartition(par, "vec_id")
     norm = F.sqrt(
         F.aggregate(
             F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
@@ -129,7 +142,7 @@ def op_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=42,
     )
     model = lsh.fit(unit)
-    queries_df = unit.filter(F.col("vec_id") < _N_QUERY_VECS)
+    queries_df = unit.filter(F.col("vec_id") < n_query)
     # threshold 1.5 ⇔ cosine ≳ −0.13 on unit vectors: wide enough that
     # a true top-10 neighbor of a random 64-dim query (cos ~0.2-0.4,
     # dist ~1.1-1.27) is never cut off by the radius, only by rank
@@ -144,7 +157,7 @@ def op_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("q_id").orderBy(F.col("dist").asc(), "vec_id")
     return (
         out.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _TOP_K)
+        .filter(F.col("rn") <= top_k)
         .select("q_id", "vec_id", "dist")
     )
 
