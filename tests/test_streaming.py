@@ -492,3 +492,52 @@ def test_partitioned_python_stream_source_equals_batch(spark):
         )
     )
     assert got == want
+
+
+def test_rocksdb_state_store_matches_default_provider(spark):
+    """The production state backend for large streaming state (100 TB:
+    keyed state no longer fits executor heaps — RocksDB spills to
+    local disk with changelog checkpointing) must be a drop-in: the
+    watermarked tumbling aggregation produces the IDENTICAL result
+    under RocksDBStateStoreProvider as under the default HDFS-backed
+    provider. Pins that the engine's streaming ops carry no
+    provider-specific assumption."""
+    import pyspark.sql.functions as F
+
+    from universal_data_to_orc_converter_spark.streaming.runner import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    from .conftest import SF_DIR
+
+    def run():
+        stream = read_events_stream(spark, SF_DIR).withWatermark(
+            "ts", "10 minutes"
+        )
+        agg = (
+            stream.groupBy(
+                F.window("ts", "1 hour").alias("w"), "event_type"
+            )
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.col("w.start").alias("ws"), "event_type", "n"
+            )
+        )
+        return sorted(
+            map(tuple, run_available_now(agg, output_mode="append").collect())
+        )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default_rows = run()
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        rocks_rows = run()
+    finally:
+        spark.conf.unset(key)
+    assert rocks_rows == default_rows
+    assert default_rows, "aggregation produced no rows; test is vacuous"
