@@ -306,3 +306,67 @@ def op_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_transitions").over(wa)
         ).alias("p_transition"),
     )
+
+
+@query(
+    "op_cohort_retention",
+    oracle="""
+        WITH firsts AS (
+          SELECT user_id, ts,
+                 CAST(date_trunc('week', MIN(ts) OVER (PARTITION BY user_id))
+                      AS DATE) AS cohort_week
+          FROM events
+        ),
+        activity AS (
+          SELECT DISTINCT user_id, cohort_week,
+                 CAST(date_diff('day', cohort_week,
+                                CAST(date_trunc('week', ts) AS DATE)) // 7
+                      AS BIGINT) AS week_offset
+          FROM firsts
+        )
+        SELECT cohort_week, week_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM activity
+        GROUP BY cohort_week, week_offset
+    """,
+    notes="Cohort retention matrix — the product-analytics staple "
+    "(cohort = the ISO week of a user's FIRST event; each cell counts "
+    "users from that cohort active in week offset k): computed with "
+    "ZERO self-joins — the cohort week attaches as a MIN window over "
+    "user_id (one exchange, the same pass that reads the activity), "
+    "per-user-week activity dedups in the same keyed stage, and the "
+    "matrix is one (cohort, offset) rollup. week_offset is pure "
+    "integer date math (date_trunc to Monday on both engines, "
+    "day-diff integer-divided by 7), so every cell is exact. At "
+    "100 TB the user_id exchange carries (user, ts-week) pairs and "
+    "the rollup |cohorts|x|offsets| cells — the naive formulation "
+    "(first-event table self-joined back to events) pays a second "
+    "corpus shuffle for the same answer.",
+    tags=("analytics", "agg", "scale"),
+)
+def op_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort x week-offset active-user matrix over events."""
+    e = load(spark, sf_dir, "events").select("user_id", "ts")
+    cohort = F.date_trunc(
+        "week", F.min("ts").over(Window.partitionBy("user_id"))
+    ).cast("date")
+    act = (
+        e.withColumn("cohort_week", cohort)
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .dropDuplicates(["user_id", "cohort_week", "week_offset"])
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").cast("bigint").alias("n_active")
+    )

@@ -169,6 +169,7 @@ BELOW_FOLD_R6: frozenset[str] = frozenset({
     "op_recursive_cte",
     "op_sql_pipe_syntax",
     "op_lm_doc_score_heldout",
+    "op_cohort_retention",
 })
 
 
