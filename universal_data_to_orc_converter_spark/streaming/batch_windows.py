@@ -570,6 +570,22 @@ def op_stream_interval_join_outer(
 ) -> DataFrame:
     """True streaming left-outer attribution join; heartbeat batch
     flushes the withheld tail before the stream drains."""
+    out = _stream_interval_join_heartbeat(spark, sf_dir, "left_outer")
+    return out.filter(F.col("v_user") >= 0).select(
+        "v_user",
+        F.col("v_id").alias("view_id"),
+        F.col("p_id").alias("purchase_id"),
+    )
+
+
+def _stream_interval_join_heartbeat(
+    spark: SparkSession, sf_dir: str, how: str
+) -> DataFrame:
+    """Shared machinery for the outer stream-stream interval joins:
+    stage [real events, far-future heartbeat] files, run the
+    watermarked two-stream join under availableNow, return the raw
+    (v_user, v_id, p_user, p_id) emissions (heartbeat rows never
+    emit — mutually unjoinable sentinel users)."""
     import os
     import shutil
     import tempfile
@@ -648,16 +664,52 @@ def op_stream_interval_join_outer(
         (F.col("v_user") == F.col("p_user"))
         & (F.col("p_ts") >= F.col("v_ts"))
         & (F.col("p_ts") < F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
-        "left_outer",
+        how,
     )
-    out = run_available_now(
-        j.select("v_user", "v_id", "p_id"),
+    return run_available_now(
+        j.select("v_user", "v_id", "p_user", "p_id"),
         output_mode="append",
         timeout_sec=180,
     )
-    return out.filter(F.col("v_user") >= 0).select(
+
+
+@query(
+    "op_stream_interval_join_full",
+    oracle="""
+        SELECT v.user_id AS v_user,
+               v.event_id AS view_id,
+               p.user_id AS p_user,
+               p.event_id AS purchase_id
+        FROM (SELECT * FROM events WHERE event_type = 'view') v
+        FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON v.user_id = p.user_id
+         AND p.ts >= v.ts
+         AND p.ts < v.ts + INTERVAL 30 MINUTE
+    """,
+    notes="The FULL-outer companion to op_stream_interval_join_outer "
+    "(same heartbeat machinery, both NULL directions): unmatched "
+    "views AND unmatched purchases each emit exactly once when the "
+    "global watermark passes their join window, and the heartbeat "
+    "batch guarantees the tail of BOTH state stores flushes before "
+    "the availableNow stream drains. Must hash-match the batch FULL "
+    "JOIN — proving neither side's withheld-NULL set leaks at "
+    "termination. One user_id exchange per side; per-key state "
+    "bounded by interval + watermark delay on both stores.",
+    tags=("streaming", "join", "scale"),
+)
+def op_stream_interval_join_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """True streaming full-outer attribution join with heartbeat
+    flush on both sides."""
+    out = _stream_interval_join_heartbeat(spark, sf_dir, "full_outer")
+    return out.filter(
+        (F.coalesce(F.col("v_user"), F.lit(0)) >= 0)
+        & (F.coalesce(F.col("p_user"), F.lit(0)) >= 0)
+    ).select(
         "v_user",
         F.col("v_id").alias("view_id"),
+        "p_user",
         F.col("p_id").alias("purchase_id"),
     )
 
