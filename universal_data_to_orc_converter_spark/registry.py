@@ -171,6 +171,7 @@ BELOW_FOLD_R6: frozenset[str] = frozenset({
     "op_lm_doc_score_heldout",
     "op_cohort_retention",
     "op_stream_interval_join_full",
+    "op_heavy_hitters_son",
 })
 
 
