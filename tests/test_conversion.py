@@ -335,3 +335,44 @@ class TestOrcBloomFilters:
         b = read_orc(spark, bloom).filter(F.col("l_orderkey") == key)
         assert rows_set(a) == rows_set(b)
         assert b.count() > 0
+
+
+def test_fixed_width_layout_roundtrips_adversarial_values(spark, tmp_path):
+    """The fixed-width layout must survive the values the fixture
+    never exercises: NEGATIVE amounts (a zero-padded '-' inside the
+    field casts back to NULL — hence the explicit sign byte), zero,
+    half-cent rounding, and max-width magnitudes."""
+    from pyspark.sql import functions as F
+
+    from universal_data_to_orc_converter_spark.operators.io import (
+        fixed_width_roundtrip,
+    )
+
+    rows = [
+        (1, 10, "O", -1234.56, "1994-01-02"),
+        (2, 20, "F", 0.0, "1995-12-31"),
+        (3, 30, "P", 0.005, "1996-06-15"),       # rounds to 1 cent
+        (4, 40, "O", -0.005, "1997-07-04"),      # floor(-0.5+0.5)=0
+        (5, 50, "F", 999999999999.99, "1998-08-02"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+    back = fixed_width_roundtrip(spark, df, str(tmp_path / "fw"))
+    got = {
+        r["o_orderkey"]: (
+            r["o_custkey"],
+            r["o_orderstatus"],
+            r["total_cents"],
+            str(r["o_orderdate"]),
+        )
+        for r in back.collect()
+    }
+    assert got[1] == (10, "O", -123456, "1994-01-02")
+    assert got[2] == (20, "F", 0, "1995-12-31")
+    assert got[3] == (30, "P", 1, "1996-06-15")
+    assert got[4] == (40, "O", 0, "1997-07-04")
+    assert got[5] == (50, "F", 99999999999999, "1998-08-02")
+    assert back.filter(F.col("total_cents").isNull()).count() == 0

@@ -634,30 +634,48 @@ def op_fixed_width_roundtrip(
     rollup (must equal the source table)."""
     o = load(spark, sf_dir, "orders")
     out = os.path.join(_scratch("fw_rt_"), "orders_fw")
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
-        "bigint"
-    )
-    line = F.concat(
-        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
-        F.lpad(F.col("o_custkey").cast("string"), 12, "0"),
-        F.rpad(F.col("o_orderstatus"), 1, " "),
-        F.lpad(cents.cast("string"), 15, "0"),
-        F.rpad(F.col("o_orderdate").cast("string"), 10, " "),
-    )
-    o.select(line.alias("value")).write.mode("overwrite").text(out)
-    raw = spark.read.text(out)
-    parsed = raw.select(
-        F.substring("value", 1, 12).cast("bigint").alias("o_orderkey"),
-        F.substring("value", 13, 12).cast("bigint").alias("o_custkey"),
-        F.substring("value", 25, 1).alias("o_orderstatus"),
-        F.substring("value", 26, 15).cast("bigint").alias("total_cents"),
-        F.trim(F.substring("value", 41, 10)).cast("date").alias(
-            "o_orderdate"
-        ),
-    )
+    parsed = fixed_width_roundtrip(spark, o, out)
     return parsed.groupBy("o_orderstatus").agg(
         F.count("*").cast("bigint").alias("n_orders"),
         F.sum("total_cents").cast("bigint").alias("total_cents"),
         F.min("o_orderdate").alias("first_date"),
         F.max("o_orderdate").alias("last_date"),
+    )
+
+
+def fixed_width_roundtrip(
+    spark: SparkSession, o: DataFrame, out: str
+) -> DataFrame:
+    """Serialize an orders-shaped frame to 51-byte fixed-width records
+    and parse them back (shared by op_fixed_width_roundtrip and the
+    adversarial-values test). The amount field is SIGN-AWARE: one
+    explicit sign byte before the zero-padded magnitude — naive
+    zero-padding of a negative ('000-50') would cast back to NULL,
+    the classic fixed-width layout bug (credits/refunds would
+    silently vanish)."""
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    sign = F.when(cents < 0, F.lit("-")).otherwise(F.lit("+"))
+    line = F.concat(
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+        F.lpad(F.col("o_custkey").cast("string"), 12, "0"),
+        F.rpad(F.col("o_orderstatus"), 1, " "),
+        sign,
+        F.lpad(F.abs(cents).cast("string"), 14, "0"),
+        F.rpad(F.col("o_orderdate").cast("string"), 10, " "),
+    )
+    o.select(line.alias("value")).write.mode("overwrite").text(out)
+    raw = spark.read.text(out)
+    magnitude = F.substring("value", 27, 14).cast("bigint")
+    return raw.select(
+        F.substring("value", 1, 12).cast("bigint").alias("o_orderkey"),
+        F.substring("value", 13, 12).cast("bigint").alias("o_custkey"),
+        F.substring("value", 25, 1).alias("o_orderstatus"),
+        F.when(F.substring("value", 26, 1) == "-", -magnitude)
+        .otherwise(magnitude)
+        .alias("total_cents"),
+        F.trim(F.substring("value", 41, 10)).cast("date").alias(
+            "o_orderdate"
+        ),
     )
