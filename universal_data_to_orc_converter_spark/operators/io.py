@@ -614,10 +614,13 @@ def op_bucket_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     notes="FIXED-WIDTH text round-trip — the mainframe/COBOL-era "
     "layout every long-lived conversion tool eventually meets, and a "
     "source format the reference's CSV/dump paths don't cover: "
-    "orders is serialized to 50-byte fixed-width records (right-"
+    "orders is serialized to 51-byte fixed-width records (right-"
     "aligned zero-padded numerics, left-aligned status, ISO date; "
-    "price carried as integer CENTS so no float formatting ever hits "
-    "the text layer), written distributed through the text sink, "
+    "price carried as SIGN-BYTE + integer-CENTS magnitude so no "
+    "float formatting ever hits the text layer and negative amounts "
+    "survive — naive zero-padding of a minus sign casts back to "
+    "NULL, pinned by an adversarial-values test), written "
+    "distributed through the text sink, "
     "read back with spark.read.text, and parsed by pure substring/"
     "trim/cast column expressions — no UDF, whole-stage-codegen "
     "parsing. The aggregate over the PARSED columns must hash-match "
