@@ -572,3 +572,13 @@ def test_bucket_pruned_lookup_reads_one_bucket(spark):
     assert "SelectedBucketsCount: 1 out of 8" in plan, (
         "bucket pruning did not engage on the point lookup"
     )
+
+
+def test_corr_matrix_zero_hash_exchange(spark):
+    """op_corr_matrix's scale claim: all co-moments ride ONE global
+    aggregate — a single-row partial per partition, no hash exchange
+    anywhere in the plan."""
+    df = q("op_corr_matrix", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan[:1500]
+    assert "partial" in plan.lower()

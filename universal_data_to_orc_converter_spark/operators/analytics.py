@@ -370,3 +370,111 @@ def op_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return act.groupBy("cohort_week", "week_offset").agg(
         F.count("*").cast("bigint").alias("n_active")
     )
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@query(
+    "op_corr_matrix",
+    oracle="""
+        WITH q AS (
+          SELECT CAST(FLOOR(l_quantity * 1000 + 0.5) AS BIGINT) AS c0,
+                 CAST(FLOOR(l_extendedprice * 1000 + 0.5) AS BIGINT) AS c1,
+                 CAST(FLOOR(l_discount * 1000 + 0.5) AS BIGINT) AS c2,
+                 CAST(FLOOR(l_tax * 1000 + 0.5) AS BIGINT) AS c3
+          FROM lineitem
+        ),
+        s AS (
+          SELECT COUNT(*) AS n,
+                 SUM(c0) AS s0, SUM(c1) AS s1,
+                 SUM(c2) AS s2, SUM(c3) AS s3,
+                 SUM(c0*c0) AS p00, SUM(c0*c1) AS p01,
+                 SUM(c0*c2) AS p02, SUM(c0*c3) AS p03,
+                 SUM(c1*c1) AS p11, SUM(c1*c2) AS p12,
+                 SUM(c1*c3) AS p13, SUM(c2*c2) AS p22,
+                 SUM(c2*c3) AS p23, SUM(c3*c3) AS p33
+          FROM q
+        )
+        SELECT * FROM (
+          SELECT 'l_quantity' AS col_a, 'l_quantity' AS col_b,
+                 CAST(n*p00 - s0*s0 AS DOUBLE) AS cov_num FROM s
+          UNION ALL SELECT 'l_quantity', 'l_extendedprice',
+                 CAST(n*p01 - s0*s1 AS DOUBLE) FROM s
+          UNION ALL SELECT 'l_quantity', 'l_discount',
+                 CAST(n*p02 - s0*s2 AS DOUBLE) FROM s
+          UNION ALL SELECT 'l_quantity', 'l_tax',
+                 CAST(n*p03 - s0*s3 AS DOUBLE) FROM s
+          UNION ALL SELECT 'l_extendedprice', 'l_extendedprice',
+                 CAST(n*p11 - s1*s1 AS DOUBLE) FROM s
+          UNION ALL SELECT 'l_extendedprice', 'l_discount',
+                 CAST(n*p12 - s1*s2 AS DOUBLE) FROM s
+          UNION ALL SELECT 'l_extendedprice', 'l_tax',
+                 CAST(n*p13 - s1*s3 AS DOUBLE) FROM s
+          UNION ALL SELECT 'l_discount', 'l_discount',
+                 CAST(n*p22 - s2*s2 AS DOUBLE) FROM s
+          UNION ALL SELECT 'l_discount', 'l_tax',
+                 CAST(n*p23 - s2*s3 AS DOUBLE) FROM s
+          UNION ALL SELECT 'l_tax', 'l_tax',
+                 CAST(n*p33 - s3*s3 AS DOUBLE) FROM s
+        )
+    """,
+    notes="Pairwise covariance/correlation numerators for the four "
+    "lineitem numeric columns — the tabular sibling of "
+    "op_embedding_covariance, and the BI profiling staple (corr "
+    "matrix = cov_num(a,b)/sqrt(cov_num(a,a)*cov_num(b,b)), a "
+    "driver-side O(d^2) division the caller applies): ONE scan, all "
+    "10 upper-triangle co-moments + 4 sums + n as conditional "
+    "aggregates in a single global agg — ZERO hash exchanges (a "
+    "1-row partial per partition feeds the final agg), plan-asserted. "
+    "Values quantize to 1e3 fixed-point and every co-moment "
+    "accumulates as exact wide integers (the engines' raw corr()/"
+    "covar_pop() would drift in the last double bits), so the matrix "
+    "hash-matches exactly; the final CAST to DOUBLE is exact for "
+    "these magnitudes (< 2^53... the p11 co-moment reaches ~1e22, "
+    "above 2^53, so the CAST rounds — identically on both engines, "
+    "since both round the same exact integer). At 100 TB adding a "
+    "column adds aggregates, never a pass.",
+    tags=("analytics", "agg", "scale"),
+)
+def op_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise covariance numerators over lineitem numerics."""
+    li = load(spark, sf_dir, "lineitem")
+    q = [
+        F.floor(F.col(c) * 1000 + F.lit(0.5))
+        .cast("decimal(18,0)")
+        .alias(f"c{i}")
+        for i, c in enumerate(_CORR_COLS)
+    ]
+    d = li.select(*q)
+    aggs = [F.count("*").cast("decimal(28,0)").alias("n")]
+    for i in range(4):
+        aggs.append(F.sum(f"c{i}").cast("decimal(28,0)").alias(f"s{i}"))
+    pairs = [(i, j) for i in range(4) for j in range(i, 4)]
+    for i, j in pairs:
+        aggs.append(
+            F.sum(
+                (F.col(f"c{i}") * F.col(f"c{j}")).cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias(f"p{i}{j}")
+        )
+    s = d.agg(*aggs)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(_CORR_COLS[i]).alias("col_a"),
+                F.lit(_CORR_COLS[j]).alias("col_b"),
+                (
+                    F.col("n") * F.col(f"p{i}{j}")
+                    - F.col(f"s{i}") * F.col(f"s{j}")
+                )
+                .cast("double")
+                .alias("cov_num"),
+            )
+            for i, j in pairs
+        ]
+    )
+    return s.select(F.explode(cells).alias("r")).select(
+        "r.col_a", "r.col_b", "r.cov_num"
+    )

@@ -173,6 +173,7 @@ BELOW_FOLD_R6: frozenset[str] = frozenset({
     "op_stream_interval_join_full",
     "op_heavy_hitters_son",
     "op_curation_report",
+    "op_corr_matrix",
 })
 
 
