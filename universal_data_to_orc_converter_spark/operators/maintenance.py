@@ -695,3 +695,68 @@ def op_quantile_histogram_maintain(
         .cast("double")
         .alias("p99_lo"),
     )
+
+
+@query(
+    "op_time_travel_read",
+    oracle="""
+        SELECT 1 AS version, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_value_fp
+        FROM events WHERE ts < TIMESTAMP '2024-01-24'
+        GROUP BY event_type
+        UNION ALL
+        SELECT 2, event_type,
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT)
+        FROM events
+        GROUP BY event_type
+    """,
+    notes="TIME TRAVEL — the marquee table-format feature "
+    "(VERSION AS OF) rebuilt from filesystem primitives "
+    "(sinks/versioned.py: full-snapshot v=<n> directories published "
+    "by ONE atomic os.rename from a tmp dir, so readers can never "
+    "observe a torn snapshot; crashed commits leave only ignored "
+    ".tmp orphans; racing writers retry the next version slot — "
+    "crash/race semantics unit-tested in tests/test_versioned.py). "
+    "The query commits the pre-Jan-24 rollup as v1, the full rollup "
+    "as v2, then READS BOTH BACK via read_version and emits them "
+    "tagged — hash-matching the oracle's direct computation of both "
+    "states proves the versioned store returns exactly what was "
+    "committed, per version. Completes the "
+    "lakehouse-without-a-table-format tier: snapshot_diff turns two "
+    "versions back into a change feed, CDC merge applies feeds "
+    "forward, and this layer lets any past state be served again. "
+    "Full-snapshot versioning is the right shape for rollup/dim "
+    "tables (small, serving-critical); fact-scale history stays with "
+    "the incremental ops.",
+    tags=("io", "scale"),
+)
+def op_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit two rollup versions; time-travel read both back."""
+    import os
+    import tempfile
+
+    from ..sinks.versioned import commit_version, read_version
+
+    e = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    cutoff = F.lit("2024-01-24").cast("timestamp")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(_scaled(F.col("value")))
+            .cast("bigint")
+            .alias("sum_value_fp"),
+        )
+
+    table = os.path.join(tempfile.mkdtemp(prefix="ttr_"), "rollup")
+    v1 = commit_version(rollup(e.filter(F.col("ts") < cutoff)), table)
+    v2 = commit_version(rollup(e), table)
+    a = read_version(spark, table, v1).withColumn("version", F.lit(1))
+    b = read_version(spark, table, v2).withColumn("version", F.lit(2))
+    return a.unionByName(b).select(
+        "version", "event_type", "n_events", "sum_value_fp"
+    )

@@ -174,6 +174,7 @@ BELOW_FOLD_R6: frozenset[str] = frozenset({
     "op_heavy_hitters_son",
     "op_curation_report",
     "op_corr_matrix",
+    "op_time_travel_read",
 })
 
 
