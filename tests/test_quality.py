@@ -699,3 +699,28 @@ def test_lsh_recall_on_clustered_corpus(spark):
     ann = {(r["q_id"], r["vec_id"]) for r in got.collect()}
     recall = len(exact & ann) / len(exact)
     assert recall >= 0.95, f"clustered-corpus LSH recall {recall:.3f}"
+
+
+def test_kmv_estimator_below_exact_regime(spark):
+    """op_distinct_intersection_kmv's oracle is valid only in the
+    exact regime (k >= per-type distincts). Pin the DEGRADED regime
+    too: two synthetic types with 10k distinct users each and a known
+    5k overlap, sketched at k=256 — the KMV estimate must land within
+    25% of the true intersection (error ~1/sqrt(k) for the union
+    estimate plus the in-window Jaccard noise)."""
+    import pyspark.sql.functions as F
+
+    from universal_data_to_orc_converter_spark.operators.aggregates import (
+        kmv_intersections,
+    )
+
+    a = spark.range(0, 10_000).select(
+        F.lit("a").alias("event_type"), F.col("id").alias("user_id")
+    )
+    b = spark.range(5_000, 15_000).select(
+        F.lit("b").alias("event_type"), F.col("id").alias("user_id")
+    )
+    got = kmv_intersections(a.unionByName(b), 256).collect()
+    assert len(got) == 1
+    est = got[0]["n_common_users"]
+    assert abs(est - 5_000) / 5_000 <= 0.25, est

@@ -973,3 +973,107 @@ def op_heavy_hitters_son(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_occur") * 100 > F.lit(int(n)))
         .orderBy(F.desc("n_occur"), "k")
     )
+
+
+KMV_K = 2048
+
+
+@query(
+    "op_distinct_intersection_kmv",
+    oracle="""
+        WITH pairs AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b
+          FROM (SELECT DISTINCT event_type FROM events) a
+          JOIN (SELECT DISTINCT event_type FROM events) b
+            ON a.event_type < b.event_type
+        )
+        SELECT p.type_a, p.type_b,
+               CAST((SELECT COUNT(DISTINCT e1.user_id)
+                     FROM events e1 JOIN events e2
+                       ON e1.user_id = e2.user_id
+                     WHERE e1.event_type = p.type_a
+                       AND e2.event_type = p.type_b) AS BIGINT)
+                 AS n_common_users
+        FROM pairs p
+        ORDER BY type_a, type_b
+    """,
+    notes="Distinct-set INTERSECTION counts via KMV (k-minimum-values) "
+    "sketches — the set algebra HLL registers cannot do (HLL unions; "
+    "it cannot intersect): per event_type the state is the k smallest "
+    "xxhash64(user_id) values, built bottom-up as mergeable partials "
+    "(per-partition k-min arrays -> flatten/dedup/sort/slice at the "
+    "merge — union IS the KMV merge operator), and pairwise common-"
+    "user counts come from intersecting the sketches driver-side "
+    "(|types|^2/2 array intersections over k-length arrays — "
+    "metadata math, like the PCA eigensolve). EXACTNESS REGIME: with "
+    "k=2048 >= the fixture's distinct users per type, the sketch IS "
+    "the full hashed set, so intersections are exact and the SQL "
+    "oracle pins them (the same documented-regime contract as the "
+    "maintained-HLL rollup); below that regime KMV degrades to the "
+    "standard estimator (error ~1/sqrt(k)), property-tested in "
+    "tests/test_quality.py::test_kmv_estimator_below_exact_regime. "
+    "At 100 TB the corpus shuffles only (type, k-min array) partials "
+    "— state is k hashes per group per partition, never the user "
+    "set.",
+    tags=("agg", "approx", "scale"),
+)
+def op_distinct_intersection_kmv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise common-distinct-user counts per event_type pair via
+    mergeable KMV sketches (exact at this fixture's cardinality)."""
+    return kmv_intersections(
+        load(spark, sf_dir, "events"), KMV_K
+    )
+
+
+def kmv_intersections(e: DataFrame, k: int) -> DataFrame:
+    """KMV build + pairwise intersection core (shared with the
+    below-exact-regime property test)."""
+    spark = e.sparkSession
+    hashed = e.select(
+        "event_type", F.xxhash64("user_id").alias("h")
+    )
+    # mergeable partial: per (partition, type) k-min array ...
+    partial = hashed.groupBy(F.spark_partition_id().alias("p"), "event_type").agg(
+        F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("kmin")
+    )
+    # ... merged per type with the KMV merge operator
+    # (flatten -> dedup -> sort -> first k)
+    sketches = partial.groupBy("event_type").agg(
+        F.slice(
+            F.sort_array(F.array_distinct(F.flatten(F.collect_list("kmin")))),
+            1,
+            k,
+        ).alias("kmin")
+    )
+    # |types| sketches to the driver: bounded metadata (k hashes each)
+    rows = sketches.collect()
+    out = []
+    for i, a in enumerate(rows):
+        for b in rows[i + 1 :]:
+            ta, tb = a["event_type"], b["event_type"]
+            if ta > tb:
+                ta, tb = tb, ta
+                sa, sb = set(b["kmin"]), set(a["kmin"])
+            else:
+                sa, sb = set(a["kmin"]), set(b["kmin"])
+            n_a, n_b = len(sa), len(sb)
+            inter = sa & sb
+            if n_a < k and n_b < k:
+                # exact regime: both sketches hold their full sets
+                est = len(inter)
+            else:
+                # standard KMV estimator: intersect within the unified
+                # k-min window, scale by the union estimate
+                union = sorted(sa | sb)[:k]
+                tau = union[-1]
+                window = set(union)
+                jac = len(inter & window) / len(window)
+                u_est = (k - 1) * (2**64) / (tau + 2**63) if tau else 0
+                est = int(round(jac * u_est))
+            out.append((ta, tb, est))
+    return spark.createDataFrame(
+        sorted(out),
+        "type_a string, type_b string, n_common_users bigint",
+    )

@@ -175,6 +175,7 @@ BELOW_FOLD_R6: frozenset[str] = frozenset({
     "op_curation_report",
     "op_corr_matrix",
     "op_time_travel_read",
+    "op_distinct_intersection_kmv",
 })
 
 
