@@ -1034,11 +1034,34 @@ def kmv_intersections(e: DataFrame, k: int) -> DataFrame:
     hashed = e.select(
         "event_type", F.xxhash64("user_id").alias("h")
     )
-    # mergeable partial: per (partition, type) k-min array ...
-    partial = hashed.groupBy(F.spark_partition_id().alias("p"), "event_type").agg(
-        F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("kmin")
+
+    def partition_kmv(batches):
+        # truly k-BOUNDED per-partition state: per type, keep only the
+        # k smallest hashes seen so far (numpy partial sort per Arrow
+        # batch) — never the partition's full distinct set
+        import numpy as np
+        import pandas as pd
+
+        state: dict[str, "np.ndarray"] = {}
+        for pdf in batches:
+            for typ, grp in pdf.groupby("event_type"):
+                h = grp["h"].to_numpy(dtype="int64")
+                prev = state.get(typ)
+                merged = np.unique(
+                    h if prev is None else np.concatenate([prev, h])
+                )
+                state[typ] = merged[:k]  # np.unique sorts ascending
+        yield pd.DataFrame(
+            {
+                "event_type": list(state),
+                "kmin": [s.tolist() for s in state.values()],
+            }
+        )
+
+    partial = hashed.mapInPandas(
+        partition_kmv, "event_type string, kmin array<bigint>"
     )
-    # ... merged per type with the KMV merge operator
+    # merged per type with the KMV merge operator
     # (flatten -> dedup -> sort -> first k)
     sketches = partial.groupBy("event_type").agg(
         F.slice(
