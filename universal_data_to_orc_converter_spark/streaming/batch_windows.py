@@ -1352,3 +1352,42 @@ def op_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "op_stream_interval_join_right",
+    oracle="""
+        SELECT v.user_id AS v_user,
+               v.event_id AS view_id,
+               p.user_id AS p_user,
+               p.event_id AS purchase_id
+        FROM (SELECT * FROM events WHERE event_type = 'view') v
+        RIGHT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON v.user_id = p.user_id
+         AND p.ts >= v.ts
+         AND p.ts < v.ts + INTERVAL 30 MINUTE
+    """,
+    notes="Right-outer completes the heartbeat outer-join family "
+    "(left r6, full r6): unmatched PURCHASES — conversions with no "
+    "qualifying prior view, the attribution-gap rows — emit with "
+    "NULL view columns once the watermark passes their window; the "
+    "heartbeat batch flushes the tail exactly as in the siblings. "
+    "Hash-match vs the batch RIGHT JOIN proves the right-side "
+    "withheld-NULL set also drains completely.",
+    tags=("streaming", "join", "scale"),
+)
+def op_stream_interval_join_right(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """True streaming right-outer attribution join with heartbeat
+    flush."""
+    out = _stream_interval_join_heartbeat(spark, sf_dir, "right_outer")
+    return out.filter(
+        (F.coalesce(F.col("v_user"), F.lit(0)) >= 0)
+        & (F.col("p_user") >= 0)
+    ).select(
+        "v_user",
+        F.col("v_id").alias("view_id"),
+        "p_user",
+        F.col("p_id").alias("purchase_id"),
+    )
