@@ -724,3 +724,29 @@ def test_kmv_estimator_below_exact_regime(spark):
     assert len(got) == 1
     est = got[0]["n_common_users"]
     assert abs(est - 5_000) / 5_000 <= 0.25, est
+
+
+def test_epoch_shuffle_permutations_are_uncorrelated(spark):
+    """op_epoch_shuffle's contract: each epoch is a complete
+    permutation of the corpus, epochs differ, and position rank
+    correlation between epochs is near zero (a loader reusing epoch
+    0's order for epoch 1 defeats shuffling)."""
+    from universal_data_to_orc_converter_spark.operators.sampling import (
+        op_epoch_shuffle,
+    )
+
+    rows = op_epoch_shuffle(spark, SF_DIR).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], {})[r["doc_id"]] = r["position"]
+    p0, p1 = by_epoch[0], by_epoch[1]
+    n = len(p0)
+    assert sorted(p0.values()) == list(range(1, n + 1))
+    assert sorted(p1.values()) == list(range(1, n + 1))
+    assert p0 != p1, "epochs must not repeat the same order"
+    # Spearman rank correlation between the two epochs' positions
+    mean = (n + 1) / 2
+    num = sum((p0[d] - mean) * (p1[d] - mean) for d in p0)
+    den = sum((p0[d] - mean) ** 2 for d in p0)
+    rho = num / den
+    assert abs(rho) < 0.1, f"epoch orders correlated: rho={rho:.3f}"

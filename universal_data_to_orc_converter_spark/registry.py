@@ -177,6 +177,7 @@ BELOW_FOLD_R6: frozenset[str] = frozenset({
     "op_time_travel_read",
     "op_distinct_intersection_kmv",
     "op_stream_interval_join_right",
+    "op_epoch_shuffle",
 })
 
 
