@@ -267,3 +267,82 @@ def op_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drawn.select(
         "epoch", "doc_id", pos.cast("bigint").alias("position")
     )
+
+
+@query(
+    "op_length_bucketed_batching",
+    oracle="""
+        WITH lens AS (
+          SELECT doc_id,
+                 len(list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '')) AS n_tokens
+          FROM documents
+        ),
+        assigned AS (
+          SELECT doc_id, n_tokens,
+                 CAST((n_tokens + 31) // 32 AS BIGINT) AS bucket,
+                 CAST((ROW_NUMBER() OVER (
+                         PARTITION BY (n_tokens + 31) // 32
+                         ORDER BY doc_id) - 1) // 16 AS BIGINT)
+                   AS batch_id
+          FROM lens
+        )
+        SELECT bucket, batch_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+               CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+                 AS pad_waste
+        FROM assigned
+        GROUP BY bucket, batch_id
+        ORDER BY bucket, batch_id
+    """,
+    notes="Length-bucketed BATCHING — the training-loader step after "
+    "shuffling: documents group into 32-token-wide length buckets, "
+    "each bucket packs deterministically into 16-doc batches "
+    "(row_number over doc_id), and every batch reports its padding "
+    "waste (n_docs*max_len - sum_len — the tokens a fixed-shape "
+    "tensor would burn). Bucketing is the standard remedy for "
+    "padding blowup under random batching; the emitted waste column "
+    "IS the metric that justifies it, so the op doubles as the "
+    "loader's efficiency audit. Scale: one hash exchange on bucket "
+    "for the window + the rollup reusing the same partitioning; all "
+    "arithmetic integer-exact. Composes with op_epoch_shuffle "
+    "(shuffle first, bucket second — order inside a bucket would "
+    "then follow the epoch draw instead of doc_id; same shape).",
+    tags=("sampling", "text", "scale"),
+)
+def op_length_bucketed_batching(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pack docs into per-length-bucket batches; report pad waste."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
+    )
+    lens = d.select("doc_id", n_tokens.alias("n_tokens"))
+    bucket = ((F.col("n_tokens") + 31) / 32).cast("bigint")
+    assigned = lens.withColumn("bucket", bucket).withColumn(
+        "batch_id",
+        (
+            (
+                F.row_number().over(
+                    W.partitionBy("bucket").orderBy("doc_id")
+                )
+                - 1
+            )
+            / 16
+        ).cast("bigint"),
+    )
+    return (
+        assigned.groupBy("bucket", "batch_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+            (F.count("*") * F.max("n_tokens") - F.sum("n_tokens"))
+            .cast("bigint")
+            .alias("pad_waste"),
+        )
+        .orderBy("bucket", "batch_id")
+    )

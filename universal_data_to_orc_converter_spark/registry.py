@@ -178,6 +178,7 @@ BELOW_FOLD_R6: frozenset[str] = frozenset({
     "op_distinct_intersection_kmv",
     "op_stream_interval_join_right",
     "op_epoch_shuffle",
+    "op_length_bucketed_batching",
 })
 
 
