@@ -582,3 +582,74 @@ def test_corr_matrix_zero_hash_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan, plan[:1500]
     assert "partial" in plan.lower()
+
+
+def test_cbo_statistics_reorder_join(spark):
+    """The compile-time half of the optimizer story (AQE is the
+    runtime half, test_aqe_splits_skewed_join): with ANALYZE TABLE
+    column statistics and CBO join reordering on, the 3-way join
+    written fact-first is REORDERED to apply the selective dimension
+    filter to orders before the expensive lineitem join — cutting the
+    big join's build side by the dim predicate's selectivity. Without
+    CBO the join order follows the query text."""
+    from universal_data_to_orc_converter_spark.catalog import load
+
+    import os
+    import shutil
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for name, tbl in (
+        ("lineitem", "cbo_li"),
+        ("orders", "cbo_o"),
+        ("nation", "cbo_n"),
+    ):
+        # a managed-table location can survive a previous session whose
+        # catalog is gone — sweep it or saveAsTable refuses (same
+        # idempotence guard as write_orc_bucketed)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        loc = os.path.join(warehouse, tbl)
+        if os.path.isdir(loc):
+            shutil.rmtree(loc)
+        load(spark, SF_DIR, name).write.saveAsTable(tbl)
+        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR ALL COLUMNS")
+
+    sql = """
+      SELECT COUNT(*) AS n FROM cbo_li l
+      JOIN cbo_o o ON l.l_orderkey = o.o_orderkey
+      JOIN cbo_n n ON o.o_custkey % 25 = n.n_nationkey
+      WHERE n.n_name = 'FRANCE'
+    """
+    confs = {
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.cbo.joinReorder.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+
+    def first_join_tables(plan):
+        # tables under the INNERMOST (first-executed) join
+        inner = [
+            l for l in plan.splitlines() if "Relation spark_catalog" in l
+        ][:2]
+        return {t for l in inner for t in ("cbo_li", "cbo_o", "cbo_n") if t in l}
+
+    try:
+        baseline = spark.sql(sql)._jdf.queryExecution().optimizedPlan().toString()
+        assert first_join_tables(baseline) == {"cbo_li", "cbo_o"}, baseline
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        reordered = spark.sql(sql)._jdf.queryExecution().optimizedPlan().toString()
+        assert first_join_tables(reordered) == {"cbo_o", "cbo_n"}, (
+            "statistics did not reorder the selective dim join first:\n"
+            + reordered[:1500]
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        for tbl in ("cbo_li", "cbo_o", "cbo_n"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
