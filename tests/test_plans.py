@@ -481,6 +481,7 @@ def test_duplicate_spans_wide_exchanges_carry_hash_keys(spark):
     assert "BroadcastExchange" in plan, (
         "string recovery must broadcast the tiny candidate set"
     )
+    spark.catalog.clearCache()
 
 
 def test_dynamic_gap_sessions_single_exchange(spark):
@@ -507,12 +508,17 @@ def test_self_repetition_is_zero_shuffle(spark):
 
 def test_duplication_coverage_two_fixed_width_exchanges(spark):
     """op_doc_duplication_coverage's scale claim: per-doc gram dedup
-    happens inside the row, so the whole plan is exactly two hash
-    exchanges — the gh window and the doc_id rollup — both on
-    fixed-width keys, never gram strings."""
+    happens inside the row, so the plan materializes exactly two hash
+    exchanges — one gh exchange shared by the count groupBy and the
+    join probe (the second prints as ReusedExchange) and the doc_id
+    rollup — both on fixed-width keys, never gram strings."""
     import re
 
-    df = q("op_doc_duplication_coverage", spark)
+    from universal_data_to_orc_converter_spark.operators.text import (
+        op_doc_duplication_coverage,
+    )
+
+    df = op_doc_duplication_coverage(spark, SF_DIR, _materialize=False)
     plan = df._jdf.queryExecution().executedPlan().toString()
     keys = [
         k.strip()
@@ -521,6 +527,7 @@ def test_duplication_coverage_two_fixed_width_exchanges(spark):
     assert len(keys) == 2, f"expected 2 hash exchanges, got {keys}"
     assert any(k.startswith("gh#") for k in keys), keys
     assert any(k.startswith("doc_id#") for k in keys), keys
+    spark.catalog.clearCache()
 
 
 def test_lm_doc_score_exchanges_are_fixed_width(spark):
@@ -530,7 +537,11 @@ def test_lm_doc_score_exchanges_are_fixed_width(spark):
     never the trigram strings."""
     import re
 
-    df = q("op_lm_doc_score", spark)
+    from universal_data_to_orc_converter_spark.operators.text import (
+        op_lm_doc_score,
+    )
+
+    df = op_lm_doc_score(spark, SF_DIR, _materialize=False)
     plan = df._jdf.queryExecution().executedPlan().toString()
     keys = [
         k.strip()
@@ -542,6 +553,8 @@ def test_lm_doc_score_exchanges_are_fixed_width(spark):
             f"exchange partitions on {k!r} — trigram strings leaked "
             "into a shuffle key"
         )
+    # the lazy path leaves the instance cache caller-owned: release it
+    spark.catalog.clearCache()
 
 
 def test_span_excise_exchanges_are_fixed_width(spark):

@@ -1558,23 +1558,26 @@ def op_doc_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "score a curation gate thresholds to drop mostly-duplicated "
     "docs. Complements op_duplicate_ngram_spans (which finds the "
     "spans) and the minhash tiers (whole-doc similarity). Scale "
-    "shape: per-doc distinct grams are computed INSIDE the row "
-    "(array_distinct before explode — no dedup exchange), then the "
-    "corpus-wide sharing test is one window count over "
-    "xxhash64(gram) fixed-width keys and the per-doc rollup one "
-    "doc_id groupBy — exactly two exchanges, both on fixed-width "
-    "keys, plan-asserted; gram STRINGS never shuffle (the oracle "
+    "shape (r6 hardened): per-doc distinct grams are computed INSIDE "
+    "the row (array_distinct before explode — no dedup exchange); "
+    "the corpus-wide sharing test is a map-side-combined groupBy on "
+    "xxhash64(gram) fixed-width keys JOINED back to the pair stream "
+    "(AQE-skew-splittable — a window here would pin a corpus-wide "
+    "boilerplate gram's every row to one task), and the per-doc "
+    "rollup one doc_id groupBy — every exchange on fixed-width keys, "
+    "plan-asserted; gram STRINGS never shuffle (the oracle "
     "groups by string — 64-bit collisions, probability ~n^2/2^65, "
     "would surface as a hash mismatch). shared_frac is one exact-"
     "integer division on both engines.",
     tags=("text", "dedup", "quality", "scale"),
 )
 def op_doc_duplication_coverage(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, _materialize: bool = True
 ) -> DataFrame:
-    """Top-50 docs by fraction of 8-grams shared with other docs."""
-    from pyspark.sql import Window as W
+    """Top-50 docs by fraction of 8-grams shared with other docs.
 
+    ``_materialize=False`` returns the lazy pipeline (pair-stream
+    cache retained, caller-owned) so plan tests can inspect it."""
     d = load(spark, sf_dir, "documents")
     t = F.filter(
         F.split(F.lower("text"), " "), lambda x: x != F.lit("")
@@ -1591,23 +1594,38 @@ def op_doc_duplication_coverage(
         .select("doc_id", F.explode(grams).alias("gram"))
         .select("doc_id", F.xxhash64("gram").alias("gh"))
     )
-    shared = F.count("*").over(W.partitionBy("gh")) >= 2
-    return (
-        dg.withColumn("is_shared", shared)
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_grams"),
-            F.count(F.when(F.col("is_shared"), 1))
-            .cast("bigint")
-            .alias("n_shared"),
+    # sharedness via map-side-combined groupBy + AQE-splittable join,
+    # not a window: a boilerplate gram shared corpus-wide would pin
+    # every one of its rows to a single window task (see
+    # op_lm_doc_score's notes). The pair stream feeds both the count
+    # build and the probe, so it is cached for the op's duration and
+    # the 50-row answer materialized eagerly before release.
+    dg = dg.persist()
+    try:
+        counts = dg.groupBy("gh").agg(F.count("*").alias("nd"))
+        out = (
+            dg.join(counts, "gh")
+            .withColumn("is_shared", F.col("nd") >= 2)
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").cast("bigint").alias("n_grams"),
+                F.count(F.when(F.col("is_shared"), 1))
+                .cast("bigint")
+                .alias("n_shared"),
+            )
+            .withColumn(
+                "shared_frac",
+                F.col("n_shared").cast("double") / F.col("n_grams"),
+            )
+            .orderBy(F.desc("shared_frac"), "doc_id")
+            .limit(50)
         )
-        .withColumn(
-            "shared_frac",
-            F.col("n_shared").cast("double") / F.col("n_grams"),
-        )
-        .orderBy(F.desc("shared_frac"), "doc_id")
-        .limit(50)
-    )
+        if not _materialize:
+            return out
+        return out.localCheckpoint(eager=True)
+    finally:
+        if _materialize:
+            dg.unpersist()
 
 
 @query(
@@ -1655,22 +1673,28 @@ def op_doc_duplication_coverage(
     "((tri_c*1e6) DIV ctx_c — both engines' integer division "
     "semantics agree on positives), making the per-doc SUM "
     "order-independent and the final double one identical division. "
-    "Scale shape: trigram instances are enumerated once; both count "
-    "attachments are WINDOWS partitioned on xxhash64 of the gram "
-    "(fixed-width keys — the span-op discipline; string collisions "
-    "~n^2/2^65 documented), not self-joins, so the corpus shuffles "
-    "twice on 8-byte keys plus once on doc_id for the rollup; the "
-    "model is never materialized driver-side. Trains-on-self like "
+    "Scale shape (r6 hardened): trigram instances are enumerated "
+    "once; both count tables build as map-side-combined groupBys on "
+    "xxhash64 keys (fixed-width — the span-op discipline; string "
+    "collisions ~n^2/2^65 documented) and attach to the instance "
+    "stream via JOINS, deliberately NOT windows — a window "
+    "partitioned on a Zipf-hot trigram drags every instance into one "
+    "task with no partial aggregation (straggler/OOM at 100 TB), "
+    "while the joins are AQE-skew-splittable; the model is never "
+    "materialized driver-side. Trains-on-self like "
     "CCNet's target-domain LM; swapping the count source for a "
     "reference corpus's tables (op_ngram_lm_counts) changes one "
     "input, not the shape.",
     tags=("text", "quality", "scale"),
 )
-def op_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def op_lm_doc_score(
+    spark: SparkSession, sf_dir: str, _materialize: bool = True
+) -> DataFrame:
     """50 most-surprising docs by average trigram probability under
-    the corpus trigram model (exact fixed-point)."""
-    from pyspark.sql import Window as W
+    the corpus trigram model (exact fixed-point).
 
+    ``_materialize=False`` returns the lazy pipeline (instance cache
+    retained, caller-owned) so plan tests can inspect it."""
     d = load(spark, sf_dir, "documents")
     t = F.filter(
         F.split(F.lower("text"), " "), lambda x: x != F.lit("")
@@ -1697,26 +1721,42 @@ def op_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.xxhash64("g.w1", "g.w2").alias("ch"),
         )
     )
-    tri_c = F.count("*").over(W.partitionBy("th"))
-    ctx_c = F.count("*").over(W.partitionBy("ch"))
-    m = tri.withColumn("tri_c", tri_c).withColumn("ctx_c", ctx_c)
-    return (
-        m.select(
-            "doc_id",
-            F.expr("tri_c * 1000000 DIV ctx_c").alias("p_fp"),
+    # counts attach via JOINS, not windows: a window partitioned on a
+    # Zipf-hot trigram colocates ALL its instances in one task with no
+    # partial aggregation (the straggler/OOM shape at 100 TB), while
+    # groupBy counts combine map-side and the instance joins are
+    # AQE-skew-splittable — the same formulation as the heldout
+    # variant below. The instance stream feeds three consumers
+    # (tc, cc, probe), so it is cached for the op's duration and the
+    # 50-row answer materialized eagerly before release.
+    tri = tri.persist()
+    try:
+        tc = tri.groupBy("th").agg(F.count("*").alias("tri_c"))
+        cc = tri.groupBy("ch").agg(F.count("*").alias("ctx_c"))
+        m = tri.join(tc, "th").join(cc, "ch")
+        out = (
+            m.select(
+                "doc_id",
+                F.expr("tri_c * 1000000 DIV ctx_c").alias("p_fp"),
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").cast("bigint").alias("n_tri"),
+                F.sum("p_fp").cast("bigint").alias("sum_p_fp"),
+            )
+            .withColumn(
+                "avg_p_fp",
+                F.col("sum_p_fp").cast("double") / F.col("n_tri"),
+            )
+            .orderBy(F.asc("avg_p_fp"), "doc_id")
+            .limit(50)
         )
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_tri"),
-            F.sum("p_fp").cast("bigint").alias("sum_p_fp"),
-        )
-        .withColumn(
-            "avg_p_fp",
-            F.col("sum_p_fp").cast("double") / F.col("n_tri"),
-        )
-        .orderBy(F.asc("avg_p_fp"), "doc_id")
-        .limit(50)
-    )
+        if not _materialize:
+            return out
+        return out.localCheckpoint(eager=True)
+    finally:
+        if _materialize:
+            tri.unpersist()
 
 
 @query(
@@ -1772,14 +1812,17 @@ def op_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "level deduper actually applies to the corpus, where "
     "op_duplicate_ngram_spans only reports the spans and "
     "op_doc_duplication_coverage only scores them. Cross-doc "
-    "sharedness per gram instance is min(doc_id)!=max(doc_id) over a "
-    "window partitioned on the xxhash64 gram key — an O(1)-state "
-    "window (no distinct-count, no self-join) on a FIXED-WIDTH key; "
-    "covered positions then explode to (doc_id, pos) pairs, roll up "
-    "to a per-doc position set, and one broadcast-free doc_id join "
-    "rebuilds each document in-row with array expressions. Exchanges: "
-    "gh window + doc_id rollup + doc_id join — all fixed-width keys "
-    "(plan-asserted); the rebuilt strings move only doc-locally. "
+    "sharedness per gram is min(doc_id)!=max(doc_id) from a map-side-"
+    "combined groupBy on the xxhash64 gram key, attached back to the "
+    "instances by an AQE-skew-splittable LEFT SEMI join whose build "
+    "side holds only the SHARED grams (r6 hardened — a window here "
+    "would pin a hot gram's every instance to one task with no "
+    "partial aggregation); covered positions then explode to "
+    "(doc_id, pos) pairs, roll up to a per-doc position set, and one "
+    "broadcast-free doc_id join rebuilds each document in-row with "
+    "array expressions. Exchanges: gh groupBy/join + doc_id rollup + "
+    "doc_id join — all fixed-width keys (plan-asserted); the rebuilt "
+    "strings move only doc-locally. "
     "Every doc is emitted (clean docs pass through unchanged), so "
     "the op composes as a corpus map stage in a curation pipeline.",
     tags=("text", "dedup", "scale"),
@@ -1787,8 +1830,6 @@ def op_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Remove cross-document duplicated 8-gram spans from every doc;
     emit the cleaned text with excision counts."""
-    from pyspark.sql import Window as W
-
     d = load(spark, sf_dir, "documents")
     t = F.filter(
         F.split(F.lower("text"), " "), lambda x: x != F.lit("")
@@ -1808,11 +1849,18 @@ def op_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).select("doc_id", "s.i", "s.gh")
-    w = W.partitionBy("gh")
-    shared = F.min("doc_id").over(w) != F.max("doc_id").over(w)
+    # sharedness via map-side-combined groupBy + AQE-splittable join,
+    # not a window (see op_lm_doc_score's notes on hot-gram skew):
+    # only ghs spanning >=2 docs survive the filter, so the join's
+    # build side carries shared grams only
+    stats = (
+        g.groupBy("gh")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("gh")
+    )
     cov = (
-        g.withColumn("sh", shared)
-        .filter("sh")
+        g.join(stats, "gh", "left_semi")
         .select(
             "doc_id",
             F.explode(F.sequence("i", F.col("i") + 7)).alias("p"),
