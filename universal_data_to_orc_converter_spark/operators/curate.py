@@ -173,8 +173,6 @@ def op_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def op_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-gate attrition funnel over the documents corpus."""
-    from pyspark.sql import Window as W
-
     d = load(spark, sf_dir, "documents")
     t = F.filter(
         F.split(F.lower("text"), " "), lambda x: x != F.lit("")
@@ -220,9 +218,12 @@ def op_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(grams8).alias("gram"))
         .select("doc_id", F.xxhash64("gram").alias("gh"))
     )
-    shared = F.count("*").over(W.partitionBy("gh")) >= 2
+    # sharedness via map-side-combined groupBy + join, not a window —
+    # the hot-gram skew hardening op_doc_duplication_coverage documents
+    counts = dg.groupBy("gh").agg(F.count("*").alias("nd"))
     cov = (
-        dg.withColumn("is_shared", shared)
+        dg.join(counts, "gh")
+        .withColumn("is_shared", F.col("nd") >= 2)
         .groupBy("doc_id")
         .agg(
             (
