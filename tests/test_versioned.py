@@ -79,3 +79,29 @@ def test_rename_race_retries_next_slot(spark, tmp_path):
     assert read_version(spark, t, 3).select("tag").distinct().collect()[
         0
     ]["tag"] == "loser"
+
+
+def test_vacuum_retains_newest_and_never_empties(spark, tmp_path):
+    """vacuum_versions drops all but the newest `keep` snapshots,
+    reports what it removed, refuses to remove the newest (keep is
+    clamped to >= 1), and vacuumed history fails loudly on access
+    while the retained versions read normally."""
+    import pytest
+
+    from universal_data_to_orc_converter_spark.sinks.versioned import (
+        vacuum_versions,
+    )
+
+    t = str(tmp_path / "tbl")
+    for tag in ("a", "b", "c", "d"):
+        commit_version(_df(spark, tag), t)
+    assert vacuum_versions(t, keep=2) == [1, 2]
+    assert list_versions(t) == [3, 4]
+    assert read_version(spark, t).select("tag").distinct().collect()[
+        0
+    ]["tag"] == "d"
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, t, 1)
+    # keep=0 clamps to 1: the newest snapshot always survives
+    assert vacuum_versions(t, keep=0) == [3]
+    assert list_versions(t) == [4]

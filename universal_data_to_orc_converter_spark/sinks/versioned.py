@@ -74,6 +74,22 @@ def commit_version(df: DataFrame, table_dir: str) -> int:
             # lost the race for slot n: retry with the next number
 
 
+def vacuum_versions(table_dir: str, keep: int = 2) -> list[int]:
+    """Retention: drop all but the newest ``keep`` versions; returns
+    the versions removed. The newest version is never removable
+    (keep >= 1 enforced), and removal is per-directory — a reader
+    holding an older version's DataFrame keeps working until its
+    files go, exactly the table-format VACUUM contract (readers of
+    vacuumed history fail loudly on next access, current readers are
+    untouched)."""
+    keep = max(1, keep)
+    removed = []
+    for n in list_versions(table_dir)[:-keep]:
+        shutil.rmtree(os.path.join(table_dir, f"v={n}"))
+        removed.append(n)
+    return removed
+
+
 def read_version(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:
