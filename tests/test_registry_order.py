@@ -18,7 +18,11 @@ FAMILY_REPS = {
              "op_incremental_distinct_maintain", "op_quality_audit",
              "op_zorder_clustered_scan", "op_scd2_build",
              "op_surrogate_key", "op_incremental_file_ingest",
-             "op_python_datasource_writer", "op_manifest_audit"},
+             "op_python_datasource_writer", "op_manifest_audit",
+             # r6 additions — io (operators/io.py) and maintenance ops
+             "op_bucket_pruned_lookup", "op_fixed_width_roundtrip",
+             "op_time_travel_read", "op_quantile_histogram_maintain",
+             "op_incremental_agg_maintain"},
     "B_relational": {"op_filter", "op_filter_date", "op_project",
                      "op_filter_compound", "op_unpivot",
                      "op_sql_passthrough", "op_select_star"},
@@ -39,7 +43,10 @@ FAMILY_REPS = {
                      # r5 additions
                      "op_agg_grouping_id", "op_agg_bucketed_no_shuffle",
                      "op_skew_profile", "op_winsorize",
-                     "op_observed_metrics"},
+                     "op_observed_metrics",
+                     # r6 additions (operators/aggregates.py)
+                     "op_heavy_hitters_son",
+                     "op_distinct_intersection_kmv"},
     "E_windows": {"op_win_rank", "op_win_lag_lead", "op_win_frame",
                   "op_win_topk_group", "op_win_range_frame",
                   "op_win_rank_family", "op_win_first_last",
@@ -80,7 +87,12 @@ FAMILY_REPS = {
                     "op_stream_sessionize",
                     # r5 additions
                     "op_stream_python_source", "op_stream_python_sink",
-                    "op_session_dynamic_gap"},
+                    "op_session_dynamic_gap",
+                    # r6 additions (streaming/batch_windows.py)
+                    "op_stream_dedup_within_watermark",
+                    "op_stream_interval_join_outer",
+                    "op_stream_interval_join_full",
+                    "op_stream_interval_join_right"},
     "K_udf": {"op_udf_scalar", "op_udaf", "op_doc_winnow",
               "op_cogroup_asof",
               # r5 additions
@@ -90,10 +102,18 @@ FAMILY_REPS = {
              "op_bm25", "op_span_corruption", "op_token_count",
              # r5 additions (tokenizer/LM toolchain)
              "op_doc_chunk", "op_bpe_pair_counts", "op_bpe_train",
-             "op_bpe_apply", "op_ngram_lm_counts"},
+             "op_bpe_apply", "op_ngram_lm_counts",
+             # r6 additions (operators/text.py — curation signals)
+             "op_span_excise", "op_lm_doc_score",
+             "op_lm_doc_score_heldout", "op_doc_self_repetition",
+             "op_doc_duplication_coverage"},
     "sampling": {"op_stratified_sample", "op_domain_mixture",
-                 "op_shard_assign", "op_grouped_sample"},
-    "subquery": {"op_subquery_scalar", "op_subquery_correlated"},
+                 "op_shard_assign", "op_grouped_sample",
+                 # r6 additions (operators/sampling.py — loader tier)
+                 "op_epoch_shuffle", "op_length_bucketed_batching"},
+    "subquery": {"op_subquery_scalar", "op_subquery_correlated",
+                 # r6 additions (operators/subqueries.py — SQL surfaces)
+                 "op_recursive_cte", "op_sql_pipe_syntax"},
 }
 
 
@@ -108,9 +128,31 @@ def test_priority_names_lead_registration_order():
 
 
 def test_every_family_inside_driver_window():
+    """Every SURVEY §2 family keeps a seat in the window UNLESS every
+    one of its members' latest driver rows is already within the
+    staleness budget — the seat requirement exists to bound
+    verification age, so a uniformly-fresh family may yield its seat to
+    stale names from other families for one rotation (r7: sorts,
+    setops, relational, multimodal are all ≥ r4-fresh and yield to the
+    26 r2-stale names + 22 never-verified r6 registrations)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+        ),
+    )
+    import staleness_audit
+
     window = set(list(load_all_queries())[:50])
     for family, reps in FAMILY_REPS.items():
-        assert reps & window, f"family {family} has no query in the first 50"
+        assert reps & window or staleness_audit.family_is_fresh(reps), (
+            f"family {family} has no query in the first 50 and at least "
+            f"one member is past the staleness budget"
+        )
 
 
 def test_no_queries_lost_by_reordering():
@@ -125,13 +167,13 @@ def test_no_silent_post_freeze_registration():
     whole round. Make that state unreachable: every registered name
     must be inside the pinned window, already driver-verified in a
     prior round (a CORRECTNESS_r*.json row), or explicitly acknowledged
-    in BELOW_FOLD_R6."""
+    in BELOW_FOLD_R7."""
     import glob
     import json
     import os
 
     from universal_data_to_orc_converter_spark.registry import (
-        BELOW_FOLD_R6,
+        BELOW_FOLD_R7,
     )
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -143,10 +185,10 @@ def test_no_silent_post_freeze_registration():
         for n in load_all_queries()
         if n not in DRIVER_PRIORITY
         and n not in verified
-        and n not in BELOW_FOLD_R6
+        and n not in BELOW_FOLD_R7
     ]
     assert not unaccounted, (
         f"queries registered after the driver window was pinned with no "
         f"window slot and no below-fold tag: {unaccounted} — either seat "
-        f"them in DRIVER_PRIORITY or add them to BELOW_FOLD_R6"
+        f"them in DRIVER_PRIORITY or add them to BELOW_FOLD_R7"
     )

@@ -85,78 +85,10 @@ def query(
 DRIVER_PRIORITY: tuple[str, ...] = (
     # headline flagship — always in the window
     "flagship_revenue_by_nation",
-    # (a) the 42 BELOW_FOLD_R5 names — every one registered after the
-    # r5 window froze, locally oracle-/exact-reference-checked but
-    # never driver-verified in any round. Verdict r5 item #1: seat all
-    # of them first; nothing outranks converting last round's work
-    # into driver evidence.
-    "op_incremental_distinct_maintain",
-    "op_stream_python_source",
-    "op_agg_grouping_id",
-    "op_quality_audit",
-    "op_partition_pruned_join",
-    "op_doc_chunk",
-    "op_zorder_clustered_scan",
-    "op_join_fuzzy_blocked",
-    "op_skew_profile",
-    "op_time_weighted_avg",
-    "op_ewma",
-    "op_bpe_pair_counts",
-    "op_winsorize",
-    "op_pagerank",
-    "op_federated_join",
-    "op_surrogate_key",
-    "op_scd2_build",
-    "op_join_interval_overlap",
-    "op_mapinarrow_norm",
-    "op_rank_fusion",
-    "op_ab_test",
-    "op_trend_slope",
-    "op_event_transitions",
-    "op_variant_extract",
-    "op_python_udtf",
-    "op_agg_bucketed_no_shuffle",
-    "op_bpe_train",
-    "op_incremental_file_ingest",
-    "op_graph_triangles",
-    "op_win_rolling_median",
-    "op_ngram_lm_counts",
-    "op_embedding_covariance",
-    "op_duplicate_ngram_spans",
-    "op_stream_dedup_minhash",
-    "op_python_datasource_writer",
-    "op_bpe_apply",
-    "op_stream_python_sink",
-    "op_pca_project",
-    "op_kmeans",
-    "op_observed_metrics",
-    "op_session_dynamic_gap",
-    "op_manifest_audit",
-    # (b) 7 seats for the families the 42 above leave uncovered
-    # (relational, sorts, setops, scalar, multimodal, sampling,
-    # subquery), filled with each family's STALEST ledger row
-    # (COVERAGE.md): op_filter/op_cast/op_union_all/op_multimodal_meta/
-    # op_stratified_sample last verified r2, op_sort/op_subquery_scalar
-    # r3.
-    "op_filter",
-    "op_sort",
-    "op_union_all",
-    "op_cast",
-    "op_multimodal_meta",
-    "op_stratified_sample",
-    "op_subquery_scalar",
-)
-
-#: Names registered AFTER this round's DRIVER_PRIORITY was pinned that
-#: deliberately wait below the fold for the next rotation. Every
-#: registered query must be (1) in DRIVER_PRIORITY, (2) already
-#: driver-verified in a prior round's CORRECTNESS file, or (3) listed
-#: here — tests/test_registry_order.py fails otherwise, so a
-#: post-freeze registration can never again be silently unverified
-#: (r4 accumulated 14 such names before this gate existed). The r5
-#: set (42 names) is fully seated in the r6 window above; new r6
-#: registrations accumulate here for the r7 rotation.
-BELOW_FOLD_R6: frozenset[str] = frozenset({
+    # (a) the 22 BELOW_FOLD_R6 names — every one registered after the
+    # r6 window froze, locally oracle-/exact-reference-checked but
+    # never driver-verified in any round. Verdict r6 item #1: seat all
+    # of them first.
     "op_doc_self_repetition",
     "op_doc_duplication_coverage",
     "op_quantile_histogram_maintain",
@@ -179,6 +111,59 @@ BELOW_FOLD_R6: frozenset[str] = frozenset({
     "op_stream_interval_join_right",
     "op_epoch_shuffle",
     "op_length_bucketed_batching",
+    # (b) the one op MODIFIED after its latest green row: the r6
+    # approx_users HLL column grew its schema after the r5 driver row,
+    # so its only driver evidence predates its current shape
+    # (verdict r6 item #2 — highest re-verify priority).
+    "op_incremental_agg_maintain",
+    # (c) the stalest previously-verified names: 26 of the 28 queries
+    # whose latest driver row is r2 (three rounds old). The two NEWEST
+    # of the 28 by registration order (op_time_rollup, op_funnel) carry
+    # below-fold to r8 — neither is a sole family representative, and
+    # the staleness budget (latest ≥ round−5, see
+    # scripts/staleness_audit.py) still holds for them at r7.
+    "op_agg_groupby",
+    "op_dedup_simhash",
+    "op_dedup_embedding",
+    "op_sim_ann_ivf",
+    "op_text_stats",
+    "op_token_count",
+    "op_doc_fingerprint",
+    "op_token_topk",
+    "op_quality_filter",
+    "op_dataset_split",
+    "op_collocations",
+    "op_vocab_encode",
+    "op_udf_scalar",
+    "op_udtf_grouped_map",
+    "op_pivot",
+    "op_win_rank",
+    "op_win_lag_lead",
+    "op_win_frame",
+    "op_date_funcs",
+    "op_math_funcs",
+    "op_null_handling",
+    "op_json_funcs",
+    "op_array_funcs",
+    "op_stream_tumbling",
+    "op_stream_sliding",
+    "op_stream_session",
+)
+
+#: Names registered AFTER this round's DRIVER_PRIORITY was pinned that
+#: deliberately wait below the fold for the next rotation. Every
+#: registered query must be (1) in DRIVER_PRIORITY, (2) already
+#: driver-verified in a prior round's CORRECTNESS file, or (3) listed
+#: here — tests/test_registry_order.py fails otherwise, so a
+#: post-freeze registration can never again be silently unverified
+#: (r4 accumulated 14 such names before this gate existed). The r6
+#: set (22 names) is fully seated in the r7 window above; the two
+#: r2-stale overflow names (window math 1+22+1+28 = 52 > 50) wait here
+#: with first-in-line priority for r8, and new r7 registrations
+#: accumulate alongside them.
+BELOW_FOLD_R7: frozenset[str] = frozenset({
+    "op_time_rollup",
+    "op_funnel",
 })
 
 
