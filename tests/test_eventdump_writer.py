@@ -36,9 +36,14 @@ def test_commit_publishes_parts_and_manifest(spark):
     assert len(parts) == 4, "one published part per task expected"
     # driver commit is the ONLY publisher: no temp residue survives
     assert not os.path.isdir(os.path.join(out, "_tmp"))
-    # the manifest's total equals the source row count
+    # the manifest's total (line 1) equals the source row count, and
+    # its per-part ledger names exactly the published parts
     with open(os.path.join(out, "_SUCCESS")) as f:
-        assert int(f.read().strip()) == n
+        lines = f.read().splitlines()
+    assert int(lines[0]) == n
+    ledger = dict(ln.split("\t") for ln in lines[1:])
+    assert sorted(ledger) == [os.path.basename(p) for p in parts]
+    assert sum(int(v) for v in ledger.values()) == n
     # and the physical lines add up to the manifest
     lines = sum(1 for p in parts for _ in open(p))
     assert lines == n
@@ -139,7 +144,7 @@ def test_append_jobs_do_not_clobber_and_overwrite_clears(spark):
     lines = sum(1 for p in parts for _ in open(p))
     assert lines == 2 * n
     with open(os.path.join(out, "_SUCCESS")) as f:
-        assert int(f.read().strip()) == 2 * n
+        assert int(f.readline().strip()) == 2 * n
 
     (
         e.repartition(3)
@@ -152,4 +157,56 @@ def test_append_jobs_do_not_clobber_and_overwrite_clears(spark):
     assert len(parts) == 3, "overwrite must clear previous parts"
     assert sum(1 for p in parts for _ in open(p)) == n
     with open(os.path.join(out, "_SUCCESS")) as f:
-        assert int(f.read().strip()) == n
+        assert int(f.readline().strip()) == n
+
+
+def test_append_recovers_true_total_after_crashed_manifest(spark):
+    """The r6-advice drift case: a prior job crashed after renaming its
+    parts but before writing _SUCCESS (simulated by deleting the
+    manifest). The next append must recompute the destination total
+    from the parts actually on disk — not silently under-count."""
+    spark.dataSource.register(EventDumpSink)
+    out = tempfile.mkdtemp(prefix="eventdump_t4_")
+    e = load(spark, SF_DIR, "events").select(
+        "event_id", "event_type", "value"
+    )
+    n = e.count()
+
+    (
+        e.repartition(2)
+        .write.format("eventdump")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    # crash artifact: parts published, manifest lost
+    os.remove(os.path.join(out, "_SUCCESS"))
+
+    (
+        e.repartition(2)
+        .write.format("eventdump")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    parts = sorted(glob.glob(os.path.join(out, "part-*.dump")))
+    assert len(parts) == 4
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        lines = f.read().splitlines()
+    assert int(lines[0]) == 2 * n, (
+        "manifest total must match the destination's actual contents "
+        "even when the prior job's manifest commit was lost"
+    )
+    # and a deleted part's dangling ledger entry is dropped too
+    os.remove(parts[0])
+    (
+        e.repartition(1)
+        .write.format("eventdump")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    live = sorted(glob.glob(os.path.join(out, "part-*.dump")))
+    actual = sum(1 for p in live for _ in open(p))
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        assert int(f.readline().strip()) == actual

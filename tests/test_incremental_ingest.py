@@ -102,3 +102,49 @@ def test_ingest_retry_with_new_arrivals_not_double_counted(spark):
     paths = [os.path.join(landing, f) for f in files[:3]]
     expected = spark.read.parquet(*paths).count()
     assert _state_total(spark, state) == expected
+
+
+def test_same_basename_in_subdirs_get_distinct_fids(spark):
+    """The r6-advice collision: two landing files with the SAME
+    basename in different subdirectories must hash to distinct fid
+    partitions (fid is over the landing-RELATIVE path, not the
+    basename) — otherwise one file's retry dynamic-partition-overwrite
+    silently discards the other file's partial state."""
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="ingest_bn_")
+    landing = os.path.join(work, "landing")
+    e = load(spark, SF_DIR, "events").select(
+        "event_id", "event_type", "value"
+    )
+    half = e.filter(F.col("event_id") % 2 == 0)
+    other = e.filter(F.col("event_id") % 2 == 1)
+    # identical basename `part.parquet` under two subdirectories
+    for sub, df in (("day=1", half), ("day=2", other)):
+        d = os.path.join(landing, sub)
+        os.makedirs(d)
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(work, "stage")
+        )
+        src = next(
+            f
+            for f in os.listdir(os.path.join(work, "stage"))
+            if f.endswith(".parquet")
+        )
+        shutil.copy(
+            os.path.join(work, "stage", src),
+            os.path.join(d, "part.parquet"),
+        )
+    files = ["day=1/part.parquet", "day=2/part.parquet"]
+    state = os.path.join(work, "state")
+    manifest = os.path.join(work, "manifest")
+
+    # ingest file 1, then RETRY-style ingest file 2 alone: if both
+    # hashed to one fid, the second write would overwrite the first
+    assert ingest_new_files(spark, landing, files[:1], state, manifest) == 1
+    assert ingest_new_files(spark, landing, files[1:], state, manifest) == 1
+    assert _state_total(spark, state) == e.count()
+    fids = [d for d in os.listdir(state) if d.startswith("fid=")]
+    assert len(fids) == 2, f"expected 2 fid partitions, got {fids}"
+    shutil.rmtree(work)

@@ -527,7 +527,7 @@ def test_duplication_coverage_two_fixed_width_exchanges(spark):
     assert len(keys) == 2, f"expected 2 hash exchanges, got {keys}"
     assert any(k.startswith("gh#") for k in keys), keys
     assert any(k.startswith("doc_id#") for k in keys), keys
-    spark.catalog.clearCache()
+    # no clearCache needed: the lazy path never persists (r6 advice)
 
 
 def test_lm_doc_score_exchanges_are_fixed_width(spark):
@@ -553,8 +553,7 @@ def test_lm_doc_score_exchanges_are_fixed_width(spark):
             f"exchange partitions on {k!r} — trigram strings leaked "
             "into a shuffle key"
         )
-    # the lazy path leaves the instance cache caller-owned: release it
-    spark.catalog.clearCache()
+    # no clearCache needed: the lazy path never persists (r6 advice)
 
 
 def test_span_excise_exchanges_are_fixed_width(spark):

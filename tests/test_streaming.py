@@ -293,6 +293,30 @@ def test_stream_interval_join_equals_batch(spark):
     assert as_sets(batch, cols) == as_sets(stream, cols)
 
 
+def test_heartbeat_join_cleans_staging_and_checkpoints(spark):
+    """The outer-join heartbeat machinery stages a corpus-sized copy of
+    events.parquet plus a checkpoint dir per invocation; both must be
+    reclaimed once the stream drains (r6 advice — three ops each leaked
+    one staged corpus per call). The result must stay collectable AFTER
+    cleanup (memory sink is driver-resident, not file-backed)."""
+    import glob
+    import tempfile
+
+    from universal_data_to_orc_converter_spark.registry import QUERIES
+
+    tmp = tempfile.gettempdir()
+
+    def live(pattern):
+        return {p for p in glob.glob(os.path.join(tmp, pattern))}
+
+    before_stage, before_ckpt = live("ssoj_*"), live("ckpt_*")
+    out = QUERIES["op_stream_interval_join_outer"].fn(spark, SF_DIR)
+    rows = out.count()
+    assert rows > 0
+    assert live("ssoj_*") == before_stage, "staged events copy leaked"
+    assert live("ckpt_*") == before_ckpt, "checkpoint dir leaked"
+
+
 def test_tws_stateful_matches_legacy_api(spark):
     """transformWithStateInPandas (Spark 4 stateful API) must produce
     the same per-user accumulator rows as the applyInPandasWithState

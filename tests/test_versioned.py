@@ -38,7 +38,13 @@ def test_commit_read_roundtrip_and_latest(spark, tmp_path):
 def test_crashed_commit_leaves_no_visible_version(spark, tmp_path):
     """A commit that died between the snapshot write and the rename
     leaves only a .tmp orphan: readers ignore it, the version list is
-    unchanged, and the NEXT commit sweeps it and publishes normally."""
+    unchanged, later commits publish normally AND leave the orphan
+    alone (it could be a concurrent writer's live staging dir — only
+    the grace-period vacuum may reclaim it)."""
+    from universal_data_to_orc_converter_spark.sinks.versioned import (
+        vacuum_versions,
+    )
+
     t = str(tmp_path / "tbl")
     commit_version(_df(spark, "a"), t)
     # simulate the crash artifact
@@ -48,7 +54,40 @@ def test_crashed_commit_leaves_no_visible_version(spark, tmp_path):
     latest = read_version(spark, t)
     assert latest.filter(F.col("tag") == "torn").count() == 0
     assert commit_version(_df(spark, "b"), t) == 2
-    assert not os.path.isdir(orphan), "next commit must sweep orphans"
+    assert os.path.isdir(orphan), (
+        "a commit must NOT sweep .tmp dirs — a concurrent writer may "
+        "still be staging into one"
+    )
+    # within the grace period the vacuum leaves it alone too...
+    vacuum_versions(t, keep=2)
+    assert os.path.isdir(orphan)
+    # ...and reclaims it once it has aged past the grace period
+    vacuum_versions(t, keep=2, tmp_grace_seconds=0.0)
+    assert not os.path.isdir(orphan)
+
+
+def test_concurrent_writer_staging_survives_other_commit(spark, tmp_path):
+    """The r6-advice race: writer A is mid-stage (its .tmp dir exists,
+    rename not yet issued) while writer B commits. B's commit must not
+    delete A's staging dir; A's subsequent publish must land intact."""
+    import shutil
+    import uuid
+
+    t = str(tmp_path / "tbl")
+    commit_version(_df(spark, "base"), t)
+    # writer A stages (what commit_version does before its rename)
+    a_tmp = os.path.join(t, f".tmp-{uuid.uuid4().hex}")
+    _df(spark, "a").write.parquet(a_tmp)
+    # writer B runs a full commit concurrently
+    assert commit_version(_df(spark, "b"), t) == 2
+    assert os.path.isdir(a_tmp), "B's commit deleted A's staging dir"
+    # A now publishes: retries past the occupied slots, lands on v=3
+    n = 3
+    os.rename(a_tmp, os.path.join(t, f"v={n}"))
+    got = read_version(spark, t, n)
+    assert got.count() == 5
+    assert got.select("tag").distinct().collect()[0]["tag"] == "a"
+    shutil.rmtree(t)
 
 
 def test_rename_race_retries_next_slot(spark, tmp_path):

@@ -288,9 +288,20 @@ def ingest_new_files(
     batch = spark.read.parquet(
         *[os.path.join(landing, f) for f in new_files]
     )
-    fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    # fid hashes the LANDING-RELATIVE path, not the basename: two
+    # files named part-0.parquet in different landing subdirectories
+    # must get distinct fid partitions, or one file's retry would
+    # dynamic-partition-overwrite the other's partial state (r6
+    # advice). input_file_name() is a full URI (file:///...); strip
+    # everything through the landing root with a literal locate —
+    # no regex-escaping of path characters needed.
+    abs_landing = os.path.abspath(landing).rstrip("/") + "/"
+    uri = F.input_file_name()
+    rel = F.substring(
+        uri, F.locate(abs_landing, uri) + len(abs_landing), 4096
+    )
     partial = batch.groupBy(
-        F.substring(F.sha2(fname, 256), 1, 16).alias("fid"),
+        F.substring(F.sha2(rel, 256), 1, 16).alias("fid"),
         "event_type",
     ).agg(
         F.count("*").alias("n_events"),

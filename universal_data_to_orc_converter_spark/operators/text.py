@@ -1599,8 +1599,13 @@ def op_doc_duplication_coverage(
     # every one of its rows to a single window task (see
     # op_lm_doc_score's notes). The pair stream feeds both the count
     # build and the probe, so it is cached for the op's duration and
-    # the 50-row answer materialized eagerly before release.
-    dg = dg.persist()
+    # the 50-row answer materialized eagerly before release. The lazy
+    # (_materialize=False) path skips the persist entirely — plan
+    # tests never execute the pipeline, and a caller-owned cache with
+    # no handle to unpersist would accumulate across calls (r6
+    # advice).
+    if _materialize:
+        dg = dg.persist()
     try:
         counts = dg.groupBy("gh").agg(F.count("*").alias("nd"))
         out = (
@@ -1728,8 +1733,11 @@ def op_lm_doc_score(
     # AQE-skew-splittable — the same formulation as the heldout
     # variant below. The instance stream feeds three consumers
     # (tc, cc, probe), so it is cached for the op's duration and the
-    # 50-row answer materialized eagerly before release.
-    tri = tri.persist()
+    # 50-row answer materialized eagerly before release. Lazy path
+    # skips the persist — plan tests never execute, and an orphaned
+    # caller-owned cache would accumulate across calls (r6 advice).
+    if _materialize:
+        tri = tri.persist()
     try:
         tc = tri.groupBy("th").agg(F.count("*").alias("tri_c"))
         cc = tri.groupBy("ch").agg(F.count("*").alias("ctx_c"))

@@ -12,7 +12,10 @@ half-written version because the only mutation visible to them is the
 atomic directory rename (the same publish discipline as the Python
 DataSource writer's task-temp protocol, one level up). A crashed
 commit leaves only an orphaned ``.tmp-*`` dir, which readers ignore
-and the next commit sweeps. Concurrent writers race on the rename:
+and ``vacuum_versions`` sweeps once it is older than a grace period —
+commits themselves never touch other writers' tmp dirs, so a sweep
+can never delete a concurrent commit's in-progress staging directory
+out from under it. Concurrent writers race on the rename:
 the loser's target already exists, so it retries with the next
 version number — last-writer-wins per version slot, never a torn mix
 of two snapshots.
@@ -53,12 +56,13 @@ def list_versions(table_dir: str) -> list[int]:
 def commit_version(df: DataFrame, table_dir: str) -> int:
     """Publish ``df`` as the next snapshot version; returns the
     version number. Crash-safe (tmp-dir + atomic rename) and
-    race-safe (rename loser retries the next slot)."""
+    race-safe (rename loser retries the next slot). Deliberately does
+    NOT sweep ``.tmp-*`` orphans: a sweep here could rmtree a
+    CONCURRENT commit's staging dir mid-write (failing that job, or
+    worse letting it publish a partially-deleted directory). Orphans
+    from crashed commits are reclaimed by ``vacuum_versions`` after a
+    grace period instead."""
     os.makedirs(table_dir, exist_ok=True)
-    # sweep orphans from crashed commits (best effort)
-    for name in os.listdir(table_dir):
-        if name.startswith(".tmp-"):
-            shutil.rmtree(os.path.join(table_dir, name), ignore_errors=True)
     tmp = os.path.join(table_dir, f".tmp-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(tmp)
     while True:
@@ -74,19 +78,50 @@ def commit_version(df: DataFrame, table_dir: str) -> int:
             # lost the race for slot n: retry with the next number
 
 
-def vacuum_versions(table_dir: str, keep: int = 2) -> list[int]:
+#: Orphaned ``.tmp-*`` staging dirs younger than this are presumed to
+#: belong to an in-flight commit and are left alone by the vacuum.
+#: Generous on purpose: deleting a live writer's staging dir breaks
+#: the torn-snapshot guarantee, while keeping a crashed commit's
+#: orphan an extra day costs only disk.
+TMP_GRACE_SECONDS = 24 * 3600
+
+
+def vacuum_versions(
+    table_dir: str,
+    keep: int = 2,
+    tmp_grace_seconds: float = TMP_GRACE_SECONDS,
+) -> list[int]:
     """Retention: drop all but the newest ``keep`` versions; returns
     the versions removed. The newest version is never removable
     (keep >= 1 enforced), and removal is per-directory — a reader
     holding an older version's DataFrame keeps working until its
     files go, exactly the table-format VACUUM contract (readers of
     vacuumed history fail loudly on next access, current readers are
-    untouched)."""
+    untouched).
+
+    Also reclaims ``.tmp-*`` staging dirs orphaned by crashed commits,
+    but ONLY those whose mtime is older than ``tmp_grace_seconds`` —
+    a younger tmp dir may be a concurrent writer's in-progress commit,
+    and sweeping it would re-open the torn-snapshot window this layer
+    exists to close."""
+    import time
+
     keep = max(1, keep)
     removed = []
     for n in list_versions(table_dir)[:-keep]:
         shutil.rmtree(os.path.join(table_dir, f"v={n}"))
         removed.append(n)
+    if os.path.isdir(table_dir):
+        cutoff = time.time() - tmp_grace_seconds
+        for name in os.listdir(table_dir):
+            if not name.startswith(".tmp-"):
+                continue
+            path = os.path.join(table_dir, name)
+            try:
+                if os.path.getmtime(path) < cutoff:
+                    shutil.rmtree(path, ignore_errors=True)
+            except OSError:
+                pass  # raced with its own writer's rename — fine
     return removed
 
 

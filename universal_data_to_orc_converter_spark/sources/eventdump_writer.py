@@ -12,8 +12,11 @@ task-temp + driver-commit protocol every distributed writer needs:
   directly to the final location;
 * the DRIVER's ``commit`` renames every acknowledged part into place
   (``part-<job>-<i>.dump`` — the per-job id keeps successive append
-  jobs' name sets disjoint) and writes a ``_SUCCESS`` manifest with
-  the destination's total row count — an atomic publish: a failed or
+  jobs' name sets disjoint) and writes a ``_SUCCESS`` manifest: the
+  destination's total row count on line 1 followed by a per-part
+  ``name<TAB>rows`` ledger, rebuilt each commit against the parts
+  actually on disk (a prior crash between rename and manifest write
+  can't make the total drift) — an atomic publish: a failed or
   speculative task attempt's file is simply never renamed. The
   ``overwrite`` save-mode flag is honored: overwrite clears prior
   parts before publishing, append keeps them;
@@ -85,30 +88,47 @@ class _EventDumpWriter(DataSourceWriter):
         import shutil
 
         tmp_dir = os.path.join(self.path, "_tmp")
-        total = 0
         if self.overwrite:
             # SaveMode.Overwrite: clear previously published parts
             # before publishing this job's (v1-commit semantics: the
             # clear+rename window is the known non-atomic trade-off)
             for old in glob.glob(os.path.join(self.path, "part-*.dump")):
                 os.remove(old)
-        else:
-            # SaveMode.Append: keep prior parts; manifest stays the
-            # destination's running total
-            success = os.path.join(self.path, "_SUCCESS")
-            if os.path.exists(success):
-                with open(success) as f:
-                    total = int(f.read().strip() or 0)
+        # manifest = per-part ledger (`name<TAB>rows`, total on line 1)
+        # rebuilt against the DESTINATION'S ACTUAL PARTS, not trusted
+        # blindly: a prior job that crashed after renaming parts but
+        # before writing _SUCCESS leaves ledger-less parts, and a
+        # deleted part leaves a dangling entry — seeding the running
+        # total from the stale manifest would drift from the real
+        # contents (r6 advice). Known parts keep their recorded counts
+        # (metadata-only); only crash orphans — normally none — pay a
+        # line-count read.
+        ledger: dict[str, int] = {}
+        success = os.path.join(self.path, "_SUCCESS")
+        if not self.overwrite and os.path.exists(success):
+            with open(success) as f:
+                for line in f.read().splitlines()[1:]:
+                    name, _, rows = line.partition("\t")
+                    ledger[name] = int(rows)
+        published = {
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(self.path, "part-*.dump"))
+        }
+        ledger = {n: r for n, r in ledger.items() if n in published}
+        for orphan in sorted(published - ledger.keys()):
+            with open(os.path.join(self.path, orphan)) as f:
+                ledger[orphan] = sum(1 for _ in f)
         for i, m in enumerate(messages):
+            name = f"part-{self.job_id}-{i:05d}.dump"
             os.replace(
                 os.path.join(tmp_dir, m.tmp_name),
-                os.path.join(
-                    self.path, f"part-{self.job_id}-{i:05d}.dump"
-                ),
+                os.path.join(self.path, name),
             )
-            total += m.rows
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
-            f.write(str(total) + "\n")
+            ledger[name] = m.rows
+        with open(success, "w") as f:
+            f.write(str(sum(ledger.values())) + "\n")
+            for name in sorted(ledger):
+                f.write(f"{name}\t{ledger[name]}\n")
         shutil.rmtree(tmp_dir, ignore_errors=True)
 
     def abort(self, messages) -> None:

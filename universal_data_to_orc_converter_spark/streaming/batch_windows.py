@@ -589,9 +589,10 @@ def _stream_interval_join_heartbeat(
     import os
     import shutil
     import tempfile
-    from datetime import datetime
+    from datetime import timedelta
 
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from .runner import run_available_now
@@ -608,16 +609,22 @@ def _stream_interval_join_heartbeat(
     # heartbeat file: one far-future row PER SIDE (the global watermark
     # is the min over both sides' watermarks, each fed only by rows
     # passing its own type filter); distinct sentinel users so the two
-    # heartbeats cannot join each other and never emit
+    # heartbeats cannot join each other and never emit. The heartbeat
+    # timestamp is DERIVED from the data — max(event ts) + a margin
+    # comfortably past watermark delay (10 min) + join interval
+    # (30 min) — not a fixed far-future date, so a fixture with any
+    # event-time range flushes correctly instead of being silently
+    # watermark-dropped by a heartbeat that lands in its past.
     schema = pq.read_schema(real)
-    hb = datetime(2030, 1, 1)
+    max_ts = pc.max(pq.read_table(real, columns=["ts"])["ts"]).as_py()
     cols = {}
     for field in schema:
         if field.name == "ts":
             if pa.types.is_timestamp(field.type):
+                hb = max_ts + timedelta(days=1)
                 arr = pa.array([hb, hb], type=field.type)
             else:  # TIMESTAMP(NANOS) era fixtures surface as int64
-                ns = int(hb.timestamp() * 1_000_000_000)
+                ns = int(max_ts) + 86_400 * 1_000_000_000
                 arr = pa.array([ns, ns], type=field.type)
         elif field.name == "event_id":
             arr = pa.array([-1, -2], type=field.type)
@@ -666,11 +673,17 @@ def _stream_interval_join_heartbeat(
         & (F.col("p_ts") < F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
         how,
     )
-    return run_available_now(
-        j.select("v_user", "v_id", "p_user", "p_id"),
-        output_mode="append",
-        timeout_sec=180,
-    )
+    try:
+        return run_available_now(
+            j.select("v_user", "v_id", "p_user", "p_id"),
+            output_mode="append",
+            timeout_sec=180,
+        )
+    finally:
+        # the memory sink is driver-resident once the stream drains;
+        # the corpus-sized staging copy must not outlive the op (it
+        # used to leak one events.parquet copy per invocation)
+        shutil.rmtree(src, ignore_errors=True)
 
 
 @query(

@@ -11,6 +11,7 @@ once, with progress tracked in a checkpoint instead of the reference's
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 
@@ -63,16 +64,23 @@ def run_available_now(
     a memory sink; returns the sink table as a (batch) DataFrame."""
     spark = result.sparkSession
     name = f"sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_sec)
-    return spark.table(name)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+        return spark.table(name)
+    finally:
+        # the memory-sink table is driver-resident and the availableNow
+        # query never resumes — the checkpoint is dead weight once the
+        # stream drains (it used to leak one dir per invocation)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def stream_to_orc(
