@@ -82,3 +82,55 @@ def test_oracle_types_pandas_safe(smoke_oracle, name):
             "cast it (HUGEINT comes from SUM(BIGINT); wrap in "
             "CAST(... AS BIGINT))"
         )
+
+
+def test_comoment_cast_to_double_rounds_identically(spark, smoke_oracle):
+    """Writing this test (r6 verdict #6) DISPROVED the original claim:
+    DuckDB's direct HUGEINT→DOUBLE cast is NOT correctly rounded above
+    2^53 (e.g. -(2^60+2^7+1) lands on a non-nearest double; ~4% of
+    random wide integers diverge, more for negatives), so product-of-
+    sums oracles (op_corr_matrix ~1e22, op_trend_slope determinants)
+    could hash-mismatch at another scale factor. The sanctioned oracle
+    idiom is therefore exprs.sql_wide_to_double — CAST(...AS VARCHAR)
+    then to DOUBLE, whose strtod parse IS IEEE round-half-even. This
+    test pins (a) Spark's decimal→double = Python's exact-int→double
+    (round-half-even) on adversarial magnitudes, (b) DuckDB's VARCHAR
+    path matching both, and (c) the known direct-cast divergence that
+    forced the idiom (so a DuckDB upgrade that fixes it is noticed)."""
+    from universal_data_to_orc_converter_spark.exprs import (
+        sql_wide_to_double,
+    )
+
+    cases = [
+        2**53 + 1,           # tie: rounds to even (2^53)
+        2**53 + 3,           # tie: rounds to even (2^53 + 4)
+        2**53 + 5,           # non-tie
+        2**60 + 2**7 + 1,    # low bits lost
+        2**62 + 3,
+        2**63 - 1,           # BIGINT max (DuckDB side stays HUGEINT-safe)
+        10**22 + 10**7 + 1,  # p11's real magnitude on lineitem
+        10**22 + 5 * 10**5,
+    ]
+    for v in cases:
+        for sign in (1, -1):
+            x = sign * v
+            py = float(x)  # Python's exact-int → double is round-half-even
+            sp = spark.sql(
+                f"SELECT CAST(CAST('{x}' AS DECIMAL(38,0)) AS DOUBLE) AS d"
+            ).collect()[0]["d"]
+            safe = sql_wide_to_double(f"CAST('{x}' AS HUGEINT)")
+            du = smoke_oracle.sql(f"SELECT {safe} AS d").fetchone()[0]
+            assert sp == du == py, (
+                f"cast divergence at {x}: spark={sp!r} duck={du!r} py={py!r}"
+            )
+    # the divergence that forced the VARCHAR idiom — if this starts
+    # failing, DuckDB fixed its direct cast and the idiom is optional
+    bad = -(2**60 + 2**7 + 1)
+    direct = smoke_oracle.sql(
+        f"SELECT CAST(CAST('{bad}' AS HUGEINT) AS DOUBLE) AS d"
+    ).fetchone()[0]
+    assert direct != float(bad), (
+        "DuckDB's direct HUGEINT->DOUBLE cast became correctly "
+        "rounded — sql_wide_to_double is no longer load-bearing; "
+        "update exprs.py's rationale comment"
+    )

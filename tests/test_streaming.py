@@ -565,3 +565,102 @@ def test_rocksdb_state_store_matches_default_provider(spark):
         spark.conf.unset(key)
     assert rocks_rows == default_rows
     assert default_rows, "aggregation produced no rows; test is vacuous"
+
+
+def test_dedup_within_watermark_state_plateaus(spark):
+    """Live evidence for op_stream_dedup_within_watermark's
+    bounded-state claim (r6 verdict #5): feed 6 micro-batches whose
+    event times advance one hour per batch under a 30-minute
+    watermark. dropDuplicatesWithinWatermark must (a) still emit every
+    key exactly once, and (b) finish with FAR fewer state rows than
+    total keys — the watermark evicted expired batches' keys — while
+    plain dropDuplicates retains every key ever seen in state."""
+    import shutil
+    import time as _time
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    n_batches, keys_per_batch = 6, 100
+    src = tempfile.mkdtemp(prefix="ddww_state_")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    base = DT(2024, 1, 1, 0, 0, 0)
+    now = _time.time()
+    for b in range(n_batches):
+        from datetime import timedelta
+
+        rows = [
+            (b * keys_per_batch + k, base + timedelta(hours=b))
+            for k in range(keys_per_batch)
+        ]
+        path = os.path.join(src, f"batch_{b}.parquet")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(path)
+        # pin file-source batch order: one hour of mtime per batch
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                p = os.path.join(root, f)
+                os.utime(p, (now - 3600 * (n_batches - b), ) * 2)
+        os.utime(path, (now - 3600 * (n_batches - b), ) * 2)
+
+    def run(dedup_fn):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(src, "*.parquet"))
+            .withWatermark("ts", "30 minutes")
+        )
+        out = dedup_fn(stream).select("event_id")
+        name = f"ddww_{dedup_fn.__name__}"
+        ckpt = tempfile.mkdtemp(prefix="ckpt_ddww_")
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        state_rows = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in q.recentProgress
+            if p["stateOperators"]
+        ]
+        got = sorted(r[0] for r in spark.table(name).collect())
+        shutil.rmtree(ckpt, ignore_errors=True)
+        return got, state_rows
+
+    def within_watermark(s):
+        return s.dropDuplicatesWithinWatermark(["event_id"])
+
+    def plain(s):
+        return s.dropDuplicates(["event_id"])
+
+    total = n_batches * keys_per_batch
+    got, state = run(within_watermark)
+    assert got == list(range(total)), "a key was lost or duplicated"
+    assert state, "no state-operator progress recorded"
+    assert max(state) < total, (
+        f"state never evicted: peak {max(state)} rows == total keys"
+    )
+    assert state[-1] <= 2 * keys_per_batch, (
+        f"final state {state[-1]} rows — expected ~one live batch of "
+        f"{keys_per_batch} keys after watermark eviction"
+    )
+
+    got_p, state_p = run(plain)
+    assert got_p == list(range(total))
+    assert state_p[-1] == total, (
+        "plain dropDuplicates should retain every key in state — the "
+        "caveat op_stream_dedup's notes document"
+    )
+    shutil.rmtree(src, ignore_errors=True)

@@ -65,15 +65,25 @@ def revenue() -> Column:
 
 # SQL fragments mirroring the above for oracle strings. DuckDB's
 # BIGINT sum widens to HUGEINT — exact like Spark's decimal(28,0).
+# The final integer→double conversion goes THROUGH VARCHAR: DuckDB's
+# direct HUGEINT→DOUBLE cast is not correctly rounded (measured: ~4%
+# of random >2^53 integers land on a non-nearest double, more for
+# negatives), while its string→double parse is IEEE
+# round-half-even — matching Spark's decimal→double and Java's
+# long→double exactly. Within 2^53 both paths agree, so this is free
+# insurance for the small-SF driver gate and REQUIRED for
+# product-of-sums magnitudes (see op_corr_matrix, ~1e22).
+def sql_wide_to_double(expr: str) -> str:
+    """Correctly-rounded DuckDB cast of an exact wide integer (BIGINT/
+    HUGEINT/DECIMAL) expression to DOUBLE."""
+    return f"CAST(CAST(({expr}) AS VARCHAR) AS DOUBLE)"
+
+
 def sql_dsum(expr: str, alias: str) -> str:
-    return (
-        f"CAST(SUM(CAST(FLOOR(({expr}) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)"
-        f" / 1000000.0 AS {alias}"
-    )
+    s = f"SUM(CAST(FLOOR(({expr}) * 1000000 + 0.5) AS BIGINT))"
+    return f"{sql_wide_to_double(s)} / 1000000.0 AS {alias}"
 
 
 def sql_davg(expr: str, alias: str) -> str:
-    return (
-        f"CAST(SUM(CAST(FLOOR(({expr}) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)"
-        f" / 1000000.0 / COUNT({expr}) AS {alias}"
-    )
+    s = f"SUM(CAST(FLOOR(({expr}) * 1000000 + 0.5) AS BIGINT))"
+    return f"{sql_wide_to_double(s)} / 1000000.0 / COUNT({expr}) AS {alias}"

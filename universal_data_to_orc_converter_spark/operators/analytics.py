@@ -203,8 +203,8 @@ def op_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM based GROUP BY user_id
         )
         SELECT user_id, n,
-               CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE) / 1000000.0
+               CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) / 1000000.0
                  AS slope_per_sec
         FROM g
         WHERE n * sxx - sx * sx > 0
@@ -398,25 +398,25 @@ _CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         )
         SELECT * FROM (
           SELECT 'l_quantity' AS col_a, 'l_quantity' AS col_b,
-                 CAST(n*p00 - s0*s0 AS DOUBLE) AS cov_num FROM s
+                 CAST(CAST(n*p00 - s0*s0 AS VARCHAR) AS DOUBLE) AS cov_num FROM s
           UNION ALL SELECT 'l_quantity', 'l_extendedprice',
-                 CAST(n*p01 - s0*s1 AS DOUBLE) FROM s
+                 CAST(CAST(n*p01 - s0*s1 AS VARCHAR) AS DOUBLE) FROM s
           UNION ALL SELECT 'l_quantity', 'l_discount',
-                 CAST(n*p02 - s0*s2 AS DOUBLE) FROM s
+                 CAST(CAST(n*p02 - s0*s2 AS VARCHAR) AS DOUBLE) FROM s
           UNION ALL SELECT 'l_quantity', 'l_tax',
-                 CAST(n*p03 - s0*s3 AS DOUBLE) FROM s
+                 CAST(CAST(n*p03 - s0*s3 AS VARCHAR) AS DOUBLE) FROM s
           UNION ALL SELECT 'l_extendedprice', 'l_extendedprice',
-                 CAST(n*p11 - s1*s1 AS DOUBLE) FROM s
+                 CAST(CAST(n*p11 - s1*s1 AS VARCHAR) AS DOUBLE) FROM s
           UNION ALL SELECT 'l_extendedprice', 'l_discount',
-                 CAST(n*p12 - s1*s2 AS DOUBLE) FROM s
+                 CAST(CAST(n*p12 - s1*s2 AS VARCHAR) AS DOUBLE) FROM s
           UNION ALL SELECT 'l_extendedprice', 'l_tax',
-                 CAST(n*p13 - s1*s3 AS DOUBLE) FROM s
+                 CAST(CAST(n*p13 - s1*s3 AS VARCHAR) AS DOUBLE) FROM s
           UNION ALL SELECT 'l_discount', 'l_discount',
-                 CAST(n*p22 - s2*s2 AS DOUBLE) FROM s
+                 CAST(CAST(n*p22 - s2*s2 AS VARCHAR) AS DOUBLE) FROM s
           UNION ALL SELECT 'l_discount', 'l_tax',
-                 CAST(n*p23 - s2*s3 AS DOUBLE) FROM s
+                 CAST(CAST(n*p23 - s2*s3 AS VARCHAR) AS DOUBLE) FROM s
           UNION ALL SELECT 'l_tax', 'l_tax',
-                 CAST(n*p33 - s3*s3 AS DOUBLE) FROM s
+                 CAST(CAST(n*p33 - s3*s3 AS VARCHAR) AS DOUBLE) FROM s
         )
     """,
     notes="Pairwise covariance/correlation numerators for the four "
@@ -430,11 +430,13 @@ _CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     "Values quantize to 1e3 fixed-point and every co-moment "
     "accumulates as exact wide integers (the engines' raw corr()/"
     "covar_pop() would drift in the last double bits), so the matrix "
-    "hash-matches exactly; the final CAST to DOUBLE is exact for "
-    "these magnitudes (< 2^53... the p11 co-moment reaches ~1e22, "
-    "above 2^53, so the CAST rounds — identically on both engines, "
-    "since both round the same exact integer). At 100 TB adding a "
-    "column adds aggregates, never a pass.",
+    "hash-matches exactly; the p11 co-moment reaches ~1e22 — above "
+    "2^53, so the final CAST to DOUBLE rounds, and the oracle must "
+    "route it through VARCHAR (DuckDB's direct HUGEINT→DOUBLE cast "
+    "is NOT correctly rounded; its string parse and Spark's "
+    "decimal→double both are — pinned adversarially in "
+    "tests/test_oracle_types.py). At 100 TB adding a column adds "
+    "aggregates, never a pass.",
     tags=("analytics", "agg", "scale"),
 )
 def op_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
