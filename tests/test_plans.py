@@ -665,3 +665,54 @@ def test_cbo_statistics_reorder_join(spark):
                 spark.conf.set(k, v)
         for tbl in ("cbo_li", "cbo_o", "cbo_n"):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_reservoir_sample_is_topk_not_global_sort(spark):
+    """op_reservoir_sample's bottom-k-by-hash must plan as
+    TakeOrderedAndProject (per-task k-row heaps, driver merge) —
+    a global sort would shuffle the corpus to sample 200 rows."""
+    from universal_data_to_orc_converter_spark.plans.inspect import (
+        simple_plan,
+    )
+
+    df = q("op_reservoir_sample", spark)
+    plan = simple_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, "sampling must not shuffle the corpus"
+
+
+def test_attribution_single_exchange_no_join(spark):
+    """op_attribution_last_touch's scale claim: ONE user_id hash
+    exchange (the window), no join anywhere — the as-of carry-forward
+    must not plan as the oracle's quadratic pair join."""
+    import re
+
+    df = q("op_attribution_last_touch", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, "attribution must not self-join"
+    keys = [
+        k.strip()
+        for k in re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    ]
+    assert len(keys) == 1 and keys[0].startswith("user_id#"), keys
+
+
+def test_semdedup_pair_join_exchanges_on_cid(spark):
+    """op_semdedup's scale posture: the only hash exchanges in the
+    pair stage partition on cid (cluster-confined all-pairs) or the
+    tiny per-cluster rollup keys — never on vectors or vec_id."""
+    import re
+
+    from universal_data_to_orc_converter_spark.operators.linalg import (
+        op_semdedup,
+    )
+
+    df = op_semdedup(spark, SF_DIR, _materialize=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    keys = [
+        k.strip()
+        for k in re.findall(r"Exchange hashpartitioning\(([^,)]+)", plan)
+    ]
+    assert keys, "expected the cid pair-join exchange"
+    for k in keys:
+        assert k.startswith("cid#"), f"unexpected exchange key {k!r}"

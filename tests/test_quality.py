@@ -661,6 +661,42 @@ def test_maintained_rollup_hll_regime(spark):
     )
 
 
+def test_lambda_serve_hll_regime(spark):
+    """Same regime guard for op_lambda_serve, whose HLL states
+    additionally round-trip through the versioned store's parquet
+    snapshot: per-event_type distinct users must stay in the sparse
+    (exact) zone, and the served estimate must equal the exact count
+    — covering both the algebra AND the binary serialization."""
+    import pyspark.sql.functions as F
+
+    from universal_data_to_orc_converter_spark.catalog import load
+    from universal_data_to_orc_converter_spark.operators.maintenance import (
+        op_lambda_serve,
+    )
+
+    from .conftest import SF_DIR
+
+    served = {
+        r["event_type"]: r["approx_users"]
+        for r in op_lambda_serve(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert served == exact, (
+        "HLL estimate drifted from exact — sketch left the sparse "
+        "regime or was corrupted by the parquet round-trip"
+    )
+    assert max(exact.values()) < 512, (
+        "per-type cardinality approaching dense promotion — the "
+        "exact COUNT(DISTINCT) oracle is no longer safe"
+    )
+
+
 def test_lsh_recall_on_clustered_corpus(spark):
     """Completes the per-tier clustered-corpus recall evidence (IVF r5,
     IVF-PQ r6): the SAME lsh_topk code path, on a corpus with genuine

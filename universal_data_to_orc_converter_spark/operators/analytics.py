@@ -480,3 +480,85 @@ def op_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(F.explode(cells).alias("r")).select(
         "r.col_a", "r.col_b", "r.cov_num"
     )
+
+
+@query(
+    "op_attribution_last_touch",
+    oracle="""
+        WITH v AS (
+          SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'view'
+        ),
+        p AS (
+          SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'purchase'
+        ),
+        cand AS (
+          SELECT p.event_id AS purchase_id,
+                 v.event_id AS view_id,
+                 ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                    ORDER BY v.ts DESC,
+                                             v.event_id DESC) AS rn
+          FROM p JOIN v
+            ON v.user_id = p.user_id
+           AND v.ts <= p.ts
+           AND v.ts >= p.ts - INTERVAL 7 DAY
+        )
+        SELECT p.event_id AS purchase_id,
+               p.user_id,
+               c.view_id
+        FROM p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+          ON c.purchase_id = p.event_id
+    """,
+    notes="LAST-TOUCH ATTRIBUTION — for every purchase, the most "
+    "recent view by the same user within a 7-day lookback (ties on "
+    "ts broken by event_id; unattributed purchases keep a NULL "
+    "view_id). The Spark plan is the scalable as-of shape: ONE "
+    "user_id exchange, views and purchases interleaved in event-time "
+    "order within each user, and last(view_id, ignorenulls) over "
+    "rows-between(unbounded, -1) carries the latest view forward — "
+    "no self-join, so a user with V views and P purchases costs "
+    "O(V+P), not O(V*P) like the oracle's join+rank formulation "
+    "(correct but quadratic per user; at 100 TB the window plan is "
+    "the difference between a sort-merge pass and a blown-up "
+    "pair stream). The age cutoff applies AFTER the carry-forward: "
+    "the globally-latest view IS the max-ts view, so nulling it when "
+    "stale equals the oracle's windowed max. Views sort before "
+    "purchases at equal ts (same-instant view attributes).",
+    tags=("analytics", "windows", "scale"),
+)
+def op_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-purchase last-touch view attribution, single-exchange."""
+    e = load(spark, sf_dir, "events")
+    vp = e.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("event_type") == "purchase").alias("is_p"),
+    )
+    # views order before purchases at the same ts -> rowsBetween
+    # (unbounded, -1) still sees a same-instant view
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.col("is_p").cast("int"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_view_id = F.last(
+        F.when(~F.col("is_p"), F.col("event_id")), ignorenulls=True
+    ).over(w)
+    last_view_ts = F.last(
+        F.when(~F.col("is_p"), F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        vp.withColumn("lv_id", last_view_id)
+        .withColumn("lv_ts", last_view_ts)
+        .filter(F.col("is_p"))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.when(
+                F.col("lv_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS"),
+                F.col("lv_id"),
+            ).alias("view_id"),
+        )
+    )

@@ -256,9 +256,79 @@ def _tdiv(s: int, c: int) -> int:
     return q if s >= 0 else -q
 
 
-@query(
-    "op_kmeans",
-    oracle="""
+def _qv():
+    """1e3 fixed-point quantization of the embedding column."""
+    return F.transform(
+        "embedding", lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("bigint")
+    )
+
+
+def kmeans_assignments(q: DataFrame) -> DataFrame:
+    """The deterministic integer Lloyd's loop shared by op_kmeans and
+    op_semdedup: init from the K_CENTERS lowest vec_ids, KMEANS_ITERS
+    assignment+update rounds, return the FINAL assignment
+    ``(vec_id, qv, cid, dist)``. ``q`` must be a (cached) frame of
+    ``(vec_id, qv)``. Per round: assignment is a zero-shuffle map
+    (centers as literals); the update collects k*d partial rows
+    (metadata); the driver carries centers only."""
+    centers = [
+        list(r["qv"])
+        for r in q.orderBy("vec_id").limit(K_CENTERS).collect()
+    ]
+
+    def assigned_col():
+        cands = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("qv"),
+                            F.array(
+                                *[F.lit(v).cast("bigint") for v in c]
+                            ),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    F.lit(j).cast("int").alias("cid"),
+                )
+                for j, c in enumerate(centers)
+            ]
+        )
+        # struct ordering is field-by-field: min = (nearest, then
+        # lowest center id) — the deterministic argmin
+        return F.array_min(cands)
+
+    for _ in range(KMEANS_ITERS):
+        a = q.select("vec_id", "qv", assigned_col()["cid"].alias("cid"))
+        stats = (
+            a.select("cid", F.posexplode("qv").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("c"))
+            .collect()
+        )
+        new = {}
+        for r in stats:
+            new.setdefault(r["cid"], [0] * DIM)[r["dim"]] = _tdiv(
+                int(r["s"]), int(r["c"])
+            )
+        # an emptied cluster keeps its previous center
+        centers = [new.get(j, centers[j]) for j in range(K_CENTERS)]
+    return q.select("vec_id", "qv", assigned_col().alias("m")).select(
+        "vec_id",
+        "qv",
+        F.col("m.cid").alias("cid"),
+        F.col("m.dist").alias("dist"),
+    )
+
+
+
+#: Shared DuckDB CTE chain replicating the deterministic integer
+#: k-means loop (init c0 from the 8 lowest vec_ids, 2 assignment+
+#: update rounds, final assignment a2) — used by both op_kmeans and
+#: op_semdedup oracles.
+_KMEANS_CTES = """
         WITH q AS (
           SELECT vec_id,
                  list_transform(
@@ -343,6 +413,13 @@ def _tdiv(s: int, c: int) -> int:
               FROM q CROSS JOIN c2 c)
           ) WHERE rn = 1
         )
+"""
+
+
+@query(
+    "op_kmeans",
+    oracle=_KMEANS_CTES
+    + """
         SELECT cid AS center_id,
                CAST(COUNT(*) AS BIGINT) AS n_members,
                CAST(SUM(dist) AS BIGINT) AS inertia
@@ -371,65 +448,168 @@ def op_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact 2-round Lloyd's k-means over embeddings; per-
     center membership and inertia."""
     em = load(spark, sf_dir, "embeddings")
-    qv = F.transform(
-        "embedding", lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("bigint")
-    )
-    q = em.select("vec_id", qv.alias("qv")).cache()
+    q = em.select("vec_id", _qv().alias("qv")).cache()
     try:
-        centers = [
-            list(r["qv"])
-            for r in q.orderBy("vec_id").limit(K_CENTERS).collect()
-        ]
-
-        def assigned_col():
-            cands = F.array(
-                *[
-                    F.struct(
-                        F.aggregate(
-                            F.zip_with(
-                                F.col("qv"),
-                                F.array(
-                                    *[F.lit(v).cast("bigint") for v in c]
-                                ),
-                                lambda x, y: (x - y) * (x - y),
-                            ),
-                            F.lit(0).cast("bigint"),
-                            lambda acc, x: acc + x,
-                        ).alias("dist"),
-                        F.lit(j).cast("int").alias("cid"),
-                    )
-                    for j, c in enumerate(centers)
-                ]
-            )
-            # struct ordering is field-by-field: min = (nearest, then
-            # lowest center id) — the deterministic argmin
-            return F.array_min(cands)
-
-        for _ in range(KMEANS_ITERS):
-            a = q.select(
-                "vec_id", "qv", assigned_col()["cid"].alias("cid")
-            )
-            stats = (
-                a.select("cid", F.posexplode("qv").alias("dim", "x"))
-                .groupBy("cid", "dim")
-                .agg(F.sum("x").alias("s"), F.count("*").alias("c"))
-                .collect()
-            )
-            new = {}
-            for r in stats:
-                new.setdefault(r["cid"], [0] * DIM)[r["dim"]] = _tdiv(
-                    int(r["s"]), int(r["c"])
-                )
-            # an emptied cluster keeps its previous center
-            centers = [
-                new.get(j, centers[j]) for j in range(K_CENTERS)
-            ]
-        final = q.select("vec_id", assigned_col().alias("m")).select(
-            "vec_id", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist")
-        )
+        final = kmeans_assignments(q)
         return final.groupBy(F.col("cid").alias("center_id")).agg(
             F.count("*").cast("bigint").alias("n_members"),
             F.sum("dist").cast("bigint").alias("inertia"),
         )
     finally:
         q.unpersist()
+
+
+#: SemDeDup redundancy threshold, as an exact rational cos >= 3/10.
+#: Production corpora use ~0.9+; the synthetic fixture's max pairwise
+#: cosine is 0.51, so the threshold sits where the fixture actually
+#: has structure — the integer-exact comparison is the point, not the
+#: calibration.
+_SEMDEDUP_NUM = 3
+_SEMDEDUP_DEN = 10
+
+
+@query(
+    "op_semdedup",
+    oracle=_KMEANS_CTES
+    + """
+        , norms AS (
+          SELECT vec_id,
+                 CAST(list_sum(list_transform(
+                   generate_series(1, 64),
+                   i -> qv[i] * qv[i])) AS BIGINT) AS n2
+          FROM q
+        ),
+        pairs AS (
+          SELECT a.cid,
+                 CASE WHEN a.dist > b.dist
+                        OR (a.dist = b.dist AND a.vec_id > b.vec_id)
+                      THEN a.vec_id ELSE b.vec_id END AS dup_id
+          FROM a2 a
+          JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+          JOIN q qa ON qa.vec_id = a.vec_id
+          JOIN q qb ON qb.vec_id = b.vec_id
+          JOIN norms na ON na.vec_id = a.vec_id
+          JOIN norms nb ON nb.vec_id = b.vec_id
+          WHERE CAST(list_sum(list_transform(
+                  generate_series(1, 64),
+                  i -> qa.qv[i] * qb.qv[i])) AS BIGINT) > 0
+            AND 100 * CAST(list_sum(list_transform(
+                  generate_series(1, 64),
+                  i -> qa.qv[i] * qb.qv[i])) AS BIGINT)
+                    * CAST(list_sum(list_transform(
+                  generate_series(1, 64),
+                  i -> qa.qv[i] * qb.qv[i])) AS BIGINT)
+                >= 9 * na.n2 * nb.n2
+        ),
+        dups AS (
+          SELECT cid, COUNT(DISTINCT dup_id) AS n_dups FROM pairs
+          GROUP BY cid
+        )
+        SELECT m.cid AS center_id,
+               CAST(m.n_members AS BIGINT) AS n_members,
+               CAST(COALESCE(d.n_dups, 0) AS BIGINT) AS n_dups,
+               CAST(m.n_members - COALESCE(d.n_dups, 0) AS BIGINT)
+                 AS n_keep
+        FROM (SELECT cid, COUNT(*) AS n_members FROM a2 GROUP BY cid) m
+        LEFT JOIN dups d ON d.cid = m.cid
+    """,
+    notes="SemDeDup (Abbas et al. 2023) — semantic dedup via cluster-"
+    "local pruning, FULLY ORACLE-CHECKED: k-means the embeddings "
+    "(the shared deterministic integer Lloyd's loop), then inside "
+    "each cluster mark the centroid-FARTHER member of every pair "
+    "whose cosine clears the threshold (ties on distance break by "
+    "vec_id); survivors are the per-cluster keep set. The all-pairs "
+    "step is confined to clusters — Sigma|cluster|^2, never n^2 — and "
+    "at 100 TB k grows with n so cluster size stays bounded: the "
+    "exact trade the paper makes. Cosine threshold compares as pure "
+    "integers (100*dot^2 >= 9*na*nb AND dot > 0 == cos >= 0.3 "
+    "exactly), so no float drift anywhere: the kmeans CTE, the pair "
+    "predicate, and the keep counts all hash-match DuckDB. Spark "
+    "plan: assignment is the zero-shuffle kmeans map; the pair join "
+    "exchanges on cid (k keys — cardinality scales WITH k at scale); "
+    "output is k rows.",
+    tags=("similarity", "dedup", "iterative", "scale"),
+)
+def op_semdedup(
+    spark: SparkSession, sf_dir: str, _materialize: bool = True
+) -> DataFrame:
+    """Cluster-then-prune semantic dedup; per-cluster keep/dup counts.
+
+    ``_materialize=False`` returns the lazy pipeline so plan tests can
+    inspect the pair-join exchanges (the eager localCheckpoint that
+    releases the input cache otherwise hides them — the standard
+    escape hatch, see op_duplicate_ngram_spans)."""
+    em = load(spark, sf_dir, "embeddings")
+    q = em.select("vec_id", _qv().alias("qv")).cache()
+    try:
+        a = kmeans_assignments(q)
+        n2 = F.aggregate(
+            F.zip_with("qv", "qv", lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        side = a.withColumn("n2", n2)
+        left = side.select(
+            F.col("cid"),
+            F.col("vec_id").alias("va"),
+            F.col("qv").alias("qa"),
+            F.col("dist").alias("da"),
+            F.col("n2").alias("na"),
+        )
+        right = side.select(
+            F.col("cid"),
+            F.col("vec_id").alias("vb"),
+            F.col("qv").alias("qb"),
+            F.col("dist").alias("db"),
+            F.col("n2").alias("nb"),
+        )
+        dot = F.aggregate(
+            F.zip_with("qa", "qb", lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        pairs = (
+            left.join(right, ["cid"])
+            .filter(F.col("va") < F.col("vb"))
+            .withColumn("dot", dot)
+            .filter(
+                (F.col("dot") > 0)
+                & (
+                    F.lit(100) * F.col("dot") * F.col("dot")
+                    >= F.lit(9) * F.col("na") * F.col("nb")
+                )
+            )
+            .select(
+                "cid",
+                F.when(
+                    (F.col("da") > F.col("db"))
+                    | (
+                        (F.col("da") == F.col("db"))
+                        & (F.col("va") > F.col("vb"))
+                    ),
+                    F.col("va"),
+                )
+                .otherwise(F.col("vb"))
+                .alias("dup_id"),
+            )
+        )
+        dups = pairs.groupBy("cid").agg(
+            F.countDistinct("dup_id").alias("n_dups")
+        )
+        members = a.groupBy("cid").agg(F.count("*").alias("n_members"))
+        out = (
+            members.join(dups, "cid", "left")
+            .na.fill(0, ["n_dups"])
+            .select(
+                F.col("cid").alias("center_id"),
+                F.col("n_members").cast("bigint"),
+                F.col("n_dups").cast("bigint"),
+                (F.col("n_members") - F.col("n_dups"))
+                .cast("bigint")
+                .alias("n_keep"),
+            )
+        )
+        return out.localCheckpoint(eager=True) if _materialize else out
+    finally:
+        if _materialize:
+            q.unpersist()

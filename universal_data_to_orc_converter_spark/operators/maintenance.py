@@ -771,3 +771,70 @@ def op_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b).select(
         "version", "event_type", "n_events", "sum_value_fp"
     )
+
+
+@query(
+    "op_lambda_serve",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_value_fp,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS approx_users
+        FROM events
+        GROUP BY event_type
+    """,
+    notes="LAMBDA SERVING — the answer-from-snapshot-plus-tail "
+    "composition the serving tier exists for: the batch layer commits "
+    "the pre-cutoff rollup (counts, fixed-point sums, HLL user "
+    "sketches) into the VERSIONED store (a real commit_version disk "
+    "publish, not an in-memory frame), the speed layer aggregates "
+    "only the post-cutoff tail, and serving time-travel-READS the "
+    "latest snapshot back and folds the tail in via the mergeable-"
+    "state algebra (counts add, fp-sums add, HLL registers union). "
+    "Hash-matching the oracle's full recompute over ALL events "
+    "proves the composed answer is exact end-to-end THROUGH the "
+    "parquet round-trip — including the HLL sketch state surviving "
+    "binary serialization (sparse-regime exactness guarded like "
+    "op_incremental_agg_maintain's). At 100 TB the base is never "
+    "rescanned: the snapshot is |groups| rows and the tail scan is "
+    "partition-pruned to the cutoff — a dashboard query costs "
+    "O(groups + tail), not O(history).",
+    tags=("agg", "io", "scale"),
+)
+def op_lambda_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned snapshot + live tail merge == full recompute."""
+    import os
+    import tempfile
+
+    from ..sinks.versioned import commit_version, read_version
+
+    e = load(spark, sf_dir, "events").select(
+        "ts", "event_type", "value", "user_id"
+    )
+    cutoff = F.lit("2024-01-24").cast("timestamp")
+
+    def states(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(_scaled(F.col("value")))
+            .cast("bigint")
+            .alias("sum_value_fp"),
+            F.hll_sketch_agg("user_id").alias("users_sk"),
+        )
+
+    table = os.path.join(tempfile.mkdtemp(prefix="lambda_"), "rollup")
+    commit_version(states(e.filter(F.col("ts") < cutoff)), table)
+    snap = read_version(spark, table)  # latest committed snapshot
+    tail = states(e.filter(F.col("ts") >= cutoff))
+    return (
+        snap.unionByName(tail)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_value_fp").cast("bigint").alias("sum_value_fp"),
+            F.hll_sketch_estimate(F.hll_union_agg("users_sk"))
+            .cast("bigint")
+            .alias("approx_users"),
+        )
+    )

@@ -346,3 +346,43 @@ def op_length_bucketed_batching(
         )
         .orderBy("bucket", "batch_id")
     )
+
+
+@query(
+    "op_reservoir_sample",
+    oracle="""
+        SELECT doc_id, source, n_chars
+        FROM (
+          SELECT doc_id, source, n_chars,
+                 md5(CAST(doc_id AS VARCHAR) || ':' || text) AS h
+          FROM documents
+        )
+        ORDER BY h, doc_id
+        LIMIT 200
+    """,
+    notes="Exact-k uniform sample WITHOUT an RNG: keep the k rows "
+    "with the smallest md5(doc_id:content) — the bottom-k-by-hash "
+    "formulation of reservoir sampling (each row's rank is an i.i.d. "
+    "uniform draw, so any k-subset is equally likely), but "
+    "REPRODUCIBLE across runs, engines, partitionings, and "
+    "insertion orders, which a classic stateful reservoir is not. "
+    "Scale: Spark executes ORDER BY+LIMIT as TakeOrderedAndProject "
+    "(plan-asserted) — each task keeps a k-row heap and the driver "
+    "merges 32*k candidates; no global sort, no corpus shuffle. "
+    "Growing the corpus only re-draws the sample, never reorders "
+    "work. md5 ties are broken by doc_id (none exist in practice; "
+    "determinism must not rest on collision absence).",
+    tags=("sampling", "scale"),
+)
+def op_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-k sample = bottom-k by content hash."""
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
+    )
+    return (
+        d.select("doc_id", "source", "n_chars", h.alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(200)
+        .select("doc_id", "source", "n_chars")
+    )

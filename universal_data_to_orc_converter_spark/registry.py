@@ -164,6 +164,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 BELOW_FOLD_R7: frozenset[str] = frozenset({
     "op_time_rollup",
     "op_funnel",
+    # new r7 registrations (locally oracle-checked; first driver row
+    # comes with the r8 rotation)
+    "op_reservoir_sample",
+    "op_attribution_last_touch",
+    "op_semdedup",
+    "op_lambda_serve",
 })
 
 
