@@ -103,3 +103,53 @@ def test_kmeans_empty_cluster_oracle_parity(spark, tmp_path):
         )
     finally:
         con.close()
+
+
+def test_kmeans_arrow_assignment_equals_literal(spark):
+    """kmeans_assignments' two implementations — literal-expression
+    codegen (oracle path, small k) and Arrow-batched numpy (the
+    hundreds-of-centers scale path) — must produce IDENTICAL
+    (cid, dist) for every vector: same int64 arithmetic, same
+    first-minimum (lowest-cid) tiebreak."""
+    from universal_data_to_orc_converter_spark.catalog import load
+    from universal_data_to_orc_converter_spark.operators.linalg import (
+        _qv,
+        kmeans_assignments,
+    )
+
+    from .conftest import SF_DIR
+
+    em = load(spark, SF_DIR, "embeddings")
+    q = em.select("vec_id", _qv().alias("qv")).cache()
+    try:
+        lit = sorted(
+            (r["vec_id"], r["cid"], r["dist"])
+            for r in kmeans_assignments(q, arrow=False).collect()
+        )
+        arr = sorted(
+            (r["vec_id"], r["cid"], r["dist"])
+            for r in kmeans_assignments(q, arrow=True).collect()
+        )
+        assert lit == arr
+    finally:
+        q.unpersist()
+
+
+def test_semdedup_adaptive_k_matches_oracle_at_fixture(spark):
+    """op_semdedup's adaptive default (k = max(8, n/64)) must resolve
+    to exactly K_CENTERS at the oracle fixture cardinality, or the
+    unrolled k=8 DuckDB CTE silently stops describing what the op
+    runs — the same regime-guard pattern as the HLL sparse-mode
+    tests."""
+    from universal_data_to_orc_converter_spark.catalog import load
+    from universal_data_to_orc_converter_spark.operators.linalg import (
+        K_CENTERS,
+    )
+
+    from .conftest import SF_DIR
+
+    n = load(spark, SF_DIR, "embeddings").count()
+    assert max(K_CENTERS, n // 64) == K_CENTERS, (
+        f"fixture has {n} vectors; adaptive k would diverge from the "
+        f"k={K_CENTERS} oracle CTE — re-derive the oracle or pin _k"
+    )

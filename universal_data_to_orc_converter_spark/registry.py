@@ -170,6 +170,7 @@ BELOW_FOLD_R7: frozenset[str] = frozenset({
     "op_attribution_last_touch",
     "op_semdedup",
     "op_lambda_serve",
+    "op_importance_resample",
 })
 
 
