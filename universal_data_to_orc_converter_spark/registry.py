@@ -171,6 +171,7 @@ BELOW_FOLD_R7: frozenset[str] = frozenset({
     "op_semdedup",
     "op_lambda_serve",
     "op_importance_resample",
+    "op_connected_components_star",
 })
 
 
