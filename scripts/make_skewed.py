@@ -84,6 +84,34 @@ import pyarrow as pa  # noqa: E402
 import pyarrow.parquet as pq  # noqa: E402
 
 pq.write_table(pa.table(rows), f"{DST}/documents.parquet")
+
+# --- short-doc variant (/tmp/sfskew_short) ---------------------------
+# Same corpus with base text truncated to 12 tokens (boilerplate
+# suffix kept): per-doc gram counts shrink ~5x, so the ONE hot gram's
+# rows now dominate a fine-grained task budget even for ops that
+# array_distinct per doc (coverage's hot-key cap is n_docs; with a
+# small tail, n_docs >> rows-per-task). This is the corpus where the
+# coverage op's window-vs-join trade can be measured locally instead
+# of extrapolated to cluster task counts.
+SHORT_DST = DST + "_short"
+os.makedirs(SHORT_DST, exist_ok=True)
+for t in ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "embeddings"):
+    shutil.copyfile(f"{SRC}/{t}.parquet", f"{SHORT_DST}/{t}.parquet")
+short = dict(rows)
+short["text"] = []
+short["n_chars"] = []
+boiler_tokens = BOILERPLATE.split(" ") * BOILER_REPEATS
+for t in rows["text"]:
+    words = t.split(" ")
+    # strip the boilerplate suffix if present, truncate, re-append
+    has_boiler = words[-len(boiler_tokens):] == boiler_tokens
+    base = words[: -len(boiler_tokens)] if has_boiler else words
+    words2 = base[:12] + (boiler_tokens if has_boiler else [])
+    t2 = " ".join(words2)
+    short["text"].append(t2)
+    short["n_chars"].append(len(t2))
+pq.write_table(pa.table(short), f"{SHORT_DST}/documents.parquet")
 print("documents",
       con.sql(f"SELECT COUNT(*) FROM '{DST}/documents.parquet'").fetchone()[0])
 
@@ -122,3 +150,6 @@ top = con.sql(
 print("events",
       con.sql(f"SELECT COUNT(*) FROM '{DST}/events.parquet'").fetchone()[0],
       "hottest users:", top)
+
+shutil.copyfile(f"{DST}/events.parquet", f"{SHORT_DST}/events.parquet")
+print("short-doc variant:", SHORT_DST)
