@@ -21,7 +21,9 @@ from universal_data_to_orc_converter_spark.catalog import TABLES, table_path
 from universal_data_to_orc_converter_spark.registry import load_all_queries
 from universal_data_to_orc_converter_spark.session import get_spark
 
-SF_DIR = "/root/testdata/sf0.01"
+import os
+
+SF_DIR = os.environ.get("AUDIT_SF_DIR", "/root/testdata/sf0.01")
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:

@@ -786,3 +786,24 @@ def test_epoch_shuffle_permutations_are_uncorrelated(spark):
     den = sum((p0[d] - mean) ** 2 for d in p0)
     rho = num / den
     assert abs(rho) < 0.1, f"epoch orders correlated: rho={rho:.3f}"
+
+
+def test_kmv_survives_empty_partitions(spark):
+    """The sf0.1 audit crash: an EMPTY input partition made the
+    per-partition KMV builder yield a float64-dtyped empty frame that
+    Arrow cannot convert to list<int64>. Force empties (10 rows across
+    64 partitions) and require the estimator to still answer — and
+    exactly, since both sketches are below k."""
+    from universal_data_to_orc_converter_spark.operators.aggregates import (
+        kmv_intersections,
+    )
+
+    rows = [("a", u) for u in range(6)] + [("b", u) for u in range(3, 9)]
+    e = spark.createDataFrame(
+        rows, "event_type string, user_id bigint"
+    ).repartition(64)
+    out = {
+        (r["type_a"], r["type_b"]): r["n_common_users"]
+        for r in kmv_intersections(e, k=128).collect()
+    }
+    assert out == {("a", "b"): 3}

@@ -1051,10 +1051,17 @@ def kmv_intersections(e: DataFrame, k: int) -> DataFrame:
                     h if prev is None else np.concatenate([prev, h])
                 )
                 state[typ] = merged[:k]  # np.unique sorts ascending
+        # dtype=object explicitly: an EMPTY partition yields empty
+        # columns, and pandas defaults those to float64 — which Arrow
+        # cannot convert to list<int64> (NumPyConverter crash; hit the
+        # first time a fixture was large enough to leave a partition
+        # empty, sf0.1 audit)
         yield pd.DataFrame(
             {
-                "event_type": list(state),
-                "kmin": [s.tolist() for s in state.values()],
+                "event_type": pd.Series(list(state), dtype="object"),
+                "kmin": pd.Series(
+                    [s.tolist() for s in state.values()], dtype="object"
+                ),
             }
         )
 

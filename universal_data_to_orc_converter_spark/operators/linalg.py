@@ -41,7 +41,8 @@ DIM = 64
         WITH q AS (
           SELECT list_transform(
                    embedding,
-                   x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)) AS qv
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5)
+                             AS BIGINT)) AS qv
           FROM embeddings
         ),
         pairs AS (
@@ -96,10 +97,7 @@ def op_embedding_covariance(
     NOT released — the caller owns the cache lifetime); used by plan
     tests that must inspect the pre-checkpoint physical plan."""
     em = load(spark, sf_dir, "embeddings")
-    qv = F.transform(
-        "embedding", lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("bigint")
-    )
-    q = em.select(qv.alias("qv"))
+    q = em.select(_qv().alias("qv"))
 
     def cell(i, j, p):
         return F.struct(
@@ -227,10 +225,7 @@ def op_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = op_embedding_covariance(spark, sf_dir).collect()
     axes = principal_axes(cells, k=2)
     em = load(spark, sf_dir, "embeddings")
-    qv = F.transform(
-        "embedding", lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("bigint")
-    )
-    base = em.select("vec_id", "label", qv.alias("qv"))
+    base = em.select("vec_id", "label", _qv().alias("qv"))
     for c, ax in enumerate(axes):
         lit = F.array(*[F.lit(a).cast("bigint") for a in ax])
         dot = F.aggregate(
@@ -257,9 +252,18 @@ def _tdiv(s: int, c: int) -> int:
 
 
 def _qv():
-    """1e3 fixed-point quantization of the embedding column."""
+    """1e3 fixed-point quantization of the embedding column.
+
+    The element is cast to DOUBLE before the arithmetic — explicitly,
+    on BOTH engines: the parquet column is float32, and an engine that
+    keeps `x * 1000 + 0.5` in float32 (DuckDB does; Spark promotes)
+    floors a handful of edge values differently (2 of 320k at sf0.1 —
+    caught by the sf0.1 oracle audit, invisible at sf0.01)."""
     return F.transform(
-        "embedding", lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("bigint")
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast(
+            "bigint"
+        ),
     )
 
 
@@ -384,7 +388,8 @@ _KMEANS_CTES = """
           SELECT vec_id,
                  list_transform(
                    embedding,
-                   x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)) AS qv
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5)
+                             AS BIGINT)) AS qv
           FROM embeddings
         ),
         c0 AS (
