@@ -655,9 +655,10 @@ def test_maintained_rollup_hll_regime(spark):
         .collect()
     }
     assert maintained == exact, "HLL left the exact (sparse) regime"
-    assert max(exact.values()) < 512, (
-        "group cardinality approaching dense promotion — the exact "
-        "COUNT(DISTINCT) oracle for approx_users is no longer safe"
+    assert max(exact.values()) < 2048, (
+        "group cardinality approaching the lgK=14 dense-promotion "
+        "zone — the exact COUNT(DISTINCT) oracle for approx_users is "
+        "no longer safe"
     )
 
 
@@ -691,9 +692,9 @@ def test_lambda_serve_hll_regime(spark):
         "HLL estimate drifted from exact — sketch left the sparse "
         "regime or was corrupted by the parquet round-trip"
     )
-    assert max(exact.values()) < 512, (
-        "per-type cardinality approaching dense promotion — the "
-        "exact COUNT(DISTINCT) oracle is no longer safe"
+    assert max(exact.values()) < 2048, (
+        "per-type cardinality approaching the lgK=14 dense-promotion "
+        "zone — the exact COUNT(DISTINCT) oracle is no longer safe"
     )
 
 

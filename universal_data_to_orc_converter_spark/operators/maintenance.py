@@ -88,7 +88,12 @@ def op_incremental_agg_maintain(
             .alias("sum_value_fp"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
-            F.hll_sketch_agg("user_id").alias("users_sk"),
+            # lgK=14 (not the 12 default): the coupon/sparse phase —
+            # where DataSketches HLL is EXACT — extends to ~k/4 ≈ 4k
+            # distinct per group, keeping the exact-COUNT(DISTINCT)
+            # oracle valid at 10x the driver's compare scale
+            # (measured: lgK=12 drifts at 1.5k distinct, lgK=14 exact)
+            F.hll_sketch_agg("user_id", F.lit(14)).alias("users_sk"),
         )
 
     base_rollup = states(e.filter(F.col("ts") < cutoff))
@@ -820,7 +825,9 @@ def op_lambda_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_scaled(F.col("value")))
             .cast("bigint")
             .alias("sum_value_fp"),
-            F.hll_sketch_agg("user_id").alias("users_sk"),
+            # lgK=14: sparse-exact window covers 10x the driver scale
+            # (see op_incremental_agg_maintain)
+            F.hll_sketch_agg("user_id", F.lit(14)).alias("users_sk"),
         )
 
     table = os.path.join(tempfile.mkdtemp(prefix="lambda_"), "rollup")
