@@ -227,3 +227,198 @@ def op_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occur"), "symbol")
         .limit(20)
     )
+
+
+#: unigram trainer configuration: substring seed length cap, kept
+#: multi-char vocabulary size, EM rounds
+UNIGRAM_MAX_LEN = 4
+UNIGRAM_VOCAB = 48
+UNIGRAM_ITERS = 2
+UNIGRAM_SCALE = 1_000_000
+
+
+def unigram_train(word_counts: DataFrame, iters: int = UNIGRAM_ITERS):
+    """SentencePiece-style UNIGRAM-LM tokenizer training — the other
+    canonical subword algorithm next to BPE (Kudo 2018), in the same
+    scale decomposition as ``bpe_train_merges``:
+
+    1. ONE distributed pass seeds candidate pieces: every substring
+       (length ≤ UNIGRAM_MAX_LEN) of every DISTINCT word, weighted by
+       word frequency — Arrow-batched; the seed table is pruned to
+       the top multi-char candidates DISTRIBUTED (orderBy+limit) so
+       the driver only ever holds O(vocab) state, never the substring
+       universe (~20 × distinct-words rows at corpus scale).
+    2. Each EM round broadcasts the integer piece scores
+       (log-probability × 1e6, computed once on the driver), runs the
+       VITERBI E-step over the distinct-word table in Arrow batches
+       (per-word best segmentation under current scores; ties prefer
+       the longer piece — deterministic), aggregates piece usage
+       DISTRIBUTED (groupBy weighted by word count), and the driver
+       M-step recomputes scores and prunes to UNIGRAM_VOCAB
+       multi-char pieces (single chars are never pruned — coverage).
+
+    Exactness: no SQL oracle (iterative, log-scores), but the loop is
+    deterministic end-to-end and tests/test_unigram_train.py replays
+    the identical algorithm in pure Python over the same word counts
+    and asserts the full (piece, count, score) tables are IDENTICAL.
+    """
+    import math
+
+    import pandas as pd
+
+    spark = word_counts.sparkSession
+
+    def substr_counts(batches):
+        from collections import Counter
+
+        acc: "Counter[str]" = Counter()
+        for pdf in batches:
+            for w, c in zip(pdf["w"], pdf["c"]):
+                L = len(w)
+                for i in range(L):
+                    for ln in range(1, min(UNIGRAM_MAX_LEN, L - i) + 1):
+                        acc[w[i : i + ln]] += int(c)
+        yield pd.DataFrame(
+            {
+                "piece": pd.Series(list(acc), dtype="object"),
+                "cnt": pd.Series(
+                    [acc[p] for p in acc], dtype="int64"
+                ),
+            }
+        )
+
+    seeds = (
+        word_counts.mapInPandas(substr_counts, "piece string, cnt bigint")
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    chars = seeds.filter(F.length("piece") == 1)
+    multi = (
+        seeds.filter(F.length("piece") > 1)
+        .orderBy(F.desc("cnt"), "piece")
+        .limit(4 * UNIGRAM_VOCAB)
+    )
+    vocab = {
+        r["piece"]: int(r["cnt"])
+        for r in chars.unionByName(multi).collect()
+    }
+
+    def mk_scores(counts: dict) -> dict:
+        total = sum(counts.values())
+        return {
+            p: int(round(math.log(c / total) * UNIGRAM_SCALE))
+            for p, c in counts.items()
+            if c > 0
+        }
+
+    scores = mk_scores(vocab)
+
+    def viterbi(w: str, sc: dict) -> list[str]:
+        NEG = -(1 << 60)
+        L = len(w)
+        best = [NEG] * (L + 1)
+        back = [0] * (L + 1)
+        best[0] = 0
+        for i in range(1, L + 1):
+            for ln in range(1, min(UNIGRAM_MAX_LEN, i) + 1):
+                p = w[i - ln : i]
+                s = sc.get(p)
+                if s is None or best[i - ln] == NEG:
+                    continue
+                cand = best[i - ln] + s
+                # ties prefer the LONGER piece: ln ascends, so >= wins
+                if cand >= best[i]:
+                    best[i] = cand
+                    back[i] = ln
+        out, i = [], L
+        while i > 0:
+            out.append(w[i - back[i] : i])
+            i -= back[i]
+        return out[::-1]
+
+    for _ in range(iters):
+        b_scores = spark.sparkContext.broadcast(scores)
+
+        def estep(batches):
+            from collections import Counter
+
+            sc = b_scores.value
+            acc: "Counter[str]" = Counter()
+            for pdf in batches:
+                for w, c in zip(pdf["w"], pdf["c"]):
+                    for p in viterbi(w, sc):
+                        acc[p] += int(c)
+            yield pd.DataFrame(
+                {
+                    "piece": pd.Series(list(acc), dtype="object"),
+                    "cnt": pd.Series(
+                        [acc[p] for p in acc], dtype="int64"
+                    ),
+                }
+            )
+
+        used = (
+            word_counts.mapInPandas(estep, "piece string, cnt bigint")
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+        counts = {r["piece"]: int(r["cnt"]) for r in used}
+        # prune: all single chars survive (coverage), top UNIGRAM_VOCAB
+        # multi-char pieces by (count desc, piece) survive
+        keep_multi = sorted(
+            ((p, c) for p, c in counts.items() if len(p) > 1),
+            key=lambda pc: (-pc[1], pc[0]),
+        )[:UNIGRAM_VOCAB]
+        kept = {p: c for p, c in counts.items() if len(p) == 1}
+        kept.update(dict(keep_multi))
+        # chars that fell out of use keep a count floor of their seed
+        # presence so segmentation stays total
+        for p, c in vocab.items():
+            if len(p) == 1 and p not in kept:
+                kept[p] = 0 if counts.get(p) else kept.get(p, 0)
+        scores = mk_scores({p: c for p, c in kept.items() if c > 0})
+        vocab = kept
+    return [
+        {
+            "piece": p,
+            "cnt": int(c),
+            "score": int(scores[p]),
+        }
+        for p, c in sorted(vocab.items(), key=lambda pc: (-pc[1], pc[0]))
+        if c > 0 and p in scores
+    ]
+
+
+@query(
+    "op_unigram_train",
+    oracle=None,
+    notes="SentencePiece-style UNIGRAM-LM tokenizer training (Kudo "
+    "2018) — completes the tokenizer family next to BPE: substring "
+    "seeding, Viterbi E-step, score/prune M-step (unigram_train "
+    "docstring for the scale decomposition — the corpus reduces to "
+    "distinct word counts once; every EM round is Arrow-batched "
+    "Viterbi over that |words|-row table with broadcast integer "
+    "scores, a distributed piece-usage aggregate, and O(vocab) "
+    "driver state; the substring seed universe is pruned "
+    "DISTRIBUTED before any collect). rows-only: iterative + "
+    "log-scores (same escape hatch as op_bpe_train); exactness "
+    "pinned by tests/test_unigram_train.py replaying the identical "
+    "algorithm in pure Python — full (piece, cnt, score) table "
+    "equality, not approximate.",
+    tags=("text", "scale"),
+)
+def op_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the unigram-LM piece vocabulary on the documents corpus;
+    returns (piece, cnt, score) sorted by usage."""
+    d = load(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    rows = unigram_train(wc)
+    return spark.createDataFrame(
+        rows, schema="piece string, cnt bigint, score bigint"
+    ).orderBy(F.desc("cnt"), "piece")

@@ -172,6 +172,7 @@ BELOW_FOLD_R7: frozenset[str] = frozenset({
     "op_lambda_serve",
     "op_importance_resample",
     "op_connected_components_star",
+    "op_unigram_train",
 })
 
 
