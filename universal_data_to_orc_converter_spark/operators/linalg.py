@@ -339,6 +339,15 @@ def kmeans_assignments(
 
         def assign(batches):
             for pdf in batches:
+                if len(pdf) == 0:
+                    # empty partition: .tolist() gives a 1-D empty
+                    # array the matmul below would reject (the KMV
+                    # empty-partition crash class)
+                    yield pdf.assign(
+                        cid=np.array([], dtype="int32"),
+                        dist=np.array([], dtype="int64"),
+                    )
+                    continue
                 Q = np.asarray(pdf["qv"].tolist(), dtype=np.int64)
                 # exact int64: entries bounded by d*max|q|² « 2^63
                 d2 = (
