@@ -7,8 +7,9 @@ one task with no partial aggregation. On the UNIFORM fixtures the
 window formulation is ~1.5× faster locally, and the hardening's value
 rested on reasoning alone (r6 verdict #4). This script runs BOTH
 formulations of op_doc_duplication_coverage and op_lm_doc_score on
-the skewed fixture (scripts/make_skewed.py: one boilerplate 8-gram
-carrying ~800k of ~5M instance rows) and on /tmp/sf1 (uniform, same
+the skewed fixture (scripts/make_skewed.py: ONE hot trigram key
+carrying ~6.2M of ~11M instance rows — a measured 299× max/median
+partition imbalance at 256 partitions) and on /tmp/sf1 (uniform, same
 order of magnitude) and prints min-of-N wall times — the numbers
 PERF.md's "skewed fixture experiment" records.
 

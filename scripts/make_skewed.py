@@ -10,11 +10,13 @@ fixture experiment"):
 
 * ``documents``: sf0.1's 5k docs replicated 20× (word-shuffled per
   replica like make_sf1.py, so replicas aren't near-dups) = 100k docs;
-  then 80% of docs get a fixed 8-word BOILERPLATE sentence appended
-  10 times. Every 8-gram of that sentence lands ~800k instance rows
-  on ONE xxhash64 key — the corpus-wide-boilerplate shape (cookie
-  banners, license headers) that makes a window over gram keys pin
-  ~6× an average task's rows onto a single task.
+  then 80% of docs get an 80-token SINGLE-REPEATED-WORD spam suffix
+  ("buy buy ... buy") appended once. Every boilerplate trigram is the
+  SAME trigram, so ~6.2M of ~11M trigram instance rows land on ONE
+  xxhash64 key (a 299× max/median partition imbalance at 256
+  partitions, PERF.md) — the shape that pins a multi-million-row
+  window sort onto one task. A /tmp/sfskew_short sibling truncates
+  base text to 12 tokens for the coverage-op experiment.
 * ``events``: sf0.1's 100k events replicated 10× = 1M rows, with
   user_id REASSIGNED from a Zipf(s=1.2) draw over the same 1500-user
   population — the top user carries ~8% of all events. Timestamps,

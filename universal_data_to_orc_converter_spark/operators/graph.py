@@ -414,21 +414,13 @@ def op_connected_components_star(
         .select(F.col("event_id").alias("u"), F.col("nxt").alias("v"))
     )
     assign = _star_contraction(chain)
-    # root nodes map to themselves; count nodes per root
-    nodes = assign.select(F.col("root").alias("node")).unionByName(
-        assign.select("node")
-    )
+    # at fixpoint every NON-ROOT node appears exactly once in assign,
+    # so component size = per-root row count + 1 (the root itself) —
+    # one aggregate, no node-set distinct/join (review finding: the
+    # earlier union+distinct+join form added two exchanges over the
+    # largest frame to compute the same number)
     return (
-        nodes.distinct()
-        .join(
-            assign.unionByName(
-                assign.select(
-                    F.col("root").alias("node"), F.col("root")
-                ).distinct()
-            ),
-            "node",
-        )
-        .groupBy(F.col("root").alias("component_id"))
-        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+        assign.groupBy(F.col("root").alias("component_id"))
+        .agg((F.count("*") + 1).cast("bigint").alias("n_nodes"))
         .select(F.col("component_id").cast("bigint"), "n_nodes")
     )

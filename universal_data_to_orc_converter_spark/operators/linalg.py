@@ -536,7 +536,7 @@ _SEMDEDUP_DEN = 10
 @query(
     "op_semdedup",
     oracle=_KMEANS_CTES
-    + """
+    + f"""
         , norms AS (
           SELECT vec_id,
                  CAST(list_sum(list_transform(
@@ -558,13 +558,13 @@ _SEMDEDUP_DEN = 10
           WHERE CAST(list_sum(list_transform(
                   generate_series(1, 64),
                   i -> qa.qv[i] * qb.qv[i])) AS BIGINT) > 0
-            AND 100 * CAST(list_sum(list_transform(
+            AND {_SEMDEDUP_DEN ** 2} * CAST(list_sum(list_transform(
                   generate_series(1, 64),
                   i -> qa.qv[i] * qb.qv[i])) AS BIGINT)
                     * CAST(list_sum(list_transform(
                   generate_series(1, 64),
                   i -> qa.qv[i] * qb.qv[i])) AS BIGINT)
-                >= 9 * na.n2 * nb.n2
+                >= {_SEMDEDUP_NUM ** 2} * na.n2 * nb.n2
         ),
         dups AS (
           SELECT cid, COUNT(DISTINCT dup_id) AS n_dups FROM pairs
@@ -608,7 +608,12 @@ def op_semdedup(
     releases the input cache otherwise hides them — the standard
     escape hatch, see op_duplicate_ngram_spans)."""
     em = load(spark, sf_dir, "embeddings")
-    q = em.select("vec_id", _qv().alias("qv")).cache()
+    q = em.select("vec_id", _qv().alias("qv"))
+    if _materialize:
+        # lazy path skips the cache: the Lloyd's-loop collects would
+        # populate it and the caller has no handle to release it (the
+        # r6-advice orphaned-cache leak, same fix as the text ops)
+        q = q.cache()
     try:
         if _k is None:
             # SemDeDup's scale contract: k grows with n so cluster
@@ -653,8 +658,8 @@ def op_semdedup(
             .filter(
                 (F.col("dot") > 0)
                 & (
-                    F.lit(100) * F.col("dot") * F.col("dot")
-                    >= F.lit(9) * F.col("na") * F.col("nb")
+                    F.lit(_SEMDEDUP_DEN**2) * F.col("dot") * F.col("dot")
+                    >= F.lit(_SEMDEDUP_NUM**2) * F.col("na") * F.col("nb")
                 )
             )
             .select(

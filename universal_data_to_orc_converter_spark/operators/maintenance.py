@@ -302,9 +302,16 @@ def ingest_new_files(
     # no regex-escaping of path characters needed.
     abs_landing = os.path.abspath(landing).rstrip("/") + "/"
     uri = F.input_file_name()
-    rel = F.substring(
-        uri, F.locate(abs_landing, uri) + len(abs_landing), 4096
-    )
+    pos = F.locate(abs_landing, uri)
+    # guard the locate miss (percent-encoded URIs, symlink-resolved
+    # paths): a fixed-offset slice from position 0 would hash an
+    # arbitrary URI chunk and silently mint fresh fids on retry — the
+    # exact double-count this keying exists to prevent. Fall back to
+    # hashing the FULL uri: stable for identical retries, and loudly
+    # distinct (never colliding with a relative-path fid).
+    rel = F.when(
+        pos > 0, F.substring(uri, pos + len(abs_landing), 4096)
+    ).otherwise(uri)
     partial = batch.groupBy(
         F.substring(F.sha2(rel, 256), 1, 16).alias("fid"),
         "event_type",
@@ -830,18 +837,31 @@ def op_lambda_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_agg("user_id", F.lit(14)).alias("users_sk"),
         )
 
-    table = os.path.join(tempfile.mkdtemp(prefix="lambda_"), "rollup")
-    commit_version(states(e.filter(F.col("ts") < cutoff)), table)
-    snap = read_version(spark, table)  # latest committed snapshot
-    tail = states(e.filter(F.col("ts") >= cutoff))
-    return (
-        snap.unionByName(tail)
-        .groupBy("event_type")
-        .agg(
-            F.sum("n_events").cast("bigint").alias("n_events"),
-            F.sum("sum_value_fp").cast("bigint").alias("sum_value_fp"),
-            F.hll_sketch_estimate(F.hll_union_agg("users_sk"))
-            .cast("bigint")
-            .alias("approx_users"),
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="lambda_")
+    table = os.path.join(work, "rollup")
+    try:
+        commit_version(states(e.filter(F.col("ts") < cutoff)), table)
+        snap = read_version(spark, table)  # latest committed snapshot
+        tail = states(e.filter(F.col("ts") >= cutoff))
+        out = (
+            snap.unionByName(tail)
+            .groupBy("event_type")
+            .agg(
+                F.sum("n_events").cast("bigint").alias("n_events"),
+                F.sum("sum_value_fp")
+                .cast("bigint")
+                .alias("sum_value_fp"),
+                F.hll_sketch_estimate(F.hll_union_agg("users_sk"))
+                .cast("bigint")
+                .alias("approx_users"),
+            )
         )
-    )
+        # |types| rows: materialize eagerly so the snapshot dir can be
+        # reclaimed (read_version reads lazily — deleting first would
+        # break the returned frame); without this every invocation
+        # leaked one temp snapshot dir
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -332,6 +332,11 @@ def unigram_train(word_counts: DataFrame, iters: int = UNIGRAM_ITERS):
                     back[i] = ln
         out, i = [], L
         while i > 0:
+            if back[i] == 0:  # unreachable — vocab lost a char
+                raise ValueError(
+                    f"unsegmentable word {w!r}: a required piece left "
+                    f"the score table (single-char coverage violated)"
+                )
             out.append(w[i - back[i] : i])
             i -= back[i]
         return out[::-1]
@@ -372,11 +377,15 @@ def unigram_train(word_counts: DataFrame, iters: int = UNIGRAM_ITERS):
         )[:UNIGRAM_VOCAB]
         kept = {p: c for p, c in counts.items() if len(p) == 1}
         kept.update(dict(keep_multi))
-        # chars that fell out of use keep a count floor of their seed
-        # presence so segmentation stays total
-        for p, c in vocab.items():
-            if len(p) == 1 and p not in kept:
-                kept[p] = 0 if counts.get(p) else kept.get(p, 0)
+        # single chars NEVER leave the score table, even at zero usage
+        # (count floor 1): a char fully covered by multi-char pieces
+        # this round may be needed next round if those pieces are
+        # pruned — without the floor, Viterbi would find such a word
+        # unsegmentable (best[i] stuck at NEG, back[i]==0, and the
+        # backtrack would never terminate)
+        for p in vocab:
+            if len(p) == 1 and kept.get(p, 0) <= 0:
+                kept[p] = 1
         scores = mk_scores({p: c for p, c in kept.items() if c > 0})
         vocab = kept
     return [

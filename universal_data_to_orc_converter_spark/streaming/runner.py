@@ -74,7 +74,14 @@ def run_available_now(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_sec)
+        if not q.awaitTermination(timeout_sec):
+            # timed out with the query STILL RUNNING: stop it before
+            # the finally deletes its checkpoint (and before callers
+            # delete staged sources) — otherwise the live query
+            # crashes mid-batch on the vanished files and the partial
+            # memory table is joined by executor error noise
+            q.stop()
+            q.awaitTermination(30)
         return spark.table(name)
     finally:
         # the memory-sink table is driver-resident and the availableNow
