@@ -67,6 +67,8 @@ def test_readback_row_identity(spark):
     back = (
         spark.read.schema("event_id bigint, event_type string, value double")
         .option("sep", ";")
+        .option("quote", '"')
+        .option("escape", '"')
         .csv(os.path.join(out, "part-*.dump"))
     )
     diff = (
@@ -210,3 +212,34 @@ def test_append_recovers_true_total_after_crashed_manifest(spark):
     actual = sum(1 for p in live for _ in open(p))
     with open(os.path.join(out, "_SUCCESS")) as f:
         assert int(f.readline().strip()) == actual
+
+
+def test_delimiter_and_newline_values_roundtrip(spark):
+    """Adversarial serialization: values containing the delimiter,
+    quotes, and newlines must survive the dump round-trip byte-exact
+    (review finding — unquoted ';' used to shift every subsequent
+    column silently)."""
+    spark.dataSource.register(EventDumpSink)
+    out = tempfile.mkdtemp(prefix="eventdump_adv_")
+    rows = [
+        (1, "plain", 1.0),
+        (2, "semi;colon", 2.0),
+        (3, 'has"quote', 3.0),
+        (4, "new\nline", 4.0),
+        (5, "both;\"and\nmore", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, value double"
+    )
+    df.coalesce(1).write.format("eventdump").option("path", out).mode(
+        "append"
+    ).save()
+    back = (
+        spark.read.schema("event_id bigint, event_type string, value double")
+        .option("sep", ";")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("multiLine", "true")
+        .csv(os.path.join(out, "part-*.dump"))
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(rows)

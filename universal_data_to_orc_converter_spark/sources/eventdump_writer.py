@@ -74,11 +74,22 @@ class _EventDumpWriter(DataSourceWriter):
         tmp_dir = os.path.join(self.path, "_tmp")
         os.makedirs(tmp_dir, exist_ok=True)
         name = f"{uuid.uuid4().hex}.part"
+
+        def cell(v) -> str:
+            # RFC-4180-style quoting: a value containing the
+            # delimiter, a quote, or a newline is wrapped in double
+            # quotes with inner quotes doubled — without this a
+            # string value like 'a;b' silently shifted every
+            # subsequent column on read-back (review finding)
+            t = "" if v is None else str(v)
+            if any(c in t for c in ';"\n\r'):
+                return '"' + t.replace('"', '""') + '"'
+            return t
+
         n = 0
         with open(os.path.join(tmp_dir, name), "w") as f:
             for row in iterator:
-                vals = ";".join("" if v is None else str(v) for v in row)
-                f.write(vals + "\n")
+                f.write(";".join(cell(v) for v in row) + "\n")
                 n += 1
         return _PartCommit(tmp_name=name, rows=n)
 
@@ -203,6 +214,8 @@ def op_python_datasource_writer(
     back = (
         spark.read.schema("event_id bigint, event_type string, value double")
         .option("sep", ";")
+        .option("quote", '"')
+        .option("escape", '"')
         .csv(os.path.join(out, "part-*.dump"))
     )
     return back.groupBy("event_type").agg(
@@ -326,6 +339,8 @@ def op_stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = (
         spark.read.schema("event_id bigint, event_type string, value double")
         .option("sep", ";")
+        .option("quote", '"')
+        .option("escape", '"')
         .csv(os.path.join(out, "part-*.dump"))
     )
     return back.groupBy("event_type").agg(

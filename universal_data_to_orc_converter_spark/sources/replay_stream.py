@@ -114,6 +114,11 @@ def run_replay_until_drained(
     deadline = time.time() + timeout_sec
     try:
         while time.time() < deadline:
+            if q.exception() is not None:
+                # surface the real failure — without this a dead query
+                # spins the full timeout and reports a misleading
+                # TimeoutError while the source exception is discarded
+                raise q.exception()
             p = q.lastProgress
             if p and p["sources"]:
                 end = p["sources"][0]["endOffset"]
@@ -173,7 +178,12 @@ def op_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (re-)register the source on this session; idempotent
     spark.dataSource.register(EventsReplaySource)
     path = os.path.join(sf_dir, "events.parquet")
-    total = spark.read.parquet(path).count()
+    # footer metadata, not a Spark scan: free, and immune to the
+    # TIMESTAMP(NANOS) schema-probe crash a fresh session would hit
+    # on nanos-era fixtures (this op never reads ts at all)
+    import pyarrow.parquet as pq
+
+    total = pq.ParquetFile(path).metadata.num_rows
     # slice size scales with the corpus so the replay is always a
     # handful of micro-batches (3 at sf0.01, ~8 beyond) — per-batch
     # scheduling overhead stays amortized at any SF, and the result is
@@ -220,13 +230,25 @@ class _PartitionedReplayReader(DataSourceStreamReader):
         return {"row": 0}
 
     def latestOffset(self) -> dict:
-        # advance one bounded slice per micro-batch
+        # advance one bounded slice per micro-batch. The cursor is
+        # driver-memory state, so a CHECKPOINT RESTART constructs a
+        # fresh reader with _cur=0 — returning an offset BEHIND the
+        # committed start would silently re-deliver rows (the
+        # exactly-once break a review caught). partitions() and
+        # commit() therefore fast-forward the cursor past every
+        # engine-provided offset they see (recovery replays the last
+        # planned batch through partitions() before new planning, so
+        # the cursor has caught up by the time this runs again).
         cur = getattr(self, "_cur", 0)
         nxt = min(cur + self.n, self.total)
         self._cur = nxt
         return {"row": nxt}
 
     def partitions(self, start: dict, end: dict):
+        # fast-forward past engine-known offsets (restart recovery)
+        self._cur = max(
+            getattr(self, "_cur", 0), start["row"], end["row"]
+        )
         lo, hi = start["row"], end["row"]
         if hi <= lo:
             return [_SliceParts(self.path, lo, lo)]
@@ -247,7 +269,8 @@ class _PartitionedReplayReader(DataSourceStreamReader):
         return iter(list(zip(*(sl.column(c).to_pylist() for c in _COLS))))
 
     def commit(self, end: dict) -> None:
-        pass
+        # part of the restart fast-forward contract (see latestOffset)
+        self._cur = max(getattr(self, "_cur", 0), end["row"])
 
 
 class EventsReplayParSource(DataSource):

@@ -92,20 +92,30 @@ class SqlDumpDataSource(DataSource):
         return "sqldump"
 
     def schema(self):
-        schema, _ = _scan_header(self.options["path"], self.options["table"])
+        # cache the header scan: reader() reuses it instead of
+        # re-parsing the dump from byte 0 a second time (the serial
+        # driver-side statement split is paid once per read, not twice
+        # — review finding; multi-GB dumps with late DDL pay double)
+        schema, cols = _scan_header(
+            self.options["path"], self.options["table"]
+        )
+        self._header = (schema, cols)
         return schema
 
     def reader(self, schema: StructType) -> "SqlDumpReader":
-        return SqlDumpReader(schema, self.options)
+        cols = getattr(self, "_header", (None, None))[1]
+        return SqlDumpReader(schema, self.options, columns=cols)
 
 
 class SqlDumpReader(DataSourceReader):
-    def __init__(self, schema: StructType, options) -> None:
+    def __init__(self, schema: StructType, options, columns=None) -> None:
         self.schema = schema
         self.path = options["path"]
         self.table = options["table"]
         self.split_bytes = int(options.get("split_bytes", _SPLIT_BYTES))
-        _, self.columns = _scan_header(self.path, self.table)
+        if columns is None:  # user-supplied schema skipped schema()
+            _, columns = _scan_header(self.path, self.table)
+        self.columns = columns
 
     def partitions(self):
         import os

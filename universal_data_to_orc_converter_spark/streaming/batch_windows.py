@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..exprs import dsum, sql_dsum
+from ..exprs import dsum, sql_dsum, sql_wide_to_double
 from ..registry import query
 
 
@@ -154,24 +154,15 @@ def op_stream_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded backfill (availableNow) over the source directory, windowed
     state, results published atomically. Identical logical plan to
     op_stream_tumbling — batch/stream parity by construction."""
-    import tempfile
-    import uuid
-
-    from .runner import read_events_stream
+    from .runner import read_events_stream, run_available_now
 
     stream = read_events_stream(spark, sf_dir)
-    result = tumbling_agg(stream)
-    sink_name = f"avnow_{uuid.uuid4().hex[:8]}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_avnow_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    return spark.table(sink_name)
+    # run_available_now (not a hand-rolled writeStream): it stops a
+    # still-running query on timeout before cleanup and reclaims the
+    # checkpoint dir — this op used to re-implement the sink and leak
+    # one ckpt dir per call while silently returning a partial table
+    # on timeout (review finding)
+    return run_available_now(tumbling_agg(stream), output_mode="complete")
 
 
 @query(
@@ -286,10 +277,12 @@ def op_stream_dedup_within_watermark(
 
 @query(
     "op_stream_stateful",
-    oracle="""
+    oracle=f"""
         SELECT user_id,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+               {sql_wide_to_double(
+                   "SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))"
+               )}
                    / 1000000.0 AS value_sum,
                MAX(ts) AS last_seen
         FROM events
@@ -640,6 +633,13 @@ def _stream_interval_join_heartbeat(
         os.path.join(src, "z_heartbeat.parquet"),
     )
 
+    # probe the physical ts flavor BEFORE any spark.read touches the
+    # file: on a TIMESTAMP(NANOS)-era fixture a fresh session's schema
+    # probe throws unless nanosAsLong is set (review finding — this
+    # only worked when another events op had set the conf first)
+    ts_field = schema.field("ts")
+    if not pa.types.is_timestamp(ts_field.type):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(real).schema
     stream = (
         spark.readStream.schema(batch_schema)
@@ -870,8 +870,10 @@ def op_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                      RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
                            AND CURRENT ROW)
     """.format(
-        "CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) OVER w "
-        "AS DOUBLE) / 1000000.0 AS sum_7d"
+        sql_wide_to_double(
+            "SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) OVER w"
+        )
+        + " / 1000000.0 AS sum_7d"
     ),
     notes="Time-interval RANGE frame: a 7-day trailing window per "
     "user, bounded by event TIME, not row count — the moving-metric "
@@ -1004,17 +1006,27 @@ def op_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def op_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked append-mode session_window over a 4-batch stream."""
+    import os
+    import shutil
+
     from .runner import run_available_now
     from .sessionize_stream import sessionized_stream
 
-    return run_available_now(
-        sessionized_stream(spark, sf_dir), output_mode="append"
-    )
+    stream = sessionized_stream(spark, sf_dir)
+    src = stream._sess_stream_src  # staging dir recorded by the builder
+    try:
+        return run_available_now(stream, output_mode="append")
+    finally:
+        # memory sink is driver-resident once drained: reclaim the
+        # staged shard copies (they used to leak two events
+        # projections per invocation — review finding; same pattern
+        # as the heartbeat join's staging cleanup)
+        shutil.rmtree(os.path.dirname(src), ignore_errors=True)
 
 
 @query(
     "op_time_weighted_avg",
-    oracle="""
+    oracle=f"""
         WITH seq AS (
           SELECT user_id, value,
                  epoch_us(ts) // 1000000 AS t_s,
@@ -1033,8 +1045,8 @@ def op_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id,
                CAST(COUNT(*) AS BIGINT) + 1 AS n_obs,
                CAST(SUM(d) AS BIGINT) AS span_s,
-               CAST(SUM(w) AS DOUBLE)
-                 / (100.0 * CAST(SUM(d) AS DOUBLE)) AS twa_value
+               {sql_wide_to_double("SUM(w)")}
+                 / (100.0 * {sql_wide_to_double("SUM(d)")}) AS twa_value
         FROM seg
         GROUP BY user_id
         HAVING SUM(d) > 0

@@ -72,7 +72,7 @@ def sessionized_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
-    return (
+    out = (
         stream.withWatermark("ts", "0 seconds")
         .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"))
@@ -83,3 +83,8 @@ def sessionized_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+    # let callers reclaim the staged shard copies after the stream
+    # drains (the staging dir is work/src; its PARENT holds both the
+    # shards and the repartition output)
+    out._sess_stream_src = src
+    return out
