@@ -69,7 +69,7 @@ def op_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN len(t) >= 3
                         THEN list_transform(range(1, len(t) - 1),
                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                        ELSE [array_to_string(t, ' ')]
+                        ELSE [COALESCE(array_to_string(t, ' '), '')]
                    END) AS s
           FROM toks
         ),
@@ -120,16 +120,16 @@ def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_shared").cast("double") / (
         F.col("size_a") + F.col("size_b") - F.col("n_shared")
     )
-    # A pair colliding in k bands appears k times; dedup AFTER the
-    # jaccard filter, when the result is hundreds of rows, instead of
-    # deduping the much larger raw candidate stream — one less shuffle
-    # over data that was about to shrink anyway.
+    # no pair dedup needed here: cand comes out of groupBy(doc_a,
+    # doc_b) already unique and sa/sb carry one row per doc (the
+    # dropDuplicates+comment that used to sit here were copy-pasted
+    # from the LSH op, where band collisions genuinely multiply pairs
+    # — review finding; it cost a pointless shuffle-dedup stage)
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.7)
-        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
@@ -143,21 +143,21 @@ _BANDS = 8
 _ROWS_PER_BAND = _NUM_PERM // _BANDS
 
 
-def make_minhash_sig_batches():
-    """Build the Arrow-batched MinHash signature kernel (full design
-    notes in op_dedup_minhash_lsh's docstring below). Module-level so
-    the STREAMING incremental dedup (streaming/dedup_stream.py)
-    computes bit-identical signatures from the same constants."""
+def _shingle_hash_kernel():
+    """The SHARED shingle-hash spec (splitmix64 constants/finalizer,
+    blake2b token hashing, boundary-masked 3-gram enumeration, the
+    <3-token whole-document fold) used by BOTH the MinHash and SimHash
+    kernels — and, via make_minhash_sig_batches, the streaming
+    incremental dedup. Extracted (review finding) so the spec cannot
+    silently fork: it used to exist as two ~45-line copies.
+
+    Returns ``(k1, k2, finalize, doc_shingle_hashes)`` where
+    ``doc_shingle_hashes(pdf, distinct)`` maps a pandas batch with a
+    ``text`` column to one np.uint64 hash array per row."""
     import numpy as np
 
-    num_perm, bands = _NUM_PERM, _BANDS
     k1 = np.uint64(0xBF58476D1CE4E5B9)
     k2 = np.uint64(0x94D049BB133111EB)
-    rng = np.random.default_rng(42)
-    perm_a = rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) * np.uint64(
-        2
-    ) + np.uint64(1)  # odd multipliers: bijective mod 2^64
-    perm_b = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
 
     def _finalize(x):
         # splitmix64 finalizer — mixes the combined token hashes
@@ -169,57 +169,86 @@ def make_minhash_sig_batches():
         x ^= x >> np.uint64(31)
         return x
 
-    def sig_batches(it):
+    def doc_shingle_hashes(pdf, distinct: bool):
         from hashlib import blake2b
 
         import pandas as pd
 
-        for pdf in it:
-            toks = pdf["text"].str.lower().str.split()
-            lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
-            n = len(pdf)
-            codes, uniques = pd.factorize(toks.explode().dropna().to_numpy())
-            # hash only the batch's unique tokens in Python; everything
-            # per-occurrence is a numpy gather
-            uh = np.fromiter(
-                (
-                    int.from_bytes(
-                        blake2b(t.encode(), digest_size=8).digest(), "little"
-                    )
-                    for t in uniques
-                ),
-                dtype=np.uint64,
-                count=len(uniques),
-            )
-            th = uh[codes] if len(codes) else np.empty(0, np.uint64)
-            offs = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(lens, out=offs[1:])
-            docidx = np.repeat(np.arange(n), lens)
-            # 3-gram shingle hash at every position not crossing a
-            # document boundary
-            if len(th) >= 3:
-                tri = _finalize(th[:-2] * k1 ^ th[1:-1] * k2 ^ th[2:])
-                valid = docidx[:-2] == docidx[2:]
-                vt, vdoc = tri[valid], docidx[:-2][valid]
+        n = len(pdf)
+        toks = pdf["text"].str.lower().str.split()
+        lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        codes, uniques = pd.factorize(toks.explode().dropna().to_numpy())
+        # hash only the batch's unique tokens in Python; everything
+        # per-occurrence is a numpy gather
+        uh = np.fromiter(
+            (
+                int.from_bytes(
+                    blake2b(t.encode(), digest_size=8).digest(), "little"
+                )
+                for t in uniques
+            ),
+            dtype=np.uint64,
+            count=len(uniques),
+        )
+        th = uh[codes] if len(codes) else np.empty(0, np.uint64)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        docidx = np.repeat(np.arange(n), lens)
+        # 3-gram shingle hash at every position not crossing a
+        # document boundary
+        if len(th) >= 3:
+            tri = _finalize(th[:-2] * k1 ^ th[1:-1] * k2 ^ th[2:])
+            valid = docidx[:-2] == docidx[2:]
+            vt, vdoc = tri[valid], docidx[:-2][valid]
+        else:
+            vt = np.empty(0, np.uint64)
+            vdoc = np.empty(0, np.int64)
+        bounds = np.searchsorted(vdoc, np.arange(n + 1))
+        out = []
+        for i in range(n):
+            a, e = bounds[i], bounds[i + 1]
+            if e > a:
+                sh = np.unique(vt[a:e]) if distinct else vt[a:e]
             else:
-                vt = np.empty(0, np.uint64)
-                vdoc = np.empty(0, np.int64)
-            bounds = np.searchsorted(vdoc, np.arange(n + 1))
+                # <3 tokens: one whole-document shingle (order-
+                # sensitive fold of its token hashes)
+                acc = np.uint64(0xDEADBEEF)
+                for v in th[offs[i] : offs[i + 1]]:
+                    acc = (acc ^ v) * k1
+                sh = _finalize(np.array([acc], dtype=np.uint64))
+            out.append(sh)
+        return out
+
+    return k1, k2, _finalize, doc_shingle_hashes
+
+
+def make_minhash_sig_batches():
+    """Build the Arrow-batched MinHash signature kernel (full design
+    notes in op_dedup_minhash_lsh's docstring below). Module-level so
+    the STREAMING incremental dedup (streaming/dedup_stream.py)
+    computes bit-identical signatures from the same constants; the
+    shingle-hash spec itself lives in _shingle_hash_kernel, shared
+    with SimHash."""
+    import numpy as np
+
+    num_perm, bands = _NUM_PERM, _BANDS
+    k1, k2, _finalize, doc_shingles = _shingle_hash_kernel()
+    rng = np.random.default_rng(42)
+    perm_a = rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) * np.uint64(
+        2
+    ) + np.uint64(1)  # odd multipliers: bijective mod 2^64
+    perm_b = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
+
+    def sig_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            # min of a multiset == min of its set: no dedup needed
+            # for the signature, and the verify step's
+            # array_intersect/array_union deduplicate on their own
+            sh_list = doc_shingles(pdf, distinct=False)
             h_out, band_out = [], []
-            for i in range(n):
-                s, e = bounds[i], bounds[i + 1]
-                if e > s:
-                    sh = vt[s:e]
-                else:
-                    # <3 tokens: one whole-document shingle (order-
-                    # sensitive fold of its token hashes)
-                    acc = np.uint64(0xDEADBEEF)
-                    for v in th[offs[i] : offs[i + 1]]:
-                        acc = (acc ^ v) * k1
-                    sh = _finalize(np.array([acc], dtype=np.uint64))
-                # min of a multiset == min of its set: no dedup needed
-                # for the signature, and the verify step's
-                # array_intersect/array_union deduplicate on their own
+            for sh in sh_list:
                 mh = (sh[None, :] * perm_a[:, None] + perm_b[:, None]).min(axis=1)
                 bnd = _finalize(
                     mh[0::2] * k1
@@ -353,62 +382,17 @@ def op_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression tree that re-scanned the shingle array once per bit."""
     import numpy as np
 
-    k1 = np.uint64(0xBF58476D1CE4E5B9)
-    k2 = np.uint64(0x94D049BB133111EB)
-
-    def _finalize(x):
-        x = x.copy()
-        x ^= x >> np.uint64(30)
-        x *= k1
-        x ^= x >> np.uint64(27)
-        x *= k2
-        x ^= x >> np.uint64(31)
-        return x
+    _k1, _k2, _finalize, doc_shingles = _shingle_hash_kernel()
 
     def sig_batches(it):
-        from hashlib import blake2b
-
         import pandas as pd
 
         for pdf in it:
             n = len(pdf)
             if n == 0:
                 continue
-            toks = pdf["text"].str.lower().str.split()
-            lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
-            codes, uniques = pd.factorize(toks.explode().dropna().to_numpy())
-            uh = np.fromiter(
-                (
-                    int.from_bytes(
-                        blake2b(t.encode(), digest_size=8).digest(), "little"
-                    )
-                    for t in uniques
-                ),
-                dtype=np.uint64,
-                count=len(uniques),
-            )
-            th = uh[codes] if len(codes) else np.empty(0, np.uint64)
-            offs = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(lens, out=offs[1:])
-            docidx = np.repeat(np.arange(n), lens)
-            if len(th) >= 3:
-                tri = _finalize(th[:-2] * k1 ^ th[1:-1] * k2 ^ th[2:])
-                valid = docidx[:-2] == docidx[2:]
-                vt, vdoc = tri[valid], docidx[:-2][valid]
-            else:
-                vt = np.empty(0, np.uint64)
-                vdoc = np.empty(0, np.int64)
-            bounds = np.searchsorted(vdoc, np.arange(n + 1))
-            sh_list = []
-            for i in range(n):
-                s, e = bounds[i], bounds[i + 1]
-                if e > s:
-                    sh_list.append(np.unique(vt[s:e]))  # DISTINCT shingles
-                else:
-                    acc = np.uint64(0xDEADBEEF)
-                    for v in th[offs[i] : offs[i + 1]]:
-                        acc = (acc ^ v) * k1
-                    sh_list.append(_finalize(np.array([acc], dtype=np.uint64)))
+            # DISTINCT shingles per doc (majority votes, not multiset)
+            sh_list = doc_shingles(pdf, distinct=True)
             counts = np.fromiter((len(s) for s in sh_list), np.int64, count=n)
             flat = np.concatenate(sh_list)
             # (total_shingles, 64) bit matrix, column j = bit j; one
@@ -465,7 +449,7 @@ def _exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN len(t) >= 3
                         THEN list_transform(range(1, len(t) - 1),
                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                        ELSE [array_to_string(t, ' ')]
+                        ELSE [COALESCE(array_to_string(t, ' '), '')]
                    END) AS s
           FROM toks
         ),
@@ -571,7 +555,7 @@ def op_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN len(t) >= 3
                         THEN list_transform(range(1, len(t) - 1),
                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                        ELSE [array_to_string(t, ' ')]
+                        ELSE [COALESCE(array_to_string(t, ' '), '')]
                    END) AS s
           FROM toks
         ),
@@ -650,7 +634,7 @@ def op_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN len(t) >= 3
                         THEN list_transform(range(1, len(t) - 1),
                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                        ELSE [array_to_string(t, ' ')]
+                        ELSE [COALESCE(array_to_string(t, ' '), '')]
                    END) AS s
           FROM toks
         ),

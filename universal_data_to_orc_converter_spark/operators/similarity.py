@@ -350,7 +350,7 @@ def op_dedup_embedding_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "nn_vec_id", _dot(F.col("u"), F.col("u_b")).alias("nn_cos")
     )
     w = W.partitionBy("vec_id").orderBy(F.col("nn_cos").desc(), "nn_vec_id")
-    return (
+    out = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
@@ -360,6 +360,13 @@ def op_dedup_embedding_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("nn_cos") >= 0.95).alias("is_dup"),
         )
     )
+    try:
+        # per-vector output: materialize eagerly so the unit-vector
+        # cache can be released (the caller-owned-cache leak this
+        # file's text-op siblings already fixed — review finding)
+        return out.localCheckpoint(eager=True)
+    finally:
+        unit.unpersist()
 
 
 def ivf_topk(
@@ -409,12 +416,17 @@ def ivf_topk(
     cand = probe.join(assigned, "cell").filter(F.col("vec_id") != F.col("q_id"))
     cos = _dot(F.col("q_u"), F.col("u"))
     w_rank = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), "vec_id")
-    return (
+    out = (
         cand.select("q_id", "vec_id", cos.alias("cosine"))
         .withColumn("rn", F.row_number().over(w_rank))
         .filter(F.col("rn") <= top_k)
         .select("q_id", "vec_id", "cosine")
     )
+    try:
+        # top-k rows: eager materialize, then release the unit cache
+        return out.localCheckpoint(eager=True)
+    finally:
+        unit.unpersist()
 
 
 @query(
@@ -633,14 +645,19 @@ def ivfpq_topk(
     qv = qdf.select("q_id", F.col("q_u").alias("qq"))
     uv = unit.select("vec_id", F.col("u").alias("uu"))
     w_rank = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), "vec_id")
-    return (
+    out = (
         short.join(F.broadcast(qv), "q_id")
         .join(uv, "vec_id")
         .select("q_id", "vec_id", _dot(F.col("qq"), F.col("uu")).alias("cosine"))
         .withColumn("rn", F.row_number().over(w_rank))
-        .filter(F.col("rn") <= _TOP_K)
+        .filter(F.col("rn") <= top_k)  # the parameter, not _TOP_K
         .select("q_id", "vec_id", "cosine")
     )
+    try:
+        # top-k rows: eager materialize, then release the unit cache
+        return out.localCheckpoint(eager=True)
+    finally:
+        unit.unpersist()
 
 
 @query(

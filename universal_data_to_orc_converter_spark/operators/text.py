@@ -196,9 +196,10 @@ def op_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "op_doc_fingerprint",
     oracle="""
         SELECT doc_id,
-               sha256(array_to_string(
+               sha256(COALESCE(array_to_string(
                  list_slice(list_filter(string_split(lower(text), ' '),
-                                        x -> x <> ''), 1, 32), ' ')) AS fingerprint
+                                        x -> x <> ''), 1, 32), ' '), ''))
+                 AS fingerprint
         FROM documents
     """,
     notes="Prefix fingerprint: sha256 of the first 32 normalized "
@@ -242,7 +243,8 @@ def op_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                t = " ".join(text.lower().split())
+                # null-safe: a NULL text must not kill the whole task
+                t = " ".join((text or "").lower().split())
                 hashes = []
                 h, power = 0, pow(31, K - 1, MOD)
                 for i, ch in enumerate(t):
@@ -252,11 +254,25 @@ def op_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
                     if i >= K - 1:
                         hashes.append(h)
                 fps = set()
+                if 0 < len(hashes) < W:
+                    # standard winnowing: a doc shorter than one
+                    # window still emits min(hashes) — it used to
+                    # silently vanish from the output (review finding)
+                    fps.add(min(hashes))
                 for i in range(max(0, len(hashes) - W + 1)):
                     fps.add(min(hashes[i : i + W]))
                 for fp in sorted(fps):
                     out.append((int(doc_id), fp))
-            yield pd.DataFrame(out, columns=["doc_id", "fingerprint"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(
+                        [r[0] for r in out], dtype="int64"
+                    ),
+                    "fingerprint": pd.Series(
+                        [r[1] for r in out], dtype="int64"
+                    ),
+                }
+            )
 
     return d.mapInPandas(winnow, "doc_id long, fingerprint long").orderBy(
         "doc_id", "fingerprint"
@@ -1108,7 +1124,7 @@ def op_doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT d.doc_id, d.text, d.n_chars,
                  CASE WHEN d.n_chars <= p.sz THEN 1
                       ELSE CAST((d.n_chars - p.sz + p.stride - 1)
-                                / p.stride AS INT) + 1 END AS n_chunks
+                                // p.stride AS INT) + 1 END AS n_chunks
           FROM documents d, params p
         )
         SELECT doc_id,
@@ -1139,8 +1155,13 @@ def op_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping fixed-size character chunks per document."""
     sz, stride = 500, 400
     d = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    # integer DIV on both sides: the old float-divide-then-cast pair
+    # diverged (Spark's cast truncates, DuckDB's CAST-from-float
+    # ROUNDS — a doc with n_chars=701 got 2 chunks here, 3 in the
+    # oracle; review finding, fixture-masked)
     n_chunks = F.when(F.col("n_chars") <= sz, F.lit(1)).otherwise(
-        ((F.col("n_chars") - sz + stride - 1) / stride).cast("int") + 1
+        F.expr(f"(n_chars - {sz} + {stride} - 1) div {stride}").cast("int")
+        + 1
     )
     chunks = d.withColumn(
         "chunk_id",
@@ -1988,32 +2009,42 @@ def op_lm_doc_score_heldout(
             F.xxhash64("g.w1", "g.w2").alias("ch"),
         )
     )
-    train = tri.filter(F.col("doc_id") % 2 == 0)
-    tc = train.groupBy("th").agg(F.count("*").alias("tc"))
-    cc = train.groupBy("ch").agg(F.count("*").alias("cc"))
-    vocab = int(
-        toks_df.filter(F.col("doc_id") % 2 == 0)
-        .select(F.explode("t").alias("tok"))
-        .agg(F.count_distinct(F.xxhash64("tok")))
-        .first()[0]
-    )
-    p_fp = F.expr(
-        f"(coalesce(tc, 0) + 1) * 1000000 DIV (coalesce(cc, 0) + {vocab})"
-    )
-    return (
-        tri.filter(F.col("doc_id") % 2 == 1)
-        .join(tc, "th", "left")
-        .join(cc, "ch", "left")
-        .select("doc_id", p_fp.alias("p_fp"))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_tri"),
-            F.sum("p_fp").cast("bigint").alias("sum_p_fp"),
+    # the trigram stream feeds three consumers (tc, cc, probe) plus
+    # the vocab count scans toks_df — persist like op_lm_doc_score
+    # does, or the corpus tokenize+explode runs four times per call
+    # (review finding; the sibling documents this exact discipline)
+    tri = tri.persist()
+    try:
+        train = tri.filter(F.col("doc_id") % 2 == 0)
+        tc = train.groupBy("th").agg(F.count("*").alias("tc"))
+        cc = train.groupBy("ch").agg(F.count("*").alias("cc"))
+        vocab = int(
+            toks_df.filter(F.col("doc_id") % 2 == 0)
+            .select(F.explode("t").alias("tok"))
+            .agg(F.count_distinct(F.xxhash64("tok")))
+            .first()[0]
         )
-        .withColumn(
-            "avg_p_fp",
-            F.col("sum_p_fp").cast("double") / F.col("n_tri"),
+        p_fp = F.expr(
+            f"(coalesce(tc, 0) + 1) * 1000000"
+            f" DIV (coalesce(cc, 0) + {vocab})"
         )
-        .orderBy(F.asc("avg_p_fp"), "doc_id")
-        .limit(50)
-    )
+        out = (
+            tri.filter(F.col("doc_id") % 2 == 1)
+            .join(tc, "th", "left")
+            .join(cc, "ch", "left")
+            .select("doc_id", p_fp.alias("p_fp"))
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").cast("bigint").alias("n_tri"),
+                F.sum("p_fp").cast("bigint").alias("sum_p_fp"),
+            )
+            .withColumn(
+                "avg_p_fp",
+                F.col("sum_p_fp").cast("double") / F.col("n_tri"),
+            )
+            .orderBy(F.asc("avg_p_fp"), "doc_id")
+            .limit(50)
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        tri.unpersist()

@@ -12,8 +12,17 @@ from pyspark.sql import functions as F
 
 
 def tokens(col: Column) -> Column:
-    """Lowercased whitespace tokens, empty strings dropped."""
-    return F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != "")
+    """Lowercased SPACE-split tokens, empty strings dropped.
+
+    Split on the literal space, not ``\\s+``: every DuckDB oracle
+    tokenizes with ``string_split(lower(text), ' ')`` and half the
+    text ops inline the same literal-space split — the old regex
+    variant was a SECOND tokenizer that diverged on tabs/newlines
+    (review finding; fixture text is single-space so all current
+    hashes are unchanged, but a raw-text corpus would have split the
+    engines). Runs of spaces produce empty strings on both engines
+    and the filter drops them identically."""
+    return F.filter(F.split(F.lower(col), " "), lambda x: x != "")
 
 
 def shingles(toks: Column, n: int = 3) -> Column:
