@@ -1100,7 +1100,14 @@ def kmv_intersections(e: DataFrame, k: int) -> DataFrame:
                 tau = union[-1]
                 window = set(union)
                 jac = len(inter & window) / len(window)
-                u_est = (k - 1) * (2**64) / (tau + 2**63) if tau else 0
+                # guard the actual denominator, not tau itself: tau is
+                # a SIGNED xxhash64 value, so the degenerate case is
+                # tau == -2**63 (denominator 0), while tau == 0 is a
+                # perfectly valid mid-range k-th minimum (the old
+                # `if tau` guard crashed the former and zeroed the
+                # latter — review finding)
+                denom = tau + 2**63
+                u_est = (k - 1) * (2**64) / denom if denom else 0
                 est = int(round(jac * u_est))
             out.append((ta, tb, est))
     return spark.createDataFrame(

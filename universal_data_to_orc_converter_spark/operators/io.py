@@ -9,6 +9,7 @@ fidelity is hash-checked against the parquet originals every round.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -310,7 +311,7 @@ def op_jsonl_corrupt_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("columnNameOfCorruptRecord", "_bad")
         .json(path)
     )
-    return (
+    out = (
         back.select(
             F.when(F.col("_bad").isNotNull(), "__corrupt__")
             .otherwise(F.col("lang"))
@@ -319,6 +320,12 @@ def op_jsonl_corrupt_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang_bucket")
         .agg(F.count("*").alias("n"))
     )
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        # result is metadata-sized once materialized; reclaim the
+        # staged copies (one leaked per invocation — review finding)
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @query(
@@ -361,10 +368,16 @@ def op_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     back = spark.read.parquet(compacted)
-    return back.groupBy("event_type").agg(
+    out = back.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         dsum(F.col("value"), "sum_value"),
     )
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        # result is metadata-sized once materialized; reclaim the
+        # staged copies (one leaked per invocation — review finding)
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @query(
@@ -458,13 +471,15 @@ def op_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join a day-partitioned fact table to a filtered calendar dim;
     DPP prunes unselected day directories at the fact scan."""
-    from ..catalog import load as _load
-    from ..exprs import dsum as _dsum
-
-    root = _scratch("dpp_")
+    # scratch key includes the FIXTURE path: the _SUCCESS reuse guard
+    # is per written dataset, and a process that runs this op at two
+    # scale factors must not serve the first fixture's files to the
+    # second (review finding — silent wrong results in multi-sf
+    # sessions, e.g. local sf0.1-then-sf1 perf laps)
+    root = _scratch(f"dpp_{abs(hash(os.path.abspath(sf_dir))):x}_")
     fact_dir = os.path.join(root, "events_by_day")
     dim_dir = os.path.join(root, "calendar")
-    e = _load(spark, sf_dir, "events").withColumn(
+    e = load(spark, sf_dir, "events").withColumn(
         "day", F.col("ts").cast("date")
     )
     if not os.path.exists(os.path.join(fact_dir, "_SUCCESS")):
@@ -491,7 +506,7 @@ def op_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(
             F.count("*").alias("n_events"),
-            _dsum(F.col("value"), "sum_value"),
+            dsum(F.col("value"), "sum_value"),
         )
     )
 
@@ -526,7 +541,7 @@ def op_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.csv import read_csv
     from ..sources.jdbc import DerbyConfig, read_table, write_table
 
-    root = _scratch("fed_")
+    root = _scratch(f"fed_{abs(hash(os.path.abspath(sf_dir))):x}_")
     csv_dir = os.path.join(root, "customer_csv")
     derby = os.path.join(root, "derby")
 
@@ -614,7 +629,7 @@ def op_bucket_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     notes="FIXED-WIDTH text round-trip — the mainframe/COBOL-era "
     "layout every long-lived conversion tool eventually meets, and a "
     "source format the reference's CSV/dump paths don't cover: "
-    "orders is serialized to 51-byte fixed-width records (right-"
+    "orders is serialized to 50-byte fixed-width records (right-"
     "aligned zero-padded numerics, left-aligned status, ISO date; "
     "price carried as SIGN-BYTE + integer-CENTS magnitude so no "
     "float formatting ever hits the text layer and negative amounts "
@@ -649,7 +664,7 @@ def op_fixed_width_roundtrip(
 def fixed_width_roundtrip(
     spark: SparkSession, o: DataFrame, out: str
 ) -> DataFrame:
-    """Serialize an orders-shaped frame to 51-byte fixed-width records
+    """Serialize an orders-shaped frame to 50-byte fixed-width records
     and parse them back (shared by op_fixed_width_roundtrip and the
     adversarial-values test). The amount field is SIGN-AWARE: one
     explicit sign byte before the zero-padded magnitude — naive

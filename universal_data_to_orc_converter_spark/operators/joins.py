@@ -372,7 +372,11 @@ def op_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resistant join via key salting, result-identical to the
     plain join."""
     e = load(spark, sf_dir, "events").withColumn(
-        "salt", (F.col("event_id") % _N_SALTS).cast("int")
+        # pmod, not %: a negative key under sign-following % yields a
+        # negative salt that matches none of the replicated dim salts
+        # 0..N-1 and the row silently vanishes (review finding; the
+        # sibling op_agg_salted_twophase already used pmod)
+        "salt", F.pmod(F.col("event_id"), F.lit(_N_SALTS)).cast("int")
     )
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     salts = spark.range(_N_SALTS).select(F.col("id").cast("int").alias("salt"))

@@ -76,7 +76,15 @@ def op_incremental_agg_maintain(
     e = load(spark, sf_dir, "events").select(
         "ts", "event_type", "value", "user_id"
     )
-    cutoff = F.lit("2024-01-24").cast("timestamp")
+    # MID-DAY cutoff, deliberately misaligned with the day grouping
+    # key: Jan 24's (day, event_type) groups receive partial states
+    # from BOTH the base rollup and the late batch, so the union
+    # re-aggregation genuinely merges multi-row states (sum-of-sums,
+    # min-of-mins, hll_union over >1 register). The old midnight
+    # cutoff aligned with the key — every group had exactly one
+    # partial and the "merge algebra is lossless" claim was vacuously
+    # true (review finding).
+    cutoff = F.lit("2024-01-24 12:00:00").cast("timestamp")
 
     def states(df: DataFrame) -> DataFrame:
         return df.groupBy(
@@ -371,6 +379,7 @@ def op_incremental_file_ingest(
     """Ingest a landing directory in arrival waves via a file
     manifest; serve the maintained rollup."""
     import os
+    import shutil
     import tempfile
 
     work = tempfile.mkdtemp(prefix="ingest_")
@@ -387,7 +396,7 @@ def op_incremental_file_ingest(
     # three arrival waves + a replay of the last one (must be a no-op)
     for visible in (files[:2], files[:4], files, files):
         ingest_new_files(spark, landing, visible, state, manifest)
-    return (
+    out = (
         spark.read.option("recursiveFileLookup", "true")
         .parquet(state)
         .groupBy("event_type")
@@ -396,6 +405,12 @@ def op_incremental_file_ingest(
             F.sum("sum_value_fp").cast("bigint").alias("sum_value_fp"),
         )
     )
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        # metadata-sized result once materialized; reclaim the staged
+        # copies (one temp dir leaked per invocation — review finding)
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @query(
@@ -623,11 +638,18 @@ def op_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "status string, n_files bigint, n_rows bigint",
         )
 
-    return (
+    out = (
         class_row("tracked", tracked)
         .unionByName(class_row("orphan", orphan))
         .unionByName(class_row("missing", missing))
     )
+    # class_row already materialized everything (collect + count);
+    # the output is three driver-built rows — reclaim the staging
+    # (one temp dir leaked per invocation — review finding)
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return out
 
 
 @query(
@@ -775,14 +797,24 @@ def op_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value_fp"),
         )
 
-    table = os.path.join(tempfile.mkdtemp(prefix="ttr_"), "rollup")
-    v1 = commit_version(rollup(e.filter(F.col("ts") < cutoff)), table)
-    v2 = commit_version(rollup(e), table)
-    a = read_version(spark, table, v1).withColumn("version", F.lit(1))
-    b = read_version(spark, table, v2).withColumn("version", F.lit(2))
-    return a.unionByName(b).select(
-        "version", "event_type", "n_events", "sum_value_fp"
-    )
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="ttr_")
+    table = os.path.join(work, "rollup")
+    try:
+        v1 = commit_version(rollup(e.filter(F.col("ts") < cutoff)), table)
+        v2 = commit_version(rollup(e), table)
+        a = read_version(spark, table, v1).withColumn("version", F.lit(1))
+        b = read_version(spark, table, v2).withColumn("version", F.lit(2))
+        out = a.unionByName(b).select(
+            "version", "event_type", "n_events", "sum_value_fp"
+        )
+        # |types|x2 rows: materialize, then reclaim the snapshot dirs
+        # (the leak op_lambda_serve's cleanup was added to fix existed
+        # here too — review finding)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @query(
