@@ -167,13 +167,13 @@ def test_no_silent_post_freeze_registration():
     whole round. Make that state unreachable: every registered name
     must be inside the pinned window, already driver-verified in a
     prior round (a CORRECTNESS_r*.json row), or explicitly acknowledged
-    in BELOW_FOLD_R7."""
+    in BELOW_FOLD_R8."""
     import glob
     import json
     import os
 
     from universal_data_to_orc_converter_spark.registry import (
-        BELOW_FOLD_R7,
+        BELOW_FOLD_R8,
     )
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -185,10 +185,10 @@ def test_no_silent_post_freeze_registration():
         for n in load_all_queries()
         if n not in DRIVER_PRIORITY
         and n not in verified
-        and n not in BELOW_FOLD_R7
+        and n not in BELOW_FOLD_R8
     ]
     assert not unaccounted, (
         f"queries registered after the driver window was pinned with no "
         f"window slot and no below-fold tag: {unaccounted} — either seat "
-        f"them in DRIVER_PRIORITY or add them to BELOW_FOLD_R7"
+        f"them in DRIVER_PRIORITY or add them to BELOW_FOLD_R8"
     )

@@ -85,69 +85,65 @@ def query(
 DRIVER_PRIORITY: tuple[str, ...] = (
     # headline flagship — always in the window
     "flagship_revenue_by_nation",
-    # (a) the 22 BELOW_FOLD_R6 names — every one registered after the
-    # r6 window froze, locally oracle-/exact-reference-checked but
-    # never driver-verified in any round. Verdict r6 item #1: seat all
-    # of them first.
-    "op_doc_self_repetition",
-    "op_doc_duplication_coverage",
-    "op_quantile_histogram_maintain",
-    "op_lm_doc_score",
-    "op_span_excise",
-    "op_bucket_pruned_lookup",
-    "op_stream_dedup_within_watermark",
-    "op_fixed_width_roundtrip",
-    "op_stream_interval_join_outer",
-    "op_recursive_cte",
-    "op_sql_pipe_syntax",
-    "op_lm_doc_score_heldout",
-    "op_cohort_retention",
-    "op_stream_interval_join_full",
-    "op_heavy_hitters_son",
-    "op_curation_report",
-    "op_corr_matrix",
-    "op_time_travel_read",
-    "op_distinct_intersection_kmv",
-    "op_stream_interval_join_right",
-    "op_epoch_shuffle",
-    "op_length_bucketed_batching",
-    # (b) the one op MODIFIED after its latest green row: the r6
-    # approx_users HLL column grew its schema after the r5 driver row,
-    # so its only driver evidence predates its current shape
-    # (verdict r6 item #2 — highest re-verify priority).
-    "op_incremental_agg_maintain",
-    # (c) the stalest previously-verified names: 26 of the 28 queries
-    # whose latest driver row is r2 (three rounds old). The two NEWEST
-    # of the 28 by registration order (op_time_rollup, op_funnel) carry
-    # below-fold to r8 — neither is a sole family representative, and
-    # the staleness budget (latest ≥ round−5, see
-    # scripts/staleness_audit.py) still holds for them at r7.
-    "op_agg_groupby",
-    "op_dedup_simhash",
-    "op_dedup_embedding",
-    "op_sim_ann_ivf",
-    "op_text_stats",
-    "op_token_count",
-    "op_doc_fingerprint",
-    "op_token_topk",
-    "op_quality_filter",
-    "op_dataset_split",
-    "op_collocations",
-    "op_vocab_encode",
-    "op_udf_scalar",
-    "op_udtf_grouped_map",
-    "op_pivot",
-    "op_win_rank",
-    "op_win_lag_lead",
-    "op_win_frame",
-    "op_date_funcs",
-    "op_math_funcs",
-    "op_null_handling",
-    "op_json_funcs",
-    "op_array_funcs",
-    "op_stream_tumbling",
-    "op_stream_sliding",
-    "op_stream_session",
+    # (a) the 9 BELOW_FOLD_R7 names — the 7 r7 registrations plus the 2
+    # r2-stale overflow carryovers (op_time_rollup, op_funnel), none of
+    # which has a driver row in any round. Verdict r7 item #1: seat all
+    # of them first (computed by scripts/rotate_window.py).
+    "op_attribution_last_touch",
+    "op_reservoir_sample",
+    "op_importance_resample",
+    "op_connected_components_star",
+    "op_semdedup",
+    "op_lambda_serve",
+    "op_unigram_train",
+    "op_time_rollup",
+    "op_funnel",
+    # (b) no op was modified after its latest green row this time.
+    # (c) the stalest previously-verified names: 40 of the 42 queries
+    # whose latest driver row is r3 (five rounds old — the budget floor
+    # at r8 is exactly r3). The two NEWEST of the 42 by registration
+    # order overflow to r9, where the floor rises to r4 and they MUST
+    # seat (see TODO_r9 window math).
+    "op_agg_percentile",
+    "op_agg_stats",
+    "op_agg_salted_twophase",
+    "op_domain_mixture",
+    "op_shard_assign",
+    "op_dedup_exact",
+    "op_dedup_clusters",
+    "op_split_contamination",
+    "op_cluster_representative",
+    "op_orc_roundtrip",
+    "op_jdbc_roundtrip",
+    "op_orc_partitioned_scan",
+    "op_cdc_merge",
+    "op_join_multiway",
+    "op_join_asof",
+    "op_join_bloom",
+    "op_join_bucketed",
+    "op_multimodal_frames",
+    "op_filter_date",
+    "op_intersect",
+    "op_sim_topk",
+    "op_embedding_stats",
+    "op_dedup_embedding_cell",
+    "op_sim_ann_ivfpq",
+    "op_text_quality",
+    "op_doc_winnow",
+    "op_pack_sequences",
+    "op_text_repetition",
+    "op_pii_redact",
+    "op_tfidf_topterms",
+    "op_heavy_hitters",
+    "op_win_range_frame",
+    "op_win_rank_family",
+    "op_win_first_last",
+    "op_datediff",
+    "op_str_funcs2",
+    "op_cond_funcs",
+    "op_date_funcs2",
+    "op_json_agg",
+    "op_array_explode",
 )
 
 #: Names registered AFTER this round's DRIVER_PRIORITY was pinned that
@@ -156,24 +152,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: driver-verified in a prior round's CORRECTNESS file, or (3) listed
 #: here — tests/test_registry_order.py fails otherwise, so a
 #: post-freeze registration can never again be silently unverified
-#: (r4 accumulated 14 such names before this gate existed). The r6
-#: set (22 names) is fully seated in the r7 window above; the two
-#: r2-stale overflow names (window math 1+22+1+28 = 52 > 50) wait here
-#: with first-in-line priority for r8, and new r7 registrations
-#: accumulate alongside them.
-BELOW_FOLD_R7: frozenset[str] = frozenset({
-    "op_time_rollup",
-    "op_funnel",
-    # new r7 registrations (locally oracle-checked; first driver row
-    # comes with the r8 rotation)
-    "op_reservoir_sample",
-    "op_attribution_last_touch",
-    "op_semdedup",
-    "op_lambda_serve",
-    "op_importance_resample",
-    "op_connected_components_star",
-    "op_unigram_train",
-})
+#: (r4 accumulated 14 such names before this gate existed). The r7
+#: set (9 names) is fully seated in the r8 window above; new r8
+#: registrations accumulate here and get first-in-line priority for
+#: the r9 rotation.
+BELOW_FOLD_R8: frozenset[str] = frozenset()
 
 
 def load_all_queries() -> dict[str, QuerySpec]:
