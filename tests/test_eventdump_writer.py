@@ -243,3 +243,39 @@ def test_delimiter_and_newline_values_roundtrip(spark):
         .csv(os.path.join(out, "part-*.dump"))
     )
     assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_crash_orphan_recount_is_quote_aware(spark):
+    """r7 advice: crash-orphan recovery used to recount a part's rows
+    as PHYSICAL LINES — a quoted value with an embedded newline spans
+    two lines but is one record, so the rebuilt manifest total drifted
+    in exactly the crash path the ledger rebuild exists for."""
+    spark.dataSource.register(EventDumpSink)
+    out = tempfile.mkdtemp(prefix="eventdump_orph_")
+    rows = [
+        (1, "plain", 1.0),
+        (2, "new\nline", 2.0),
+        (3, "two\nbreaks\nhere", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, value double"
+    )
+    df.coalesce(1).write.format("eventdump").option("path", out).mode(
+        "append"
+    ).save()
+    # crash artifact: the 3-record part (spanning 6 physical lines)
+    # becomes an orphan
+    os.remove(os.path.join(out, "_SUCCESS"))
+
+    more = spark.createDataFrame(
+        [(4, "after", 4.0)], "event_id bigint, event_type string, value double"
+    )
+    more.coalesce(1).write.format("eventdump").option("path", out).mode(
+        "append"
+    ).save()
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        total = int(f.readline().strip())
+    assert total == 4, (
+        f"manifest total {total} != 4 records — orphan recount must "
+        f"parse records, not count physical lines"
+    )

@@ -153,3 +153,29 @@ def test_semdedup_adaptive_k_matches_oracle_at_fixture(spark):
         f"fixture has {n} vectors; adaptive k would diverge from the "
         f"k={K_CENTERS} oracle CTE — re-derive the oracle or pin _k"
     )
+
+
+def test_kmeans_fewer_rows_than_k_clamps_instead_of_crashing(spark):
+    """A corpus with fewer than k vectors seeds fewer centers; the
+    M-step's centers[j] for j in range(k) used to raise IndexError
+    (r7 advice). k must clamp to the seeded count, and an empty frame
+    must fail with a clear ValueError, not a numpy shape error."""
+    import pytest
+
+    from universal_data_to_orc_converter_spark.catalog import load
+    from universal_data_to_orc_converter_spark.operators.linalg import (
+        _qv,
+        kmeans_assignments,
+    )
+
+    from .conftest import SF_DIR
+
+    em = load(spark, SF_DIR, "embeddings")
+    tiny = em.orderBy("vec_id").limit(3).select("vec_id", _qv().alias("qv"))
+    out = kmeans_assignments(tiny, k=8, iters=1).collect()
+    assert len(out) == 3
+    assert all(0 <= r["cid"] < 3 for r in out)
+
+    empty = tiny.filter("vec_id < 0")
+    with pytest.raises(ValueError, match="empty"):
+        kmeans_assignments(empty, k=8, iters=1)

@@ -299,6 +299,12 @@ def kmeans_assignments(
     centers = [
         list(r["qv"]) for r in q.orderBy("vec_id").limit(k).collect()
     ]
+    # a corpus with fewer than k vectors seeds fewer centers; clamp
+    # instead of letting the M-step's centers[j] raise IndexError
+    # (r7 advice — reachable via op_kmeans/op_semdedup on tiny frames)
+    if not centers:
+        raise ValueError("kmeans_assignments: input frame is empty")
+    k = min(k, len(centers))
     use_arrow = (k >= _ARROW_ASSIGN_MIN_K) if arrow is None else arrow
 
     def assigned_literal() -> DataFrame:

@@ -127,8 +127,16 @@ class _EventDumpWriter(DataSourceWriter):
         }
         ledger = {n: r for n, r in ledger.items() if n in published}
         for orphan in sorted(published - ledger.keys()):
-            with open(os.path.join(self.path, orphan)) as f:
-                ledger[orphan] = sum(1 for _ in f)
+            # count RECORDS, not physical lines: a quoted value with an
+            # embedded newline spans two lines but is one record, and
+            # the crash path is exactly where the rebuilt total must
+            # not drift (r7 advice)
+            import csv
+
+            with open(os.path.join(self.path, orphan), newline="") as f:
+                ledger[orphan] = sum(
+                    1 for _ in csv.reader(f, delimiter=";", quotechar='"')
+                )
         for i, m in enumerate(messages):
             name = f"part-{self.job_id}-{i:05d}.dump"
             os.replace(
@@ -216,6 +224,10 @@ def op_python_datasource_writer(
         .option("sep", ";")
         .option("quote", '"')
         .option("escape", '"')
+        # the writer RFC-4180-quotes embedded newlines; without
+        # multiLine a quoted value containing \n would be split across
+        # CSV records (fixture-masked: event_type has no newlines)
+        .option("multiLine", "true")
         .csv(os.path.join(out, "part-*.dump"))
     )
     return back.groupBy("event_type").agg(
@@ -341,6 +353,8 @@ def op_stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("sep", ";")
         .option("quote", '"')
         .option("escape", '"')
+        # same embedded-newline guard as the batch read-back above
+        .option("multiLine", "true")
         .csv(os.path.join(out, "part-*.dump"))
     )
     return back.groupBy("event_type").agg(

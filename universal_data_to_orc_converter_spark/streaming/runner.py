@@ -79,9 +79,17 @@ def run_available_now(
             # the finally deletes its checkpoint (and before callers
             # delete staged sources) — otherwise the live query
             # crashes mid-batch on the vanished files and the partial
-            # memory table is joined by executor error noise
+            # memory table is joined by executor error noise. Then
+            # FAIL LOUDLY: returning the partial sink table would
+            # surface later as a baffling oracle hash mismatch
+            # (r7 advice)
             q.stop()
             q.awaitTermination(30)
+            raise TimeoutError(
+                f"availableNow stream did not drain within "
+                f"{timeout_sec}s; memory sink {name!r} holds a "
+                f"PARTIAL result — raise timeout_sec or shrink input"
+            )
         return spark.table(name)
     finally:
         # the memory-sink table is driver-resident and the availableNow
