@@ -728,3 +728,15 @@ def test_importance_resample_broadcasts_weights(spark):
     assert "SortMergeJoin" not in plan, (
         "weight join must broadcast, not shuffle the corpus on lang"
     )
+
+
+def test_pii_scrub_is_exchange_free_projection(spark):
+    """op_pii_scrub's scale claim: span extraction + scrubbing is ONE
+    map-only projection — split, classify, and the offset prefix-sum
+    all run inside a per-row higher-order aggregate(). No explode, no
+    window, no exchange: at 100 TB the scrub rides the corpus scan."""
+    df = q("op_pii_scrub", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "pii scrub must not shuffle"
+    assert "Generate" not in plan, "pii scrub must not explode"
+    assert "Window" not in plan, "pii scrub must not window"

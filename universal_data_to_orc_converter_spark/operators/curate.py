@@ -267,3 +267,176 @@ def op_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r.n_out",
         (F.col("r.n_in") - F.col("r.n_out")).alias("n_dropped"),
     )
+
+
+#: PII span-scrub pattern dialect — the CROSS-ENGINE-SAFE subset both
+#: Java regex (Spark) and RE2 (DuckDB) interpret identically: literal
+#: characters, character classes (with leading/trailing '-' literal
+#: and '[.]' for a literal dot — no backslash escapes to survive two
+#: SQL string layers), '+' / '{m,n}' repetition, and '^'/'$' anchors.
+#: No lookarounds, no backreferences, no \d/\w shorthands (RE2 and
+#: Java agree on those too, but the subset stays auditable). Patterns
+#: are anchored and applied to WHOLE whitespace tokens, which is what
+#: makes exact span offsets recoverable by pure prefix-sum arithmetic
+#: instead of engine-specific match-position APIs (neither engine
+#: exposes regexp match offsets).
+_PII_CLASSES: tuple[tuple[str, str], ...] = (
+    ("email", "^[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,4}$"),
+    ("phone", "^[+][0-9]{1,3}-[0-9]{3}-[0-9]{4}$"),
+    ("account", "^[A-Za-z]+#[0-9]+$"),
+)
+
+
+def _pii_classify(tok):
+    """CASE-chain token classifier over _PII_CLASSES (Spark column)."""
+    expr = None
+    for name, pat in _PII_CLASSES:
+        cond = F.regexp_like(tok, F.lit(pat))
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    return expr
+
+
+_PII_ORACLE_CASE = " ".join(
+    f"WHEN regexp_matches(tok, '{pat}') THEN '{name}'"
+    for name, pat in _PII_CLASSES
+)
+
+#: contact line synthesized deterministically from customer columns —
+#: the fixture corpus contains no PII shapes (31-token vocab, no
+#: digits), so the scrub target derives one from real fixture data:
+#: account id (c_name = 'Customer#NNNNNNNNN'), email, phone. The
+#: arithmetic keeps the phone groups at fixed width without lpad
+#: (whose dialects differ): (k%900)+100 is always 3 digits,
+#: (k%9000)+1000 always 4.
+_PII_LINE_SQL = (
+    # CAST AS STRING parses in BOTH engines (Spark rejects bare
+    # VARCHAR; DuckDB accepts STRING as a VARCHAR alias)
+    "'account ' || c_name || ' contact user' "
+    "|| CAST(c_custkey AS STRING) "
+    "|| '@example.com phone +1-' "
+    "|| CAST((c_custkey % 900) + 100 AS STRING) || '-' "
+    "|| CAST((c_custkey % 9000) + 1000 AS STRING) "
+    "|| ' segment ' || c_mktsegment"
+)
+
+
+@query(
+    "op_pii_scrub",
+    oracle=f"""
+        WITH lines AS (
+          SELECT c_custkey, {_PII_LINE_SQL} AS line FROM customer
+        ),
+        toks AS (
+          SELECT c_custkey, t[u.i] AS tok, u.i AS i
+          FROM (SELECT c_custkey, string_split(line, ' ') AS t
+                FROM lines),
+               LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) u
+        ),
+        pos AS (
+          SELECT c_custkey, i, tok,
+                 1 + COALESCE(SUM(length(tok) + 1) OVER (
+                       PARTITION BY c_custkey ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS s,
+                 CASE {_PII_ORACLE_CASE} END AS typ
+          FROM toks
+        )
+        SELECT c_custkey,
+               CAST(COUNT(typ) AS BIGINT) AS n_spans,
+               COALESCE(string_agg(
+                 CASE WHEN typ IS NOT NULL THEN
+                   CAST(i AS VARCHAR) || ':' || CAST(s AS VARCHAR)
+                   || '-' || CAST(s + length(tok) - 1 AS VARCHAR)
+                   || ':' || typ
+                 END, ';' ORDER BY i), '') AS spans,
+               string_agg(CASE WHEN typ IS NOT NULL
+                               THEN '<' || upper(typ) || '>'
+                               ELSE tok END, ' ' ORDER BY i) AS scrubbed
+        FROM pos
+        GROUP BY c_custkey
+    """,
+    notes="PII span SCRUBBING (curation family; r7 verdict #5) — not "
+    "just redacted text (op_pii_redact) but the exact 1-based "
+    "character spans [start,end] of every detected entity, the audit "
+    "artifact a compliance pipeline keeps alongside the cleaned "
+    "corpus. Neither engine exposes regexp match OFFSETS, so spans "
+    "are recovered arithmetically: patterns are anchored on whole "
+    "whitespace tokens and offsets fall out of an exact integer "
+    "prefix sum over token lengths. The regex dialect is pinned to a "
+    "Java/RE2-identical subset (_PII_CLASSES; parity-tested per "
+    "pattern in tests/test_pii_scrub.py). Scale shape: ONE "
+    "whole-stage-codegen projection — split, classify, and "
+    "prefix-sum all run inside a single higher-order aggregate() "
+    "per row; no explode, no window, no exchange (plan-asserted "
+    "zero Exchange) — at 100 TB PII scrubbing is embarrassingly "
+    "parallel and this plan keeps it that way.",
+    tags=("text", "quality", "scale"),
+)
+def op_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level PII scrub: per customer contact line, emit the span
+    list 'tok_idx:start-end:type' (1-based inclusive char offsets),
+    the span count, and the scrubbed line."""
+    c = load(spark, sf_dir, "customer")
+    line = F.expr(_PII_LINE_SQL)
+    toks = F.split(line, " ")
+    # accumulator: (pos = next token's 1-based char offset,
+    #               idx = tokens consumed,
+    #               spans = 'idx:start-end:type' per PII token,
+    #               scrub = every token, PII replaced by '<TYPE>')
+    init = F.struct(
+        F.lit(1).alias("pos"),
+        F.lit(0).alias("idx"),
+        F.expr("CAST(array() AS array<string>)").alias("spans"),
+        F.expr("CAST(array() AS array<string>)").alias("scrub"),
+    )
+
+    def step(acc, x):
+        typ = _pii_classify(x)
+        idx = acc["idx"] + 1
+        span = F.concat_ws(
+            "",
+            idx.cast("string"),
+            F.lit(":"),
+            acc["pos"].cast("string"),
+            F.lit("-"),
+            (acc["pos"] + F.length(x) - 1).cast("string"),
+            F.lit(":"),
+            typ,
+        )
+        return F.struct(
+            (acc["pos"] + F.length(x) + 1).alias("pos"),
+            idx.alias("idx"),
+            F.when(typ.isNotNull(), F.concat(acc["spans"], F.array(span)))
+            .otherwise(acc["spans"])
+            .alias("spans"),
+            F.concat(
+                acc["scrub"],
+                F.array(
+                    F.when(
+                        typ.isNotNull(),
+                        F.concat(F.lit("<"), F.upper(typ), F.lit(">")),
+                    ).otherwise(x)
+                ),
+            ).alias("scrub"),
+        )
+
+    done = F.aggregate(
+        toks,
+        init,
+        step,
+        lambda acc: F.struct(
+            F.size(acc["spans"]).cast("bigint").alias("n_spans"),
+            F.array_join(acc["spans"], ";").alias("spans"),
+            F.array_join(acc["scrub"], " ").alias("scrubbed"),
+        ),
+    )
+    return c.select(
+        "c_custkey",
+        done["n_spans"].alias("n_spans"),
+        done["spans"].alias("spans"),
+        done["scrubbed"].alias("scrubbed"),
+    )

@@ -156,7 +156,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: set (9 names) is fully seated in the r8 window above; new r8
 #: registrations accumulate here and get first-in-line priority for
 #: the r9 rotation.
-BELOW_FOLD_R8: frozenset[str] = frozenset()
+BELOW_FOLD_R8: frozenset[str] = frozenset({
+    # new r8 registrations (locally oracle-checked; first driver row
+    # comes with the r9 rotation)
+    "op_pii_scrub",
+})
 
 
 def load_all_queries() -> dict[str, QuerySpec]:
