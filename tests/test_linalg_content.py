@@ -179,3 +179,28 @@ def test_kmeans_fewer_rows_than_k_clamps_instead_of_crashing(spark):
     empty = tiny.filter("vec_id < 0")
     with pytest.raises(ValueError, match="empty"):
         kmeans_assignments(empty, k=8, iters=1)
+
+
+def test_kcenter_selection_distances_monotone_and_radius_bounded(spark):
+    """Gonzalez greedy k-center invariants: selection distances are
+    non-increasing (each new center is the farthest remaining point,
+    and adding centers can only shrink min-distances), and the final
+    coverage radius is <= the last selection distance."""
+    from universal_data_to_orc_converter_spark.registry import (
+        load_all_queries,
+    )
+
+    from .conftest import SF_DIR
+
+    rows = {
+        r["sel_round"]: r
+        for r in load_all_queries()["op_kcenter_coreset"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    assert rows[1]["d2"] == 0
+    d = [rows[i]["d2"] for i in range(2, 5)]
+    assert d == sorted(d, reverse=True), "selection distances must fall"
+    radius = rows[5]["d2"]
+    assert rows[5]["vec_id"] is None
+    assert radius <= d[-1], "radius cannot exceed the last selection"

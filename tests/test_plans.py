@@ -740,3 +740,23 @@ def test_pii_scrub_is_exchange_free_projection(spark):
     assert "Exchange" not in plan, "pii scrub must not shuffle"
     assert "Generate" not in plan, "pii scrub must not explode"
     assert "Window" not in plan, "pii scrub must not window"
+
+
+def test_curriculum_shards_total_order_without_global_window(spark):
+    """op_curriculum_shards' scale claim: the global rank comes from
+    ONE sampled range exchange + partition-local Arrow ranks + a
+    broadcast offset map — never a single-task row_number() window
+    over the whole corpus."""
+    from universal_data_to_orc_converter_spark.registry import (
+        load_all_queries,
+    )
+
+    df = load_all_queries()["op_curriculum_shards"].fn(
+        spark, SF_DIR, _materialize=False
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "must not plan a global window"
+    assert plan.count("Exchange rangepartitioning") == 1, plan[:800]
+    assert "Exchange hashpartitioning" not in plan, (
+        "corpus must not hash-shuffle"
+    )

@@ -702,3 +702,123 @@ def op_semdedup(
     finally:
         if _materialize:
             q.unpersist()
+
+
+#: greedy k-center (Gonzalez) — small fixed k so the oracle's unrolled
+#: CTE chain stays readable; the Spark loop itself takes any k.
+K_CORESET = 4
+
+_KC_DIST = """CAST(list_sum(list_transform(
+                       generate_series(1, 64),
+                       i -> (d.qv[i] - s.qv[i]) * (d.qv[i] - s.qv[i])))
+                       AS BIGINT)"""
+
+
+@query(
+    "op_kcenter_coreset",
+    oracle=f"""
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(
+                   embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5)
+                             AS BIGINT)) AS qv
+          FROM embeddings
+        ),
+        s1 AS (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1),
+        d1 AS (
+          SELECT d.vec_id, d.qv, {_KC_DIST} AS d2
+          FROM q d CROSS JOIN s1 s
+        ),
+        s2 AS (SELECT vec_id, qv, d2 FROM d1
+               ORDER BY d2 DESC, vec_id LIMIT 1),
+        d2t AS (
+          SELECT d.vec_id, d.qv, LEAST(d.d2, {_KC_DIST}) AS d2
+          FROM d1 d CROSS JOIN s2 s
+        ),
+        s3 AS (SELECT vec_id, qv, d2 FROM d2t
+               ORDER BY d2 DESC, vec_id LIMIT 1),
+        d3t AS (
+          SELECT d.vec_id, d.qv, LEAST(d.d2, {_KC_DIST}) AS d2
+          FROM d2t d CROSS JOIN s3 s
+        ),
+        s4 AS (SELECT vec_id, qv, d2 FROM d3t
+               ORDER BY d2 DESC, vec_id LIMIT 1),
+        d4t AS (
+          SELECT LEAST(d.d2, {_KC_DIST}) AS d2
+          FROM d3t d CROSS JOIN s4 s
+        )
+        SELECT 1 AS sel_round, vec_id, CAST(0 AS BIGINT) AS d2 FROM s1
+        UNION ALL SELECT 2, vec_id, d2 FROM s2
+        UNION ALL SELECT 3, vec_id, d2 FROM s3
+        UNION ALL SELECT 4, vec_id, d2 FROM s4
+        UNION ALL SELECT 5, CAST(NULL AS BIGINT),
+                   (SELECT MAX(d2) FROM d4t)
+    """,
+    notes="Greedy k-center coreset selection (Gonzalez 2-approx) — "
+    "the DIVERSITY-sampling tier of training-data selection: where "
+    "op_semdedup removes near-duplicates, k-center picks the k "
+    "mutually-farthest exemplars (facility-location coresets, active-"
+    "learning seed sets). Exact integer arithmetic on the shared 1e3 "
+    "fixed-point quantization; ties broken (max distance, lowest "
+    "vec_id) identically in both engines. Rows 1..k are the selected "
+    "centers with their selection distance; row k+1 is the COVERAGE "
+    "RADIUS (max over the corpus of min-distance to the selected "
+    "set) — the k-center objective value. Scale shape: k rounds, "
+    "each ONE corpus map (min-distance vs k literal centers, whole-"
+    "stage codegen) + a top-1 TakeOrderedAndProject; the only "
+    "driver-side data is the k selected vectors. At large k the "
+    "assignment switches to the same Arrow matmul kernel as "
+    "kmeans_assignments would (k<=32 here keeps literals); a 100 TB "
+    "run batches rounds by over-selecting per pass, which changes "
+    "the approximation constant, not the plan shape.",
+    tags=("similarity", "sampling", "scale"),
+)
+def op_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gonzalez greedy k-center over quantized embeddings: k selected
+    exemplars + the final coverage radius."""
+    em = load(spark, sf_dir, "embeddings")
+    q = em.select("vec_id", _qv().alias("qv"))
+
+    def dist_to(center: list[int]):
+        return F.aggregate(
+            F.zip_with(
+                F.col("qv"),
+                F.array(*[F.lit(v).cast("bigint") for v in center]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    def min_dist(centers):
+        ds = [dist_to(c[3]) for c in centers]
+        return ds[0] if len(ds) == 1 else F.least(*ds)
+
+    first = q.orderBy("vec_id").limit(1).collect()[0]
+    if first is None:  # pragma: no cover - fixture never empty
+        raise ValueError("op_kcenter_coreset: empty embeddings table")
+    selected = [(1, int(first["vec_id"]), 0, list(first["qv"]))]
+    # d2 tracks min distance to the selected set; recomputed as a
+    # LEAST chain over literal centers so each round is one stateless
+    # corpus map (no growing lineage, no persist needed)
+    for rnd in range(2, K_CORESET + 1):
+        d2 = min_dist(selected)
+        nxt = (
+            q.select("vec_id", "qv", d2.alias("d2"))
+            .orderBy(F.desc("d2"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append(
+            (rnd, int(nxt["vec_id"]), int(nxt["d2"]), list(nxt["qv"]))
+        )
+    radius = q.select(F.max(min_dist(selected)).alias("r")).collect()[0][
+        "r"
+    ]
+    rows = [(r, v, d) for r, v, d, _ in selected] + [
+        (K_CORESET + 1, None, int(radius))
+    ]
+    return spark.createDataFrame(
+        rows, "sel_round int, vec_id bigint, d2 bigint"
+    )

@@ -493,3 +493,134 @@ def op_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", F.col("copy_id").cast("bigint"))
     )
+
+
+#: curriculum shard count — matches the oracle's ntile(16)
+_N_CURRICULUM_SHARDS = 16
+
+
+@query(
+    "op_curriculum_shards",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS BIGINT)
+                   AS n_tokens
+          FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id)
+                    AS BIGINT) AS rank,
+               CAST(ntile(16) OVER (ORDER BY n_tokens, doc_id)
+                    AS INT) AS shard
+        FROM toks
+    """,
+    notes="Curriculum ordering — easy-to-hard (here: short-to-long) "
+    "GLOBAL ordering of the corpus into contiguous training shards, "
+    "the standard curriculum-learning data layout. The interesting "
+    "part is HOW the global rank is computed at scale: a naive "
+    "row_number() OVER (ORDER BY ...) with no PARTITION BY plans as "
+    "a single-task window — the one-straggler-sorts-the-corpus shape "
+    "this repo rejects everywhere. Instead: repartitionByRange on "
+    "the total key (sampled range exchange, the same machinery as a "
+    "distributed sort), sortWithinPartitions, ONE Arrow pass "
+    "assigning partition-local row numbers, a bounded collect of "
+    "per-partition COUNTS (n_partitions rows, metadata), and a "
+    "broadcast offset map — global_rank = local_rn + offset[pid]. "
+    "Plan-asserted: one rangepartitioning Exchange, zero Window "
+    "nodes. Shard ids reproduce SQL ntile(16) semantics exactly "
+    "(first n%k groups get the extra row) via integer arithmetic, so "
+    "the op is oracle-checked end-to-end. Ranks are deterministic "
+    "regardless of where the sampled range boundaries land because "
+    "the sort key (n_tokens, doc_id) is total.",
+    tags=("sampling", "sort", "scale"),
+)
+def op_curriculum_shards(
+    spark: SparkSession, sf_dir: str, _materialize: bool = True
+) -> DataFrame:
+    """Global curriculum rank + ntile-16 shard per document, without
+    a single-task global window.
+
+    ``_materialize=False`` skips the persist and returns the lazy
+    plan for inspection (the eager localCheckpoint otherwise replaces
+    it with a Scan ExistingRDD — the established plan-test pattern)."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower("text"), " "), lambda x: x != F.lit("")
+    )
+    base = d.select(
+        "doc_id", F.size(toks).cast("bigint").alias("n_tokens")
+    )
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    ranged = base.repartitionByRange(
+        n_parts, "n_tokens", "doc_id"
+    ).sortWithinPartitions("n_tokens", "doc_id")
+
+    def local_ranks(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rn = 0
+        for pdf in batches:
+            out = pdf.copy()
+            out["pid"] = pid
+            out["local_rn"] = range(rn + 1, rn + 1 + len(pdf))
+            rn += len(pdf)
+            yield out
+
+    ranked = ranged.mapInPandas(
+        local_ranks,
+        schema="doc_id bigint, n_tokens bigint, pid int, "
+        "local_rn bigint",
+    )
+    # two passes over the ranked frame (counts, then the final
+    # projection) — persist so the range exchange + sort runs once
+    if _materialize:
+        ranked = ranked.persist()
+    try:
+        sizes = {
+            r["pid"]: r["c"]
+            for r in ranked.groupBy("pid")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        }
+        n_total = sum(sizes.values())
+        offsets, acc = {}, 0
+        for pid in sorted(sizes):
+            offsets[pid] = acc
+            acc += sizes[pid]
+        off_map = F.create_map(
+            *[
+                F.lit(x)
+                for pid_off in sorted(offsets.items())
+                for x in pid_off
+            ]
+        )
+        rank = (F.col("local_rn") + off_map[F.col("pid")]).alias("rank")
+        # SQL ntile(k): first (n % k) tiles hold q+1 rows, the rest q
+        k = _N_CURRICULUM_SHARDS
+        q_sz, rem = n_total // k, n_total % k
+        big = rem * (q_sz + 1)
+        if q_sz == 0:
+            # fewer rows than tiles: tile i holds exactly row i
+            shard_sql = "CAST(rank AS INT)"
+        else:
+            # integer DIV keeps the tile arithmetic exact at any rank
+            shard_sql = (
+                f"CAST(CASE WHEN rank <= {big} "
+                f"THEN (rank - 1) DIV {q_sz + 1} "
+                f"ELSE {rem} + (rank - {big} - 1) DIV {q_sz} "
+                f"END + 1 AS INT)"
+            )
+        out = ranked.select("doc_id", "n_tokens", rank).withColumn(
+            "shard", F.expr(shard_sql)
+        )
+        if not _materialize:
+            return out
+        return out.localCheckpoint(eager=True)
+    finally:
+        if _materialize:
+            ranked.unpersist()

@@ -2048,3 +2048,53 @@ def op_lm_doc_score_heldout(
         return out.localCheckpoint(eager=True)
     finally:
         tri.unpersist()
+
+
+@query(
+    "op_compression_ratio",
+    oracle=None,  # zlib is not expressible in SQL; pinned bit-exact
+    # against the same Python zlib in tests/test_compression_ratio.py
+    notes="Compression-ratio quality signal (the Gopher/RefinedWeb "
+    "repetitiveness proxy): highly repetitive or boilerplate text "
+    "compresses far below natural prose, so zlib_len/raw_len is a "
+    "cheap single-pass gate that catches repetition patterns n-gram "
+    "fractions miss (long-period loops, templated spans). "
+    "DETERMINISM: zlib level 6 output length is a pure function of "
+    "the input bytes for a fixed zlib build, so the op is exactly "
+    "reproducible within an environment and pinned bit-exact against "
+    "direct Python zlib in tests (rows-only for the driver: no SQL "
+    "engine exposes zlib). Scale shape: Arrow-batched pandas_udf "
+    "(never row-at-a-time), map-only — the signal rides the corpus "
+    "scan like the other curation gates; the final sort is a top-50 "
+    "TakeOrderedAndProject.",
+    tags=("text", "quality", "udf"),
+)
+def op_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc zlib compression ratio; 50 most-compressible (most
+    repetitive) docs first."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _zlib_len(texts):
+        import zlib
+
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+        ).astype("int64")
+
+    # no type hints: the module's future-annotations turns them into
+    # strings pandas_udf can't resolve; explicit returnType instead
+    zlib_len = pandas_udf(_zlib_len, "bigint")
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.length("text").cast("bigint").alias("n_raw"),
+            zlib_len("text").alias("n_zlib"),
+        )
+        .withColumn(
+            "ratio", F.col("n_zlib").cast("double") / F.col("n_raw")
+        )
+        .orderBy(F.asc("ratio"), "doc_id")
+        .limit(50)
+    )

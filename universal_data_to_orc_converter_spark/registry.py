@@ -160,6 +160,9 @@ BELOW_FOLD_R8: frozenset[str] = frozenset({
     # new r8 registrations (locally oracle-checked; first driver row
     # comes with the r9 rotation)
     "op_pii_scrub",
+    "op_kcenter_coreset",
+    "op_compression_ratio",
+    "op_curriculum_shards",
 })
 
 
