@@ -228,3 +228,32 @@ def test_span_excise_survives_empty_and_tiny_docs(spark, tmp_path):
     assert got[0] == (0, 0, "")
     assert got[1] == (0, 0, "")
     assert got[2] == (3, 0, "just three tokens")
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    """The op's reason to exist: a short doc fully quoted inside a
+    much longer one has containment 1.0 but Jaccard |A|/|B| — below
+    any dedup threshold. Build that corpus and check the asymmetry."""
+    from pyspark.sql import functions as F
+
+    from universal_data_to_orc_converter_spark.operators.textprep import (
+        shingles,
+        tokens,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    # the long doc embeds the short one verbatim amid unique filler
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    long_doc = filler + " " + short + " " + " ".join(
+        f"p{i} q{i}" for i in range(40)
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, long_doc)], "doc_id bigint, text string"
+    )
+    sh = df.select("doc_id", shingles(tokens(F.col("text"))).alias("s"))
+    sets = {r["doc_id"]: set(r["s"]) for r in sh.collect()}
+    inter = len(sets[1] & sets[2])
+    containment_short = inter / len(sets[1])
+    jaccard = inter / len(sets[1] | sets[2])
+    assert containment_short == 1.0, "short doc fully contained"
+    assert jaccard < 0.1, "Jaccard blind to the inclusion"

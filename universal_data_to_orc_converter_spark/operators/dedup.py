@@ -96,7 +96,11 @@ def op_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by exact shingle Jaccard. Candidate pairs
     come from an inverted index (explode shingles, self-join on
-    shingle), so cost is Σ bucket² over shared shingles — not n²."""
+    shingle), so cost is Σ bucket² over shared shingles — not n², but
+    MEASURED superlinear on the closed-vocab fixtures (PERF.md r8:
+    16.5 s → 82.4 s at 10×; bucket sizes grow linearly once the
+    shingle vocab saturates). At scale this op is the VERIFY tier
+    behind op_dedup_minhash_lsh's O(n) candidate generation."""
     par = spark.sparkContext.defaultParallelism
     d = load(spark, sf_dir, "documents").repartition(par, "doc_id")
     sh = d.select(
@@ -837,3 +841,110 @@ def op_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keeper_doc_id"),
         )
     )
+
+
+@query(
+    "op_dedup_containment",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(
+                   CASE WHEN len(t) >= 3
+                        THEN list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                        ELSE [COALESCE(array_to_string(t, ' '), '')]
+                   END) AS s
+          FROM toks
+        ),
+        ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 COUNT(*) AS n_shared
+          FROM ex a JOIN ex b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        sized AS (
+          SELECT c.doc_a, c.doc_b, c.n_shared,
+                 len(sa.s) AS size_a, len(sb.s) AS size_b
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b
+        ),
+        dir AS (
+          SELECT doc_a AS doc_sub, doc_b AS doc_super,
+                 CAST(n_shared AS DOUBLE) / size_a AS containment
+          FROM sized
+          UNION ALL
+          SELECT doc_b, doc_a,
+                 CAST(n_shared AS DOUBLE) / size_b
+          FROM sized
+        )
+        SELECT doc_sub, doc_super, containment
+        FROM dir WHERE containment >= 0.9
+    """,
+    notes="Asymmetric CONTAINMENT dedup (Broder's C(A,B) = |A∩B|/|A| "
+    "over 3-gram shingle sets) — the near-SUPERSET detector symmetric "
+    "Jaccard structurally misses: a short doc fully quoted inside a "
+    "long one has containment 1.0 but Jaccard ≈ |A|/|B| → below any "
+    "sane threshold (pinned in tests/test_dedup_content.py with a "
+    "crafted quote-inclusion corpus). Same inverted-index candidate "
+    "machinery as op_dedup_ngram_jaccard — cost Σ bucket² over shared "
+    "shingles, MEASURED superlinear on the closed-vocab fixtures "
+    "(PERF.md: buckets grow linearly once the ~30k-shingle vocab "
+    "saturates; 13× wall at 10× corpus, output flat) — so at scale "
+    "this is the VERIFY tier: op_dedup_minhash_lsh generates "
+    "candidates in O(n) and the containment arithmetic runs "
+    "restricted to them. Emits BOTH directions of each candidate "
+    "pair so containment is "
+    "reported per (contained, container) ordering. The value is an "
+    "integer/integer double division — exact on both engines.",
+    tags=("dedup", "scale"),
+)
+def op_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_sub, doc_super, containment>=0.9) pairs: doc_sub's shingle
+    set is ~contained in doc_super's."""
+    par = spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents").repartition(par, "doc_id")
+    sh = d.select("doc_id", shingles(tokens(F.col("text"))).alias("s"))
+    ex = sh.select("doc_id", F.explode("s").alias("shingle"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"), F.size("s").alias("size_a")
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"), F.size("s").alias("size_b")
+    )
+    sized = cand.join(sa, "doc_a").join(sb, "doc_b")
+    fwd = sized.select(
+        F.col("doc_a").alias("doc_sub"),
+        F.col("doc_b").alias("doc_super"),
+        (F.col("n_shared").cast("double") / F.col("size_a")).alias(
+            "containment"
+        ),
+    )
+    rev = sized.select(
+        F.col("doc_b").alias("doc_sub"),
+        F.col("doc_a").alias("doc_super"),
+        (F.col("n_shared").cast("double") / F.col("size_b")).alias(
+            "containment"
+        ),
+    )
+    return fwd.unionAll(rev).filter(F.col("containment") >= 0.9)

@@ -697,3 +697,74 @@ def fixed_width_roundtrip(
             "o_orderdate"
         ),
     )
+
+
+@query(
+    "op_binaryfile_scan",
+    oracle="""
+        SELECT substr(md5(text), 1, 1) AS bucket,
+               COUNT(*) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+        FROM documents
+        GROUP BY 1
+    """,
+    notes="WHOLE-FILE binary source (spark.read.format('binaryFile')) "
+    "— the ingestion path for opaque media/blob files the multimodal "
+    "tier consumes: every staged file comes back as ONE row of "
+    "(path, length, content bytes). The op stages the documents "
+    "table as text part-files (distributed write), re-reads them as "
+    "whole binary blobs, decodes + line-splits executor-side, and "
+    "re-aggregates (md5-bucket doc counts + doc_id checksums) to "
+    "hash-match the pure-table oracle — proving no byte was lost or "
+    "duplicated through the stage-write/blob-read round trip. Scale "
+    "notes: binaryFile loads each file WHOLE into one row (binary "
+    "column limit ~2 GB) — right for images/audio shards, wrong for "
+    "multi-GB archives; partition parallelism is per-file, so the "
+    "stager controls task granularity with the part-file count, and "
+    "pathGlobFilter + recursiveFileLookup prune the listing the same "
+    "way they do for parquet scans.",
+    tags=("io", "multimodal", "scale"),
+)
+def op_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> staged text part-files -> binaryFile whole-blob
+    read -> parse + aggregate (must equal the source table)."""
+    d = load(spark, sf_dir, "documents")
+    key = abs(hash(os.path.abspath(sf_dir)))
+    out = os.path.join(_scratch(f"binscan_{key:x}_"), "blobs")
+    lines = d.select(
+        F.concat_ws(
+            ":",
+            F.col("doc_id").cast("string"),
+            F.md5(F.col("text").cast("binary")),
+        ).alias("value")
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        lines.repartition(8).write.mode("overwrite").text(out)
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*")
+        .load(out)
+        .select("content")
+    )
+    parsed = (
+        blobs.select(
+            F.explode(
+                F.split(F.decode("content", "UTF-8"), "\n")
+            ).alias("line")
+        )
+        .filter(F.col("line") != "")
+        .select(
+            F.split_part(F.col("line"), F.lit(":"), F.lit(1))
+            .cast("bigint")
+            .alias("doc_id"),
+            F.split_part(F.col("line"), F.lit(":"), F.lit(2)).alias(
+                "digest"
+            ),
+        )
+    )
+    return parsed.groupBy(
+        F.substring("digest", 1, 1).alias("bucket")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+    )

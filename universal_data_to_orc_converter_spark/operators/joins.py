@@ -1007,3 +1007,102 @@ def op_join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key_b",
         F.levenshtein("name_a", "name_b").cast("bigint").alias("dist"),
     ).filter(F.col("dist") <= 6)
+
+
+@query(
+    "op_join_asof_nearest",
+    oracle="""
+        WITH ev AS (
+          SELECT event_id, user_id,
+                 DATE '1995-01-01' + CAST(event_id % 2400 AS INT)
+                   AS anchor_day
+          FROM events
+        ),
+        cand AS (
+          SELECT e.event_id, e.user_id, e.anchor_day,
+                 o.o_orderkey, o.o_totalprice,
+                 ABS(datediff('day', o.o_orderdate, e.anchor_day))
+                   AS day_diff,
+                 o.o_orderdate
+          FROM ev e
+          JOIN orders o
+            ON e.user_id = o.o_custkey
+           AND ABS(datediff('day', o.o_orderdate, e.anchor_day)) <= 7
+        ),
+        best AS (
+          SELECT event_id, o_orderkey, o_totalprice, day_diff FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY event_id
+                     ORDER BY day_diff, o_orderdate, o_orderkey) AS rn
+            FROM cand
+          ) WHERE rn = 1
+        )
+        SELECT e.event_id, e.user_id, e.anchor_day,
+               b.o_orderkey AS nearest_orderkey,
+               b.o_totalprice AS nearest_totalprice,
+               CAST(b.day_diff AS BIGINT) AS day_diff
+        FROM ev e LEFT JOIN best b USING (event_id)
+    """,
+    notes="NEAREST-with-tolerance as-of join — completes the as-of "
+    "family next to op_join_asof's backward-only form: each event "
+    "matches the order closest in time within ±7 days, in EITHER "
+    "direction, and events with no order inside the tolerance keep a "
+    "NULL row (sensor/trade alignment semantics; pandas merge_asof "
+    "direction='nearest' + tolerance). FIXTURE-SHAPE NOTE: events "
+    "(2024) and orders (1995-2001) occupy disjoint eras, so the "
+    "event side joins on a documented derived anchor date "
+    "(1995-01-01 + event_id % 2400 days) that spans the order era — "
+    "the op's join/rank machinery is what's under test, exactly the "
+    "derived-key pattern op_heavy_hitters_son established. "
+    "Deterministic tie-break: "
+    "smallest |Δdays|, then the EARLIER order date (backward "
+    "preference), then lowest orderkey. Same scale shape as the "
+    "backward form: the equi key (user) bounds the range join to "
+    "per-user history, WindowGroupLimit trims to 1 row per event "
+    "before the exchange, and the tolerance predicate prunes the "
+    "candidate stream at the join — at 100 TB, time-bucket both "
+    "sides to ±1-bucket lookups.",
+    tags=("join", "streaming"),
+)
+def op_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT nearest-tolerance as-of: closest order within 7 days of
+    each event's anchor date, NULL when none qualifies."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.date_add(
+            F.lit("1995-01-01").cast("date"),
+            F.pmod(F.col("event_id"), F.lit(2400)).cast("int"),
+        ).alias("anchor_day"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    day_diff = F.abs(F.datediff(F.col("anchor_day"), F.col("o_orderdate")))
+    cand = e.join(
+        o,
+        (e.user_id == o.o_custkey) & (day_diff <= 7),
+    ).withColumn("day_diff", day_diff)
+    w = W.partitionBy("event_id").orderBy(
+        "day_diff", "o_orderdate", "o_orderkey"
+    )
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            F.col("o_orderkey").alias("nearest_orderkey"),
+            F.col("o_totalprice").alias("nearest_totalprice"),
+            F.col("day_diff").cast("bigint").alias("day_diff"),
+        )
+    )
+    return e.join(best, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        "anchor_day",
+        "nearest_orderkey",
+        "nearest_totalprice",
+        "day_diff",
+    )

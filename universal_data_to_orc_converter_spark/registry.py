@@ -163,6 +163,9 @@ BELOW_FOLD_R8: frozenset[str] = frozenset({
     "op_kcenter_coreset",
     "op_compression_ratio",
     "op_curriculum_shards",
+    "op_dedup_containment",
+    "op_join_asof_nearest",
+    "op_binaryfile_scan",
 })
 
 
