@@ -1,0 +1,55 @@
+"""op_heavy_hitters_maintain — exact-regime oracle is covered by the
+driver harness; here: the below-capacity Misra-Gries bounds on a
+crafted over-capacity corpus, and empty-partition safety."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+
+def test_mg_bounds_hold_below_capacity(spark):
+    """With k far below the distinct-key count, every estimate must
+    satisfy true - n/(k+1) <= est <= true, and every key with true
+    frequency > n/(k+1) must survive in the merged summary."""
+    from pyspark.sql import functions as F
+
+    from universal_data_to_orc_converter_spark.operators.maintenance import (
+        _mg_partials,
+        _mg_trim,
+    )
+
+    k = 8
+    # 3 heavy keys + a 200-key uniform tail, interleaved
+    rows = []
+    for i in range(6000):
+        if i % 3 == 0:
+            rows.append(i % 2 - 2)  # keys -2, -1 heavy-ish
+        elif i % 5 == 0:
+            rows.append(-3)
+        else:
+            rows.append(i % 200)
+    true = Counter(rows)
+    n = len(rows)
+    df = spark.createDataFrame([(r,) for r in rows], "k bigint").repartition(4)
+    partials = _mg_partials(df, k).collect()
+    merged: dict[int, int] = {}
+    for r in partials:
+        merged[r["k"]] = merged.get(r["k"], 0) + r["est"]
+    merged = _mg_trim(merged, k)
+    assert len(merged) <= k
+    bound = n / (k + 1)
+    for key, est in merged.items():
+        assert est <= true[key], f"MG must never overcount ({key})"
+        assert true[key] - est <= bound, f"undercount beyond n/(k+1) ({key})"
+    for key, cnt in true.items():
+        if cnt > bound:
+            assert key in merged, f"guaranteed heavy key {key} evicted"
+
+
+def test_empty_split_yields_empty_summary(spark):
+    from universal_data_to_orc_converter_spark.operators.maintenance import (
+        _mg_partials,
+    )
+
+    df = spark.createDataFrame([], "k bigint").repartition(2)
+    assert _mg_partials(df, 8).count() == 0

@@ -897,3 +897,134 @@ def op_lambda_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+#: Misra-Gries capacity — above the derived key universe (~5003
+#: distinct: 3 hot sentinels + event_id % 5000 tail), so the fixture
+#: regime is EXACT at every scale factor (distinct keys are bounded
+#: by the key derivation, not the corpus — the same regime-pinning
+#: trick as op_distinct_intersection_kmv). The below-capacity trim
+#: path is exercised by tests/test_heavy_hitters_maintain.py.
+_MG_K = 8192
+
+
+def _mg_trim(counters: dict[int, int], k: int) -> dict[int, int]:
+    """Mergeable-summaries trim: keep <= k counters by subtracting the
+    (k+1)-th largest estimate from all and dropping non-positive
+    (Agarwal et al. §3.1 — every subtracted unit is charged to >= k+1
+    stream items, giving the true - n/(k+1) <= est <= true bound)."""
+    if len(counters) <= k:
+        return counters
+    sub = sorted(counters.values(), reverse=True)[k]
+    return {c: v - sub for c, v in counters.items() if v - sub > 0}
+
+
+def _mg_partials(df: DataFrame, k: int) -> DataFrame:
+    """Per-partition Misra-Gries(k) summaries over column ``k`` —
+    each partition emits <= k (key, est) counters. Each Arrow batch
+    folds in VECTORIZED (value_counts — a batch is an exact summary)
+    followed by the same trim rule the final merge uses, so one
+    algebra governs build, fold, and merge."""
+
+    def summarize(batches):
+        import pandas as pd
+
+        counters: dict[int, int] = {}
+        for pdf in batches:
+            for key, m in pdf["k"].value_counts().items():
+                key = int(key)
+                counters[key] = counters.get(key, 0) + int(m)
+            counters = _mg_trim(counters, k)
+        yield pd.DataFrame(
+            {
+                "k": pd.Series(list(counters), dtype="int64"),
+                "est": pd.Series(list(counters.values()), dtype="int64"),
+            }
+        )
+
+    return df.mapInPandas(summarize, schema="k bigint, est bigint")
+
+
+@query(
+    "op_heavy_hitters_maintain",
+    oracle="""
+        WITH keyed AS (
+          SELECT CASE WHEN event_id % 10 < 4 THEN -1
+                      WHEN event_id % 10 < 6 THEN -2
+                      WHEN event_id % 10 < 7 THEN -3
+                      ELSE event_id % 5000 END AS k
+          FROM events
+        )
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS est_count
+        FROM keyed
+        GROUP BY k
+        ORDER BY est_count DESC, k
+        LIMIT 10
+    """,
+    notes="MAINTAINED heavy hitters via mergeable Misra-Gries "
+    "summaries (Agarwal et al., 'Mergeable Summaries') — completes "
+    "the incremental-maintenance family (count/sum/min/max/HLL, KMV, "
+    "quantile histograms) with the top-k sketch: per-partition MG(k) "
+    "counters, base summary PERSISTED through a parquet round trip "
+    "(the stored state a nightly job keeps), tail summarized at "
+    "serve time, merge = keywise counter sum + the published "
+    "trim-to-k rule (subtract the (k+1)-th largest, drop "
+    "non-positive). Exact regime pinned like the KMV op: the derived "
+    "SON skew key bounds the universe at ~5003 << k=8192, so no "
+    "decrement or trim ever fires on ANY fixture scale and the "
+    "summary equals exact counts — the oracle is the plain GROUP BY "
+    "top-10. Below-capacity MG bounds (true - n/(k+1) <= est <= "
+    "true; every key with freq > n/(k+1) survives) are "
+    "property-tested on a crafted over-capacity corpus. Scale "
+    "shape: the corpus is read ONCE per batch, each partition ships "
+    "<= k counter rows (O(partitions * k) metadata, never "
+    "|keyspace|), and serving is a bounded merge — the maintain "
+    "economics of op_incremental_agg_maintain applied to top-k.",
+    tags=("agg", "udf", "scale", "maintenance"),
+)
+def op_heavy_hitters_maintain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Base MG summary (parquet round trip) + tail MG summary ->
+    mergeable-summaries combine -> exact top-10 in the pinned
+    regime."""
+    import tempfile
+
+    e = load(spark, sf_dir, "events").select("event_id", "ts")
+    key = (
+        F.when(F.col("event_id") % 10 < 4, F.lit(-1))
+        .when(F.col("event_id") % 10 < 6, F.lit(-2))
+        .when(F.col("event_id") % 10 < 7, F.lit(-3))
+        .otherwise(F.col("event_id") % 5000)
+        .cast("bigint")
+        .alias("k")
+    )
+    cutoff = F.lit("2024-01-24 12:00:00").cast("timestamp")
+    base = e.filter(F.col("ts") < cutoff).select(key)
+    tail = e.filter(F.col("ts") >= cutoff).select(key)
+
+    store = tempfile.mkdtemp(prefix="mg_state_")
+    _mg_partials(base, _MG_K).write.mode("overwrite").parquet(store)
+    partials = spark.read.parquet(store).unionByName(
+        _mg_partials(tail, _MG_K)
+    )
+    merged = partials.groupBy("k").agg(F.sum("est").alias("est_count"))
+    # published merge trim: if the combined summary exceeds k
+    # counters, subtract the (k+1)-th largest estimate and drop
+    # non-positive counters (bounded collect: the summary is
+    # O(partitions * k) metadata, and only one value is collected)
+    kth = (
+        merged.orderBy(F.desc("est_count"), "k")
+        .limit(_MG_K + 1)
+        .collect()
+    )
+    if len(kth) > _MG_K:
+        sub = kth[-1]["est_count"]
+        merged = merged.withColumn(
+            "est_count", F.col("est_count") - F.lit(sub)
+        ).filter(F.col("est_count") > 0)
+    return (
+        merged.select("k", F.col("est_count").cast("bigint"))
+        .orderBy(F.desc("est_count"), "k")
+        .limit(10)
+    )

@@ -2098,3 +2098,54 @@ def op_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("ratio"), "doc_id")
         .limit(50)
     )
+
+
+@query(
+    "op_text_normalize",
+    oracle="""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_raw,
+               trim(regexp_replace(
+                     lower(nfc_normalize(text)), '[ \t\n\r]+', ' ', 'g'))
+                 AS norm,
+               CAST(length(trim(regexp_replace(
+                     lower(nfc_normalize(text)), '[ \t\n\r]+', ' ', 'g')))
+                 AS BIGINT) AS n_chars_norm
+        FROM documents
+    """,
+    notes="Unicode text normalization — the canonicalization pass "
+    "every multilingual corpus runs before dedup/tokenization so "
+    "byte-distinct but canonically-equal strings (precomposed é vs "
+    "e+combining accent) collide: NFC -> lowercase -> whitespace-run "
+    "collapse -> trim. Spark has no built-in Unicode normalizer, so "
+    "NFC is an Arrow-batched pandas_udf over Python unicodedata; "
+    "DuckDB's nfc_normalize is verified char-for-char equal to "
+    "unicodedata on combining marks, ligatures, and halfwidth forms "
+    "(tests/test_text_normalize.py — the fixture corpus is ASCII, so "
+    "the crafted suite carries the non-ASCII semantics). Scale "
+    "shape: map-only, rides the corpus scan; the lower/collapse/trim "
+    "stages stay JVM-side so only the NFC hop pays the Arrow "
+    "transfer.",
+    tags=("text", "quality", "udf"),
+)
+def op_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC + casefold + whitespace-collapse canonical form per doc."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(texts):
+        import unicodedata
+
+        return texts.map(lambda t: unicodedata.normalize("NFC", t))
+
+    nfc = pandas_udf(_nfc, "string")
+
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.lower(nfc("text")), "[ \t\n\r]+", " ")
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_raw"),
+        norm.alias("norm"),
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+    )

@@ -166,6 +166,8 @@ BELOW_FOLD_R8: frozenset[str] = frozenset({
     "op_dedup_containment",
     "op_join_asof_nearest",
     "op_binaryfile_scan",
+    "op_heavy_hitters_maintain",
+    "op_text_normalize",
 })
 
 
