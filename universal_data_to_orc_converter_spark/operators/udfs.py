@@ -356,3 +356,87 @@ def op_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id
         """
     )
+
+
+@query(
+    "op_pandas_api",
+    oracle="""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        FROM documents
+        GROUP BY lang
+    """,
+    notes="pandas-on-Spark API surface (pyspark.pandas) — the "
+    "migration path for pandas codebases: the SAME groupby/agg "
+    "written as pandas executes as distributed Spark plans (Catalyst "
+    "sees an ordinary Aggregate; nothing is collected). index_col is "
+    "pinned to doc_id so no nondeterministic default index is "
+    "attached, and the aggregates are integer count/sum/max — exact "
+    "on any engine. The point is API parity, not new semantics: the "
+    "oracle is the plain SQL the pandas expression lowers to.",
+    tags=("udf", "agg"),
+)
+def op_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupby/agg written in pandas-on-Spark, returned as a Spark
+    DataFrame (exact integer aggregates)."""
+    import pyspark.pandas as ps  # noqa: F401 - surface under test
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    psdf = d.pandas_api(index_col="doc_id")
+    out = psdf.groupby("lang").agg(
+        n_docs=("lang", "count"),
+        total_chars=("n_chars", "sum"),
+        max_chars=("n_chars", "max"),
+    )
+    sdf = out.reset_index().to_spark()
+    return sdf.select(
+        "lang",
+        F.col("n_docs").cast("bigint"),
+        F.col("total_chars").cast("bigint"),
+        F.col("max_chars").cast("bigint"),
+    )
+
+
+@query(
+    "op_arrow_interchange",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MIN(event_id) AS BIGINT) AS min_id,
+               CAST(MAX(event_id) AS BIGINT) AS max_id
+        FROM events
+        GROUP BY event_type
+    """,
+    notes="Spark 4 Arrow interchange surface: a BOUNDED aggregate "
+    "(|event_type| rows) leaves Spark as a pyarrow Table via "
+    "df.toArrow(), round-trips through Arrow compute (a sort — any "
+    "zero-copy consumer: polars, duckdb, pandas), and re-enters via "
+    "spark.createDataFrame(arrow_table) — the handoff path for "
+    "driver-side post-processing and cross-engine pipelines. "
+    "HONEST SCALE NOTE: toArrow() collects to the driver, so this "
+    "op's contract is aggregate-first (the corpus-side work stays "
+    "distributed; only the |groups|-sized result crosses). The "
+    "round trip must be lossless — the oracle checks the re-entered "
+    "frame against the plain SQL aggregate.",
+    tags=("udf", "io"),
+)
+def op_arrow_interchange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events aggregate -> pyarrow Table -> Arrow sort -> back to a
+    Spark DataFrame, losslessly."""
+    import pyarrow.compute as pc
+
+    e = load(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.min("event_id").cast("bigint").alias("min_id"),
+        F.max("event_id").cast("bigint").alias("max_id"),
+    )
+    tbl = agg.toArrow()  # bounded: |event_type| rows
+    tbl = tbl.take(
+        pc.sort_indices(tbl, sort_keys=[("event_type", "ascending")])
+    )
+    return spark.createDataFrame(tbl)

@@ -168,6 +168,8 @@ BELOW_FOLD_R8: frozenset[str] = frozenset({
     "op_binaryfile_scan",
     "op_heavy_hitters_maintain",
     "op_text_normalize",
+    "op_pandas_api",
+    "op_arrow_interchange",
 })
 
 
