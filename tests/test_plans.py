@@ -760,3 +760,14 @@ def test_curriculum_shards_total_order_without_global_window(spark):
     assert "Exchange hashpartitioning" not in plan, (
         "corpus must not hash-shuffle"
     )
+
+
+def test_asof_nearest_plans_windowgrouplimit(spark):
+    """op_join_asof_nearest's rn=1 must prune per-event candidates
+    with WindowGroupLimit before the exchange (same contract as the
+    backward as-of), and the final event-preserving join must remain
+    a LEFT join."""
+    df = q("op_join_asof_nearest", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:800]
+    assert "LeftOuter" in plan, "unmatched events must be preserved"
