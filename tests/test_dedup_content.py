@@ -257,3 +257,56 @@ def test_containment_catches_quote_inclusion_jaccard_misses(spark):
     jaccard = inter / len(sets[1] | sets[2])
     assert containment_short == 1.0, "short doc fully contained"
     assert jaccard < 0.1, "Jaccard blind to the inclusion"
+
+
+def test_prefix_filtered_jaccard_is_lossless_vs_inverted_index(spark):
+    """The AllPairs/PPJoin prefix lemma claims the filter is LOSSLESS:
+    op_dedup_jaccard_prefix must return bit-identical rows to the full
+    inverted-index op on the real fixture corpus (which contains both
+    exact clones and near-dup mutations around the 0.7 threshold)."""
+    from .conftest import SF_DIR
+
+    qs = load_all_queries()
+    base = sorted(
+        map(tuple, qs["op_dedup_ngram_jaccard"].fn(spark, SF_DIR).collect())
+    )
+    pref = sorted(
+        map(tuple, qs["op_dedup_jaccard_prefix"].fn(spark, SF_DIR).collect())
+    )
+    assert len(base) > 0, "fixture must produce pairs or the test is vacuous"
+    assert pref == base
+
+
+def test_prefix_filter_survives_boundary_thresholds(spark, tmp_path):
+    """Crafted pairs that sit exactly AT and just BELOW J = 0.7 — the
+    prefix arithmetic (ceil, +1) is off-by-one-prone precisely at the
+    boundary. 7 shared + 3 unique each => J = 7/13 (drop); 9 shared +
+    1 unique on one side only => J = 9/10 (keep); identical docs =>
+    J = 1.0 (keep)."""
+    from universal_data_to_orc_converter_spark.registry import QUERIES
+
+    shared = " ".join(f"s{i} s{i}x s{i}y" for i in range(9))
+    docs = [
+        # identical pair (0,1): J = 1.0, keep
+        shared,
+        shared,
+        # near pair (2,3): doc 3 appends unique filler — J above 0.7
+        shared,
+        shared + " extraA extraB",
+        # far pair (4,5): small overlap, must drop
+        "common one two three unique5a unique5b unique5c",
+        "common one two three other6a other6b other6c other6d",
+    ]
+    sf = _write_documents(spark, tmp_path, docs)
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERIES["op_dedup_jaccard_prefix"].fn(spark, sf).collect()
+    }
+    base = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERIES["op_dedup_ngram_jaccard"].fn(spark, sf).collect()
+    }
+    assert out == base
+    assert out[(0, 1)] == 1.0
+    assert (2, 3) in out and out[(2, 3)] >= 0.7
+    assert (4, 5) not in out

@@ -53,3 +53,31 @@ def test_empty_split_yields_empty_summary(spark):
 
     df = spark.createDataFrame([], "k bigint").repartition(2)
     assert _mg_partials(df, 8).count() == 0
+
+
+def test_maintain_reclaims_scratch_store_and_result_survives(spark):
+    """Regression: the parquet MG state store must be reclaimed before
+    the op returns (it used to leak one mg_state_* dir per call), and
+    the returned frame must still be collectable afterwards — i.e. the
+    lazy dependency on the deleted directory was severed by an eager
+    checkpoint, not left to fail on first action."""
+    import glob
+    import os
+    import tempfile
+
+    from universal_data_to_orc_converter_spark.registry import (
+        load_all_queries,
+    )
+
+    from .conftest import SF_SMOKE
+
+    pattern = os.path.join(tempfile.gettempdir(), "mg_state_*")
+    before = set(glob.glob(pattern))
+    out = load_all_queries()["op_heavy_hitters_maintain"].fn(
+        spark, SF_SMOKE
+    )
+    assert set(glob.glob(pattern)) == before, "scratch store leaked"
+    rows = out.collect()
+    assert 1 <= len(rows) <= 10
+    # top row is one of the three hot sentinels by construction
+    assert rows[0]["k"] in (-1, -2, -3)

@@ -204,3 +204,24 @@ def test_kcenter_selection_distances_monotone_and_radius_bounded(spark):
     radius = rows[5]["d2"]
     assert rows[5]["vec_id"] is None
     assert radius <= d[-1], "radius cannot exceed the last selection"
+
+
+def test_kcenter_empty_embeddings_raises_value_error(spark, tmp_path):
+    """Regression: collect() on an empty frame returns [], not [None],
+    so the seed guard must check emptiness — the old `first is None`
+    check was dead code and an empty table raised IndexError."""
+    import pytest
+
+    from universal_data_to_orc_converter_spark.catalog import load
+    from universal_data_to_orc_converter_spark.registry import (
+        load_all_queries,
+    )
+
+    from .conftest import SF_DIR
+
+    em = load(spark, SF_DIR, "embeddings")
+    em.filter("vec_id < 0").write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    with pytest.raises(ValueError, match="empty"):
+        load_all_queries()["op_kcenter_coreset"].fn(spark, str(tmp_path))

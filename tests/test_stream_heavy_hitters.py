@@ -1,0 +1,67 @@
+"""op_stream_heavy_hitters — the streaming MG convergence contract:
+the drained stream's top-10 must EQUAL the batch op bit-for-bit (both
+are exact in the pinned regime), and per-batch summary writes must be
+replay-idempotent."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from universal_data_to_orc_converter_spark.registry import load_all_queries
+
+from .conftest import SF_SMOKE
+
+
+def test_streamed_summaries_equal_batch_op(spark):
+    qs = load_all_queries()
+    stream_rows = [
+        tuple(r)
+        for r in qs["op_stream_heavy_hitters"].fn(spark, SF_SMOKE).collect()
+    ]
+    batch_rows = [
+        tuple(r)
+        for r in qs["op_heavy_hitters_maintain"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    ]
+    assert len(stream_rows) == 10
+    assert stream_rows == batch_rows
+    # the three hot sentinels dominate by construction
+    assert {k for k, _ in stream_rows[:3]} == {-1, -2, -3}
+
+
+def test_summary_batch_write_is_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running a batch_id must
+    OVERWRITE its own prior summary, not add a second copy."""
+    from universal_data_to_orc_converter_spark.streaming.heavy_hitters_stream import (
+        mg_summary_batch,
+    )
+
+    df = spark.range(0, 1000).selectExpr("id AS event_id")
+    store = str(tmp_path / "store")
+    mg_summary_batch(df, store, 7, k=64)
+    once = sorted(
+        map(tuple, spark.read.parquet(os.path.join(store, "b_7")).collect())
+    )
+    mg_summary_batch(df, store, 7, k=64)  # replay
+    twice = sorted(
+        map(tuple, spark.read.parquet(os.path.join(store, "b_7")).collect())
+    )
+    assert once == twice
+    assert glob.glob(os.path.join(store, "b_*")) == [
+        os.path.join(store, "b_7")
+    ]
+
+
+def test_session_scratch_reclaims_on_demand(tmp_path):
+    """The atexit-registered scratch registry: dirs exist during the
+    session and reclaim_all removes every registered one."""
+    from universal_data_to_orc_converter_spark import scratch
+
+    d1 = scratch.session_scratch("unittest_scr_")
+    d2 = scratch.session_scratch("unittest_scr_")
+    assert os.path.isdir(d1) and os.path.isdir(d2)
+    n = scratch.reclaim_all()
+    assert n >= 2
+    assert not os.path.exists(d1) and not os.path.exists(d2)

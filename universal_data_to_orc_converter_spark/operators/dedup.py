@@ -948,3 +948,127 @@ def op_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return fwd.unionAll(rev).filter(F.col("containment") >= 0.9)
+
+
+#: shared Jaccard threshold for the exact-pair ops (the 0.7 literal in
+#: op_dedup_ngram_jaccard's SQL); the prefix-filter arithmetic below
+#: derives its pruning bounds from this value, so they must agree.
+_JACCARD_T = 0.7
+
+
+@query(
+    "op_dedup_jaccard_prefix",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(
+                   CASE WHEN len(t) >= 3
+                        THEN list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                        ELSE [COALESCE(array_to_string(t, ' '), '')]
+                   END) AS s
+          FROM toks
+        ),
+        ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(c.n_shared AS DOUBLE)
+                   / (len(sa.s) + len(sb.s) - c.n_shared) AS jaccard
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+        WHERE CAST(c.n_shared AS DOUBLE)
+                  / (len(sa.s) + len(sb.s) - c.n_shared) >= 0.7
+    """,
+    notes="PREFIX-FILTERED exact Jaccard (AllPairs/PPJoin, Bayardo et "
+    "al. WWW'07 / Xiao et al. WWW'08) — same output contract as "
+    "op_dedup_ngram_jaccard (identical oracle SQL: the filter is "
+    "LOSSLESS), different candidate economics. Shingles get a global "
+    "rarest-first total order (doc-frequency asc, shingle asc); each "
+    "doc indexes only its first p = |S| - ceil(t*|S|) + 1 shingles in "
+    "that order. Prefix lemma: J(A,B) >= t forces |A∩B| >= "
+    "ceil(t*|S|) on BOTH sides, so by pigeonhole any qualifying pair "
+    "shares a prefix element — every survivor is then verified with "
+    "an exact JVM-side array_intersect (no second explode). Two "
+    "structural wins over the full inverted index: (1) only ~(1-t) "
+    "of each doc's shingles are indexed, so candidate volume falls "
+    "~(1-t)^2; (2) the prefix keeps the RAREST shingles, so the hot "
+    "head buckets that drive the Σ bucket² blowup on Zipf/saturated "
+    "corpora never enter the self-join at all. The size filter "
+    "(t*|A| <= |B| <= |A|/t) prunes at the join. MEASURED vs the "
+    "plain inverted index in PERF.md (r8). At 100 TB this is the "
+    "exact-tier answer when MinHash recall (<100%) is not "
+    "acceptable; the df table is corpus metadata (|vocab| rows).",
+    tags=("dedup", "scale"),
+)
+def op_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.7 pairs via rarest-first prefix filtering:
+    bit-identical rows to op_dedup_ngram_jaccard, sub-inverted-index
+    candidate cost."""
+    from pyspark.sql import Window as W
+
+    t = _JACCARD_T
+    par = spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents").repartition(par, "doc_id")
+    sh = d.select(
+        "doc_id", shingles(tokens(F.col("text"))).alias("s")
+    ).withColumn("size", F.size("s"))
+    ex = sh.select("doc_id", "size", F.explode("s").alias("shingle"))
+    # global rarest-first order: (doc-frequency asc, shingle asc) is a
+    # total order shared by every doc, as the prefix lemma requires
+    freq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = W.partitionBy("doc_id").orderBy("df", "shingle")
+    p = (
+        F.col("size") - F.ceil(F.col("size") * F.lit(t)) + F.lit(1)
+    ).cast("int")
+    prefix = (
+        ex.join(freq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= p)
+        .select("doc_id", "size", "shingle")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size filter: J >= t forces t*|A| <= |B| and t*|B| <= |A|
+            & (F.col("b.size") >= F.col("a.size") * F.lit(t))
+            & (F.col("a.size") >= F.col("b.size") * F.lit(t)),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("s").alias("s_a"),
+        F.col("size").alias("size_a"),
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("s").alias("s_b"),
+        F.col("size").alias("size_b"),
+    )
+    n_shared = F.size(F.array_intersect("s_a", "s_b"))
+    jac = n_shared.cast("double") / (
+        F.col("size_a") + F.col("size_b") - n_shared
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= t)
+    )

@@ -19,6 +19,7 @@ from ..catalog import load
 from ..exprs import dsum, sql_dsum
 from ..registry import query
 from ..sinks.orc import read_orc, write_orc
+from ..scratch import session_scratch
 
 #: per-process scratch roots, one per prefix — repeat invocations
 #: (the determinism test, bench laps) reuse the same directory instead
@@ -29,7 +30,7 @@ _SCRATCH: dict[str, str] = {}
 
 def _scratch(prefix: str) -> str:
     if prefix not in _SCRATCH:
-        _SCRATCH[prefix] = tempfile.mkdtemp(prefix=prefix)
+        _SCRATCH[prefix] = session_scratch(prefix)
     return _SCRATCH[prefix]
 
 

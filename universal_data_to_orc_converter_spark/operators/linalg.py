@@ -795,9 +795,10 @@ def op_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         ds = [dist_to(c[3]) for c in centers]
         return ds[0] if len(ds) == 1 else F.least(*ds)
 
-    first = q.orderBy("vec_id").limit(1).collect()[0]
-    if first is None:  # pragma: no cover - fixture never empty
+    seed = q.orderBy("vec_id").limit(1).collect()
+    if not seed:  # collect() yields [], not [None], on an empty frame
         raise ValueError("op_kcenter_coreset: empty embeddings table")
+    first = seed[0]
     selected = [(1, int(first["vec_id"]), 0, list(first["qv"]))]
     # d2 tracks min distance to the selected set; recomputed as a
     # LEAST chain over literal centers so each round is one stateless

@@ -945,14 +945,55 @@ def _mg_partials(df: DataFrame, k: int) -> DataFrame:
     return df.mapInPandas(summarize, schema="k bigint, est bigint")
 
 
+def mg_key_expr():
+    """The derived SON skew key (3 hot sentinels + event_id % 5000
+    tail) — ONE spec shared by batch op_heavy_hitters_maintain, the
+    streaming op, and both oracles, so the key derivation cannot
+    silently fork (the shingle-kernel-unification lesson from r7)."""
+    return (
+        F.when(F.col("event_id") % 10 < 4, F.lit(-1))
+        .when(F.col("event_id") % 10 < 6, F.lit(-2))
+        .when(F.col("event_id") % 10 < 7, F.lit(-3))
+        .otherwise(F.col("event_id") % 5000)
+        .cast("bigint")
+        .alias("k")
+    )
+
+
+#: DuckDB-side rendering of mg_key_expr — interpolated into both MG
+#: oracles verbatim.
+MG_KEY_SQL = """CASE WHEN event_id % 10 < 4 THEN -1
+                     WHEN event_id % 10 < 6 THEN -2
+                     WHEN event_id % 10 < 7 THEN -3
+                     ELSE event_id % 5000 END"""
+
+
+def mg_merge_topk(partials: DataFrame, k: int, top: int) -> DataFrame:
+    """Merge MG partial summaries (keywise counter sum) and apply the
+    published trim-to-k rule, then return the top ``top`` rows.
+
+    The trim collect is bounded: the merged summary holds at most
+    (#summaries * k) counters and only k+1 rows are collected to find
+    the subtraction value."""
+    merged = partials.groupBy("k").agg(F.sum("est").alias("est_count"))
+    kth = merged.orderBy(F.desc("est_count"), "k").limit(k + 1).collect()
+    if len(kth) > k:
+        sub = kth[-1]["est_count"]
+        merged = merged.withColumn(
+            "est_count", F.col("est_count") - F.lit(sub)
+        ).filter(F.col("est_count") > 0)
+    return (
+        merged.select("k", F.col("est_count").cast("bigint"))
+        .orderBy(F.desc("est_count"), "k")
+        .limit(top)
+    )
+
+
 @query(
     "op_heavy_hitters_maintain",
-    oracle="""
+    oracle=f"""
         WITH keyed AS (
-          SELECT CASE WHEN event_id % 10 < 4 THEN -1
-                      WHEN event_id % 10 < 6 THEN -2
-                      WHEN event_id % 10 < 7 THEN -3
-                      ELSE event_id % 5000 END AS k
+          SELECT {MG_KEY_SQL} AS k
           FROM events
         )
         SELECT k, CAST(COUNT(*) AS BIGINT) AS est_count
@@ -988,43 +1029,25 @@ def op_heavy_hitters_maintain(
     """Base MG summary (parquet round trip) + tail MG summary ->
     mergeable-summaries combine -> exact top-10 in the pinned
     regime."""
+    import shutil
     import tempfile
 
     e = load(spark, sf_dir, "events").select("event_id", "ts")
-    key = (
-        F.when(F.col("event_id") % 10 < 4, F.lit(-1))
-        .when(F.col("event_id") % 10 < 6, F.lit(-2))
-        .when(F.col("event_id") % 10 < 7, F.lit(-3))
-        .otherwise(F.col("event_id") % 5000)
-        .cast("bigint")
-        .alias("k")
-    )
+    key = mg_key_expr()
     cutoff = F.lit("2024-01-24 12:00:00").cast("timestamp")
     base = e.filter(F.col("ts") < cutoff).select(key)
     tail = e.filter(F.col("ts") >= cutoff).select(key)
 
     store = tempfile.mkdtemp(prefix="mg_state_")
-    _mg_partials(base, _MG_K).write.mode("overwrite").parquet(store)
-    partials = spark.read.parquet(store).unionByName(
-        _mg_partials(tail, _MG_K)
-    )
-    merged = partials.groupBy("k").agg(F.sum("est").alias("est_count"))
-    # published merge trim: if the combined summary exceeds k
-    # counters, subtract the (k+1)-th largest estimate and drop
-    # non-positive counters (bounded collect: the summary is
-    # O(partitions * k) metadata, and only one value is collected)
-    kth = (
-        merged.orderBy(F.desc("est_count"), "k")
-        .limit(_MG_K + 1)
-        .collect()
-    )
-    if len(kth) > _MG_K:
-        sub = kth[-1]["est_count"]
-        merged = merged.withColumn(
-            "est_count", F.col("est_count") - F.lit(sub)
-        ).filter(F.col("est_count") > 0)
-    return (
-        merged.select("k", F.col("est_count").cast("bigint"))
-        .orderBy(F.desc("est_count"), "k")
-        .limit(10)
-    )
+    try:
+        _mg_partials(base, _MG_K).write.mode("overwrite").parquet(store)
+        partials = spark.read.parquet(store).unionByName(
+            _mg_partials(tail, _MG_K)
+        )
+        out = mg_merge_topk(partials, _MG_K, 10)
+        # sever the lazy dependency on the scratch store before
+        # reclaiming it (the op_lambda_serve pattern — returning a
+        # plan that reads a deleted directory fails on first action)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)

@@ -170,6 +170,8 @@ BELOW_FOLD_R8: frozenset[str] = frozenset({
     "op_text_normalize",
     "op_pandas_api",
     "op_arrow_interchange",
+    "op_dedup_jaccard_prefix",
+    "op_stream_heavy_hitters",
 })
 
 
@@ -204,7 +206,12 @@ def load_all_queries() -> dict[str, QuerySpec]:
     )
     from .functions import scalar, semistructured  # noqa: F401
     from .sources import eventdump_writer, replay_stream  # noqa: F401
-    from .streaming import batch_windows, cdc, dedup_stream  # noqa: F401
+    from .streaming import (  # noqa: F401
+        batch_windows,
+        cdc,
+        dedup_stream,
+        heavy_hitters_stream,
+    )
 
     missing = [n for n in DRIVER_PRIORITY if n not in QUERIES]
     if missing:

@@ -1,0 +1,47 @@
+"""Session-lifetime scratch directories.
+
+Several operators return LAZY DataFrames whose plans read from a
+scratch directory the op staged (streaming pair/signature stores,
+resharded stream sources, checkpoint locations). Those dirs cannot be
+reclaimed before the op returns — the caller's first action would read
+a deleted path — so they used to leak for the life of the machine, one
+copy of a fixture table per call (the same staged-copy leak class the
+r7 review wave fixed for the eager ops, where ``localCheckpoint`` +
+``rmtree`` works).
+
+``session_scratch`` is the fix for the lazy ops: a ``mkdtemp`` whose
+path is registered for ``atexit`` reclamation. Within the session every
+returned frame stays readable; at interpreter exit every registered dir
+is removed. ``reclaim_all()`` is exposed for tests and for long-lived
+hosts that want to reclaim between workloads (any frame still lazily
+reading a reclaimed dir fails on its next action — callers that need
+results past ``reclaim_all()`` must materialize first, which is the
+same contract ``localCheckpoint`` ops already satisfy).
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+_REGISTERED: list[str] = []
+
+
+def session_scratch(prefix: str) -> str:
+    """``tempfile.mkdtemp(prefix=...)`` + atexit reclamation."""
+    path = tempfile.mkdtemp(prefix=prefix)
+    _REGISTERED.append(path)
+    return path
+
+
+def reclaim_all() -> int:
+    """Remove every registered scratch dir now; returns the count."""
+    n = 0
+    while _REGISTERED:
+        shutil.rmtree(_REGISTERED.pop(), ignore_errors=True)
+        n += 1
+    return n
+
+
+atexit.register(reclaim_all)

@@ -172,6 +172,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from ..exprs import dsum, sql_dsum  # noqa: E402
 from ..registry import query  # noqa: E402
+from ..scratch import session_scratch  # noqa: E402
 
 
 @query(
@@ -208,7 +209,7 @@ def op_python_datasource_writer(
     from ..catalog import load
 
     spark.dataSource.register(EventDumpSink)
-    out = tempfile.mkdtemp(prefix="eventdump_")
+    out = session_scratch("eventdump_")
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
@@ -324,7 +325,7 @@ def op_stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import load
 
     spark.dataSource.register(EventDumpSink)
-    work = tempfile.mkdtemp(prefix="eventdump_s_")
+    work = session_scratch("eventdump_s_")
     src = os.path.join(work, "src")
     out = os.path.join(work, "out")
     os.makedirs(out, exist_ok=True)

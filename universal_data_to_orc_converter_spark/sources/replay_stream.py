@@ -108,7 +108,7 @@ def run_replay_until_drained(
         result_stream.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_rp_"))
+        .option("checkpointLocation", session_scratch("ckpt_rp_"))
         .start()
     )
     deadline = time.time() + timeout_sec
@@ -146,6 +146,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from ..exprs import dsum, sql_dsum  # noqa: E402
 from ..registry import query  # noqa: E402
+from ..scratch import session_scratch  # noqa: E402
 
 
 @query(

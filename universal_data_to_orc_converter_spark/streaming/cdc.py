@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ..scratch import session_scratch
 
 N_BUCKETS = 16
 
@@ -131,7 +132,7 @@ def op_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """availableNow CDC stream -> per-batch bucket merge -> snapshot."""
     from ..catalog import load
 
-    work = tempfile.mkdtemp(prefix="cdc_work_")
+    work = session_scratch("cdc_work_")
     src_dir = os.path.join(work, "src")
     target_dir = os.path.join(work, "target")
 
@@ -190,7 +191,7 @@ def op_stream_cdc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """availableNow CDC stream with delete tombstones -> snapshot."""
     from ..catalog import load
 
-    work = tempfile.mkdtemp(prefix="cdcdel_work_")
+    work = session_scratch("cdcdel_work_")
     src_dir = os.path.join(work, "src")
     target_dir = os.path.join(work, "target")
 
@@ -251,7 +252,7 @@ def op_stream_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest version per group."""
     from ..catalog import load
 
-    work = tempfile.mkdtemp(prefix="upd_work_")
+    work = session_scratch("upd_work_")
     src_dir = os.path.join(work, "src")
     events = load(spark, sf_dir, "events")
     events.repartition(4).write.parquet(src_dir)

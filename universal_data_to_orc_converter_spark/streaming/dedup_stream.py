@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import make_minhash_sig_batches
 from ..registry import query
+from ..scratch import session_scratch
 
 _SIG_SCHEMA = "doc_id bigint, h array<bigint>, bands array<bigint>"
 
@@ -159,7 +160,7 @@ def op_stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulated near-dup pairs."""
     from ..catalog import load
 
-    work = tempfile.mkdtemp(prefix="sdd_")
+    work = session_scratch("sdd_")
     src = os.path.join(work, "src")
     sig_store = os.path.join(work, "sigs")
     pair_store = os.path.join(work, "pairs")

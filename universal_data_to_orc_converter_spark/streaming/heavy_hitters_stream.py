@@ -1,0 +1,121 @@
+"""Streaming Misra-Gries heavy hitters — per-micro-batch mergeable
+summaries via foreachBatch (SURVEY.md §2.J × the maintenance family;
+r9-backlog stretch (c) from TODO_r9).
+
+The mergeable-summaries property (Agarwal et al.) is exactly what
+makes MG streamable with NO per-key state store: each micro-batch
+folds into a <= k-counter summary (the same ``_mg_partials`` Arrow
+kernel as batch ``op_heavy_hitters_maintain`` — identical trim rule,
+so streaming and batch summaries obey one algebra), the summary is
+written to a deterministic per-batch ``b_<batch_id>`` directory in
+overwrite mode (replay-idempotent under foreachBatch's at-least-once
+contract, the op_stream_dedup_minhash layout), and serving is a
+keywise counter sum + one published trim over the accumulated
+summaries.
+
+100 TB cost model: per batch the corpus rows are read ONCE and reduced
+map-side to O(partitions * k) counter rows; the accumulated store
+grows by <= k rows per batch *independent of the key universe*, and
+the serve-time merge touches only summaries — never raw history. This
+is the top-k analogue of op_incremental_agg_maintain's economics.
+
+Convergence contract: the fixture regime is EXACT (derived key
+universe ~5003 << k=8192, so no trim ever fires), hence the drained
+stream's top-10 must EQUAL both the batch op's result and the plain
+GROUP BY oracle — a full DuckDB oracle, not rows-only, which is rare
+for a streaming op and is the point of pinning the exact regime.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.maintenance import (
+    _MG_K,
+    MG_KEY_SQL,
+    _mg_partials,
+    mg_key_expr,
+    mg_merge_topk,
+)
+from ..registry import query
+from ..scratch import session_scratch
+
+
+def mg_summary_batch(
+    batch_df: DataFrame, store: str, batch_id: int, k: int = _MG_K
+) -> None:
+    """Fold one micro-batch into a <= k-counter MG summary at a
+    deterministic per-batch path (overwrite => replay-idempotent)."""
+    _mg_partials(batch_df.select(mg_key_expr()), k).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(store, f"b_{batch_id}"))
+
+
+@query(
+    "op_stream_heavy_hitters",
+    oracle=f"""
+        WITH keyed AS (
+          SELECT {MG_KEY_SQL} AS k
+          FROM events
+        )
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS est_count
+        FROM keyed
+        GROUP BY k
+        ORDER BY est_count DESC, k
+        LIMIT 10
+    """,
+    notes="STREAMING Misra-Gries top-k (module docstring has design + "
+    "100 TB cost model): events resharded into 4 files, streamed "
+    "maxFilesPerTrigger=1; each foreachBatch reduces the batch to a "
+    "<= k-counter summary with the IDENTICAL Arrow kernel, key spec "
+    "(mg_key_expr — one spec, both ops, both oracles), and trim rule "
+    "as batch op_heavy_hitters_maintain; per-batch summaries land at "
+    "deterministic b_<id> paths in overwrite mode (replay-idempotent "
+    "under at-least-once foreachBatch). Serve = keywise sum + the "
+    "published trim + top-10. FULL DuckDB oracle (exceptional for a "
+    "streaming op): the pinned exact regime (universe ~5003 << "
+    "k=8192) means no trim fires on any fixture scale, so the "
+    "drained merge equals the plain GROUP BY — and "
+    "tests/test_stream_heavy_hitters.py additionally asserts "
+    "equality against the batch op. State economics: <= k counter "
+    "rows per batch, zero raw history retained.",
+    tags=("streaming", "agg", "scale", "maintenance"),
+)
+def op_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow event stream -> per-batch MG summaries ->
+    mergeable-summaries serve -> exact top-10 in the pinned regime."""
+    from ..catalog import load
+
+    work = session_scratch("shh_")
+    src = os.path.join(work, "src")
+    store = os.path.join(work, "summaries")
+
+    load(spark, sf_dir, "events").select("event_id").repartition(
+        4
+    ).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: mg_summary_batch(bdf, store, bid)
+        )
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "op_stream_heavy_hitters: stream did not drain in 300s"
+        )
+
+    partials = spark.read.option("recursiveFileLookup", "true").parquet(
+        store
+    )
+    return mg_merge_topk(partials, _MG_K, 10)

@@ -18,6 +18,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..scratch import session_scratch
+
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events fixture with the SAME type-adaptive
@@ -112,7 +114,7 @@ def stream_to_orc(
         .option("compression", compression)
         .option(
             "checkpointLocation",
-            checkpoint or tempfile.mkdtemp(prefix="ckpt_orc_"),
+            checkpoint or session_scratch("ckpt_orc_"),
         )
         .trigger(availableNow=True)
         .start()
@@ -148,7 +150,7 @@ def stream_to_orc_foreach_batch(
         result.writeStream.foreachBatch(write_batch)
         .option(
             "checkpointLocation",
-            checkpoint or tempfile.mkdtemp(prefix="ckpt_fb_"),
+            checkpoint or session_scratch("ckpt_fb_"),
         )
         .trigger(availableNow=True)
         .start()

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..scratch import session_scratch
 
 SESSION_GAP = "30 minutes"
 N_SHARDS = 4
@@ -40,7 +41,7 @@ def shard_events_by_time(
     time-range parquet files with strictly increasing mtimes, so a
     maxFilesPerTrigger=1 file stream delivers them as in-order
     micro-batches. Returns the source directory."""
-    work = tempfile.mkdtemp(prefix="sess_stream_")
+    work = session_scratch("sess_stream_")
     src = os.path.join(work, "src")
     staged = os.path.join(work, "staged")
     os.makedirs(src)
