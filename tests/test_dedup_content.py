@@ -283,8 +283,7 @@ def test_prefix_filter_survives_boundary_thresholds(spark, tmp_path):
     boundary. 7 shared + 3 unique each => J = 7/13 (drop); 9 shared +
     1 unique on one side only => J = 9/10 (keep); identical docs =>
     J = 1.0 (keep)."""
-    from universal_data_to_orc_converter_spark.registry import QUERIES
-
+    qs = load_all_queries()
     shared = " ".join(f"s{i} s{i}x s{i}y" for i in range(9))
     docs = [
         # identical pair (0,1): J = 1.0, keep
@@ -300,13 +299,101 @@ def test_prefix_filter_survives_boundary_thresholds(spark, tmp_path):
     sf = _write_documents(spark, tmp_path, docs)
     out = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
-        for r in QUERIES["op_dedup_jaccard_prefix"].fn(spark, sf).collect()
+        for r in qs["op_dedup_jaccard_prefix"].fn(spark, sf).collect()
     }
     base = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
-        for r in QUERIES["op_dedup_ngram_jaccard"].fn(spark, sf).collect()
+        for r in qs["op_dedup_ngram_jaccard"].fn(spark, sf).collect()
     }
     assert out == base
     assert out[(0, 1)] == 1.0
     assert (2, 3) in out and out[(2, 3)] >= 0.7
     assert (4, 5) not in out
+
+
+def test_ceil_mul_div_matches_exact_rational(spark):
+    """_ceil_mul_div must equal Fraction-exact ceil(num*s/den) for
+    every size up to 20k — the double-rounding hazard it replaces
+    (F.ceil(s * lit(0.7))) is exactly an off-by-one at boundaries."""
+    from fractions import Fraction
+    from math import ceil
+
+    from pyspark.sql import functions as F
+
+    from universal_data_to_orc_converter_spark.operators.dedup import (
+        _ceil_mul_div,
+    )
+
+    for num, den in ((7, 10), (9, 10), (7, 17)):
+        got = (
+            spark.range(1, 20001)
+            .select(_ceil_mul_div(F.col("id"), num, den).alias("c"))
+            .collect()
+        )
+        for s, row in enumerate(got, start=1):
+            want = ceil(Fraction(num * s, den))
+            assert row["c"] == want, (num, den, s, row["c"], want)
+
+
+def test_prefix_and_position_filters_lossless_on_random_corpora(
+    spark, tmp_path
+):
+    """Seeded-random corpora over a tiny vocabulary produce dense
+    boundary-straddling Jaccard/containment values — the adversarial
+    regime for the prefix/positional pruning arithmetic. Both
+    prefix-filtered ops must equal an independent brute-force Python
+    computation over the same shingle sets (not just the sibling op:
+    a shared bug would cancel out)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from universal_data_to_orc_converter_spark.operators.textprep import (
+        shingles,
+        tokens,
+    )
+
+    qs = load_all_queries()
+    rng = random.Random(0xC0FFEE)
+    vocab = [f"w{i}" for i in range(8)]
+    docs = []
+    for _ in range(40):
+        n = rng.randint(1, 12)
+        docs.append(" ".join(rng.choice(vocab) for _ in range(n)))
+    # a few exact clones and near-clones to guarantee >=0.7 pairs
+    docs += [docs[0], docs[1], docs[2] + " extra"]
+
+    sf = _write_documents(spark, tmp_path, docs)
+    sh_rows = (
+        spark.read.parquet(str(tmp_path / "documents.parquet"))
+        .select("doc_id", shingles(tokens(F.col("text"))).alias("s"))
+        .collect()
+    )
+    sets = {r["doc_id"]: set(r["s"]) for r in sh_rows}
+    ids = sorted(sets)
+    want_jac, want_cont = set(), set()
+    for i in ids:
+        for j in ids:
+            if i >= j:
+                continue
+            inter = len(sets[i] & sets[j])
+            if not inter:
+                continue
+            union = len(sets[i] | sets[j])
+            if inter / union >= 0.7:
+                want_jac.add((i, j))
+            if inter / len(sets[i]) >= 0.9:
+                want_cont.add((i, j))  # i contained in j
+            if inter / len(sets[j]) >= 0.9:
+                want_cont.add((j, i))
+    got_jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in qs["op_dedup_jaccard_prefix"].fn(spark, sf).collect()
+    }
+    got_cont = {
+        (r["doc_sub"], r["doc_super"])
+        for r in qs["op_dedup_containment"].fn(spark, sf).collect()
+    }
+    assert got_jac == want_jac
+    assert got_cont == want_cont
+    assert want_jac and want_cont, "corpus must exercise both thresholds"

@@ -771,3 +771,29 @@ def test_asof_nearest_plans_windowgrouplimit(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan[:800]
     assert "LeftOuter" in plan, "unmatched events must be preserved"
+
+
+def test_prefix_jaccard_plan_is_equi_join_only(spark):
+    """op_dedup_jaccard_prefix must plan every join as an EQUI join
+    (shingle / doc key hash joins) — a CartesianProduct or
+    BroadcastNestedLoopJoin would mean the prefix/size/position
+    predicates failed to attach to the equi condition and the op
+    degenerated to all-pairs."""
+    df = q("op_dedup_jaccard_prefix", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+
+def test_stream_mg_partials_bound_shuffle_rows(spark):
+    """The MG summary contract: per-partition partials ship <= k
+    counter rows regardless of partition row counts — the O(parts*k)
+    metadata-shuffle claim, asserted on data 4x over capacity."""
+    from universal_data_to_orc_converter_spark.operators.maintenance import (
+        _mg_partials,
+    )
+
+    df = spark.range(0, 40000).selectExpr("id % 37 AS k").repartition(8)
+    k = 16
+    rows = _mg_partials(df, k).count()
+    assert rows <= 8 * k, f"partials leaked {rows} rows > parts*k"

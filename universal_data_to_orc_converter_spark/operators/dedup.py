@@ -893,46 +893,76 @@ def op_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Jaccard structurally misses: a short doc fully quoted inside a "
     "long one has containment 1.0 but Jaccard ≈ |A|/|B| → below any "
     "sane threshold (pinned in tests/test_dedup_content.py with a "
-    "crafted quote-inclusion corpus). Same inverted-index candidate "
-    "machinery as op_dedup_ngram_jaccard — cost Σ bucket² over shared "
-    "shingles, MEASURED superlinear on the closed-vocab fixtures "
-    "(PERF.md: buckets grow linearly once the ~30k-shingle vocab "
-    "saturates; 13× wall at 10× corpus, output flat) — so at scale "
-    "this is the VERIFY tier: op_dedup_minhash_lsh generates "
-    "candidates in O(n) and the containment arithmetic runs "
-    "restricted to them. Emits BOTH directions of each candidate "
-    "pair so containment is "
-    "reported per (contained, container) ordering. The value is an "
+    "crafted quote-inclusion corpus). Candidate stage is the "
+    "ONE-SIDED prefix filter (the asymmetric AllPairs variant; "
+    "op_dedup_jaccard_prefix documents the lemma): C(X,Y) >= t "
+    "forces |X∩Y| >= ceil(t*|X|) on the CONTAINED side only, so X's "
+    "rarest-first prefix (|X| - ceil(t*|X|) + 1 shingles) must share "
+    "an element with Y's FULL set — candidates = prefix ⋈ full "
+    "instead of full ⋈ full, cost Σ df_prefix × df_full per shingle "
+    "(hot shingles rank last within every doc, so they carry "
+    "near-zero prefix occupancy and their buckets collapse; the "
+    "full-index original measured 13× wall at 10× on the "
+    "closed-vocab fixtures, PERF.md r8). Survivors are verified with "
+    "one JVM-side array_intersect, no second explode. Emits BOTH "
+    "directions of each candidate pair so containment is reported "
+    "per (contained, container) ordering. The value is an "
     "integer/integer double division — exact on both engines.",
     tags=("dedup", "scale"),
 )
 def op_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_sub, doc_super, containment>=0.9) pairs: doc_sub's shingle
     set is ~contained in doc_super's."""
+    t = 0.9
+    t_num, t_den = 9, 10  # exact rational form of the threshold
     par = spark.sparkContext.defaultParallelism
     d = load(spark, sf_dir, "documents").repartition(par, "doc_id")
-    sh = d.select("doc_id", shingles(tokens(F.col("text"))).alias("s"))
-    ex = sh.select("doc_id", F.explode("s").alias("shingle"))
-    a, b = ex.alias("a"), ex.alias("b")
+    sh = d.select(
+        "doc_id", shingles(tokens(F.col("text"))).alias("s")
+    ).withColumn("size", F.size("s"))
+    # either doc of a qualifying pair may be the contained side, and
+    # the lemma only constrains that side — so probe every doc's
+    # prefix against every doc's FULL ranked posting list
+    prefix = _rarest_prefix(sh, t_num, t_den)
+    full = _ranked_shingles(sh)
+    a, b = prefix.alias("a"), full.alias("b")
+    sz_a, sz_b = F.col("a.size"), F.col("b.size")
+    # positional filter (one-sided form): a qualifying direction needs
+    # overlap >= ceil(t * min(|A|,|B|)); at the first common element
+    # overlap <= 1 + the smaller remaining suffix
+    need = _ceil_mul_div(F.least(sz_a, sz_b), t_num, t_den)
+    ubound = F.lit(1) + F.least(
+        sz_a - F.col("a.rn"), sz_b - F.col("b.rn")
+    )
     cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (ubound >= need),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
         )
-        .agg(F.count("*").alias("n_shared"))
+        .distinct()
     )
     sa = sh.select(
-        F.col("doc_id").alias("doc_a"), F.size("s").alias("size_a")
+        F.col("doc_id").alias("doc_a"),
+        F.col("s").alias("s_a"),
+        F.col("size").alias("size_a"),
     )
     sb = sh.select(
-        F.col("doc_id").alias("doc_b"), F.size("s").alias("size_b")
+        F.col("doc_id").alias("doc_b"),
+        F.col("s").alias("s_b"),
+        F.col("size").alias("size_b"),
     )
-    sized = cand.join(sa, "doc_a").join(sb, "doc_b")
+    n_shared = F.size(F.array_intersect("s_a", "s_b")).alias("n_shared")
+    sized = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "size_a", "size_b", n_shared)
+    )
     fwd = sized.select(
         F.col("doc_a").alias("doc_sub"),
         F.col("doc_b").alias("doc_super"),
@@ -947,13 +977,64 @@ def op_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "containment"
         ),
     )
-    return fwd.unionAll(rev).filter(F.col("containment") >= 0.9)
+    return fwd.unionAll(rev).filter(F.col("containment") >= t)
+
+
+def _ceil_mul_div(col, num: int, den: int):
+    """Exact ceil(num * col / den) for an integer column — floor over
+    an integer-valued double is safe here (numerator < 2^50 stays
+    exactly representable and |x/den - k| >= 1/den >> ulp), and it
+    avoids the genuine hazard of F.ceil(col * F.lit(0.7)): 0.7 has no
+    exact double, so the product can land EITHER side of the true
+    rational and an over-rounded ceil silently SHRINKS the prefix —
+    a lost-pair bug, not a perf bug. Unit-tested against Fraction
+    arithmetic in tests/test_dedup_content.py."""
+    return F.floor(
+        (F.lit(num) * col + F.lit(den - 1)) / F.lit(den)
+    ).cast("int")
+
+
+def _ranked_shingles(sh):
+    """Every (doc, shingle) incidence with its 1-based rank ``rn`` in
+    the global rarest-first total order (doc-frequency asc, shingle
+    asc) — the substrate for AllPairs/PPJoin prefix AND positional
+    filtering. Shared by op_dedup_jaccard_prefix (both sides) and
+    op_dedup_containment (contained side prefix, container side full)
+    so the ordering spec cannot fork.
+
+    ``sh`` must carry (doc_id, s: array<string>, size: int)."""
+    from pyspark.sql import Window as W
+
+    ex = sh.select("doc_id", "size", F.explode("s").alias("shingle"))
+    freq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = W.partitionBy("doc_id").orderBy("df", "shingle")
+    return (
+        ex.join(freq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "size", "shingle", "rn")
+    )
+
+
+def _rarest_prefix(sh, t_num: int, t_den: int):
+    """Per-doc rarest-first prefix index: the first
+    p = |S| - ceil(t*|S|) + 1 shingles of ``_ranked_shingles`` order,
+    with t = t_num/t_den evaluated in EXACT integer arithmetic.
+    Keeps ``rn`` so callers can apply the positional filter."""
+    ranked = _ranked_shingles(sh)
+    p = (
+        F.col("size") - _ceil_mul_div(F.col("size"), t_num, t_den) + F.lit(1)
+    ).cast("int")
+    return ranked.filter(F.col("rn") <= p)
 
 
 #: shared Jaccard threshold for the exact-pair ops (the 0.7 literal in
 #: op_dedup_ngram_jaccard's SQL); the prefix-filter arithmetic below
 #: derives its pruning bounds from this value, so they must agree.
+#: The NUM/DEN pair is the same threshold as an exact rational — all
+#: prefix/position/size bounds are computed in integer arithmetic so
+#: no double-rounding can shrink a prefix (a lost-pair bug).
 _JACCARD_T = 0.7
+_JACCARD_T_NUM, _JACCARD_T_DEN = 7, 10
 
 
 @query(
@@ -1014,37 +1095,33 @@ def op_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard >= 0.7 pairs via rarest-first prefix filtering:
     bit-identical rows to op_dedup_ngram_jaccard, sub-inverted-index
     candidate cost."""
-    from pyspark.sql import Window as W
-
     t = _JACCARD_T
     par = spark.sparkContext.defaultParallelism
     d = load(spark, sf_dir, "documents").repartition(par, "doc_id")
     sh = d.select(
         "doc_id", shingles(tokens(F.col("text"))).alias("s")
     ).withColumn("size", F.size("s"))
-    ex = sh.select("doc_id", "size", F.explode("s").alias("shingle"))
-    # global rarest-first order: (doc-frequency asc, shingle asc) is a
-    # total order shared by every doc, as the prefix lemma requires
-    freq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
-    w = W.partitionBy("doc_id").orderBy("df", "shingle")
-    p = (
-        F.col("size") - F.ceil(F.col("size") * F.lit(t)) + F.lit(1)
-    ).cast("int")
-    prefix = (
-        ex.join(freq, "shingle")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= p)
-        .select("doc_id", "size", "shingle")
-    )
+    prefix = _rarest_prefix(sh, _JACCARD_T_NUM, _JACCARD_T_DEN)
     a, b = prefix.alias("a"), prefix.alias("b")
+    sa, sb = F.col("a.size"), F.col("b.size")
+    # PPJoin positional filter: J >= t forces overlap
+    # alpha = ceil(t/(1+t) * (|A|+|B|)) = ceil(num*(|A|+|B|)/(num+den)).
+    # For the FIRST common element w (global order), every common
+    # element ranks >= w in both docs, so overlap <= 1 + the smaller
+    # remaining-suffix length — incidences that cannot reach alpha are
+    # pruned before they ever become pairs (lossless: the first-common
+    # incidence of a qualifying pair always survives).
+    alpha = _ceil_mul_div(sa + sb, _JACCARD_T_NUM, _JACCARD_T_NUM + _JACCARD_T_DEN)
+    ubound = F.lit(1) + F.least(sa - F.col("a.rn"), sb - F.col("b.rn"))
     cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # size filter: J >= t forces t*|A| <= |B| and t*|B| <= |A|
-            & (F.col("b.size") >= F.col("a.size") * F.lit(t))
-            & (F.col("a.size") >= F.col("b.size") * F.lit(t)),
+            & (sb * F.lit(_JACCARD_T_DEN) >= sa * F.lit(_JACCARD_T_NUM))
+            & (sa * F.lit(_JACCARD_T_DEN) >= sb * F.lit(_JACCARD_T_NUM))
+            & (ubound >= alpha),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
