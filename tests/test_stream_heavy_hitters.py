@@ -65,3 +65,24 @@ def test_session_scratch_reclaims_on_demand(tmp_path):
     n = scratch.reclaim_all()
     assert n >= 2
     assert not os.path.exists(d1) and not os.path.exists(d2)
+
+
+def test_streamed_quantiles_equal_batch_op(spark):
+    """op_stream_quantiles convergence: the drained stream's served
+    quantiles must EQUAL batch op_quantile_histogram_maintain's
+    bit-for-bit (both fold the same hist_bins spec)."""
+    qs = load_all_queries()
+    stream_rows = sorted(
+        tuple(r)
+        for r in qs["op_stream_quantiles"].fn(spark, SF_SMOKE).collect()
+    )
+    batch_rows = sorted(
+        tuple(r)
+        for r in qs["op_quantile_histogram_maintain"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    )
+    assert stream_rows == batch_rows
+    assert len(stream_rows) >= 2  # several event types present
+    for _typ, p50, p90, p99 in stream_rows:
+        assert p50 <= p90 <= p99

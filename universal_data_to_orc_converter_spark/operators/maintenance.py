@@ -704,25 +704,34 @@ def op_quantile_histogram_maintain(
 ) -> DataFrame:
     """Maintain per-type value quantiles via mergeable histogram-bin
     states; serve p50/p90/p99 after folding in a late batch."""
-    from pyspark.sql import Window as W
-
     e = load(spark, sf_dir, "events").select("ts", "event_type", "value")
     cutoff = F.lit("2024-01-24").cast("timestamp")
-
-    def bins(df: DataFrame) -> DataFrame:
-        return df.groupBy(
-            "event_type", F.floor("value").cast("bigint").alias("bin")
-        ).agg(F.count("*").alias("c"))
-
     merged = (
-        bins(e.filter(F.col("ts") < cutoff))
-        .unionByName(bins(e.filter(F.col("ts") >= cutoff)))
+        hist_bins(e.filter(F.col("ts") < cutoff))
+        .unionByName(hist_bins(e.filter(F.col("ts") >= cutoff)))
         .groupBy("event_type", "bin")
         .agg(F.sum("c").alias("c"))
     )
-    cum = F.sum("c").over(
-        W.partitionBy("event_type").orderBy("bin")
-    )
+    return hist_serve(merged)
+
+
+def hist_bins(df: DataFrame) -> DataFrame:
+    """The histogram partial state: per-(event_type, unit-width bin)
+    counts. ONE spec shared by the batch maintain op and the streaming
+    op (extracted late r8; the batch op's plan/output are unchanged —
+    it stays oracle-green and re-seats defensively in r9)."""
+    return df.groupBy(
+        "event_type", F.floor("value").cast("bigint").alias("bin")
+    ).agg(F.count("*").alias("c"))
+
+
+def hist_serve(merged: DataFrame) -> DataFrame:
+    """Serve p50/p90/p99 lower bin edges from merged histogram state —
+    all-integer rank comparisons (cum*2>=n etc.), no float rank math,
+    so the served answer hash-matches a single-pass recompute."""
+    from pyspark.sql import Window as W
+
+    cum = F.sum("c").over(W.partitionBy("event_type").orderBy("bin"))
     n = F.sum("c").over(W.partitionBy("event_type"))
     w = merged.select(
         "event_type", "bin", cum.alias("cum"), n.alias("n")

@@ -172,6 +172,7 @@ BELOW_FOLD_R8: frozenset[str] = frozenset({
     "op_arrow_interchange",
     "op_dedup_jaccard_prefix",
     "op_stream_heavy_hitters",
+    "op_stream_quantiles",
 })
 
 

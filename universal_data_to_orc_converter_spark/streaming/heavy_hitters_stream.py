@@ -31,6 +31,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.maintenance import (
     _MG_K,
@@ -119,3 +120,98 @@ def op_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         store
     )
     return mg_merge_topk(partials, _MG_K, 10)
+
+
+def hist_batch(batch_df: DataFrame, store: str, batch_id: int) -> None:
+    """Fold one micro-batch into histogram-bin partial state at a
+    deterministic per-batch path (overwrite => replay-idempotent)."""
+    from ..operators.maintenance import hist_bins
+
+    hist_bins(batch_df).write.mode("overwrite").parquet(
+        os.path.join(store, f"b_{batch_id}")
+    )
+
+
+@query(
+    "op_stream_quantiles",
+    oracle="""
+        WITH b AS (
+          SELECT event_type,
+                 CAST(FLOOR(value) AS BIGINT) AS bin,
+                 COUNT(*) AS c
+          FROM events
+          GROUP BY event_type, bin
+        ),
+        w AS (
+          SELECT event_type, bin,
+                 SUM(c) OVER (PARTITION BY event_type ORDER BY bin)
+                   AS cum,
+                 SUM(c) OVER (PARTITION BY event_type) AS n
+          FROM b
+        )
+        SELECT event_type,
+               CAST(MIN(CASE WHEN cum * 2 >= n THEN bin END) AS DOUBLE)
+                 AS p50_lo,
+               CAST(MIN(CASE WHEN cum * 10 >= 9 * n THEN bin END)
+                    AS DOUBLE) AS p90_lo,
+               CAST(MIN(CASE WHEN cum * 100 >= 99 * n THEN bin END)
+                    AS DOUBLE) AS p99_lo
+        FROM w
+        GROUP BY event_type
+    """,
+    notes="STREAMING quantile maintenance — the histogram sibling of "
+    "op_stream_heavy_hitters, completing the streaming-maintenance "
+    "family (top-k sketch + quantile sketch, both via foreachBatch): "
+    "each micro-batch reduces to per-(event_type, unit bin) counts "
+    "with the SAME hist_bins spec as batch "
+    "op_quantile_histogram_maintain (shared function, plus a "
+    "batch-equality test), written to replay-idempotent b_<id> "
+    "paths; serving merges bin counts (histogram addition IS the "
+    "merge algebra) and reads p50/p90/p99 with all-integer rank "
+    "comparisons — so the drained stream carries a FULL DuckDB "
+    "oracle, like the MG stream. State: |types| x |occupied bins| "
+    "rows per batch, bounded by the value range, independent of row "
+    "count; no per-key state store, no watermark needed — the "
+    "summary is the state.",
+    tags=("streaming", "agg", "scale", "maintenance"),
+)
+def op_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow event stream -> per-batch histogram partials ->
+    merged state -> exact p50/p90/p99 lower bin edges per type."""
+    from ..catalog import load
+    from ..operators.maintenance import hist_serve
+
+    work = session_scratch("shq_")
+    src = os.path.join(work, "src")
+    store = os.path.join(work, "summaries")
+
+    load(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: hist_batch(bdf, store, bid)
+        )
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "op_stream_quantiles: stream did not drain in 300s"
+        )
+
+    merged = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(store)
+        .groupBy("event_type", "bin")
+        .agg(F.sum("c").alias("c"))
+    )
+    return hist_serve(merged)
