@@ -922,9 +922,14 @@ def op_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("size", F.size("s"))
     # either doc of a qualifying pair may be the contained side, and
     # the lemma only constrains that side — so probe every doc's
-    # prefix against every doc's FULL ranked posting list
-    prefix = _rarest_prefix(sh, t_num, t_den)
-    full = _ranked_shingles(sh)
+    # prefix against every doc's FULL ranked posting list. Both sides
+    # recompute the ranking subtree (Catalyst does not unify it: 4
+    # Window nodes, 0 ReusedExchange) — persist() was MEASURED and
+    # rejected, caching costs more than the recompute (PERF.md
+    # "persist-vs-recompute").
+    ranked = _ranked_shingles(sh)
+    prefix = _rarest_prefix(sh, t_num, t_den, ranked=ranked)
+    full = ranked
     a, b = prefix.alias("a"), full.alias("b")
     sz_a, sz_b = F.col("a.size"), F.col("b.size")
     # positional filter (one-sided form): a qualifying direction needs
@@ -1015,12 +1020,17 @@ def _ranked_shingles(sh):
     )
 
 
-def _rarest_prefix(sh, t_num: int, t_den: int):
+def _rarest_prefix(sh, t_num: int, t_den: int, ranked=None):
     """Per-doc rarest-first prefix index: the first
     p = |S| - ceil(t*|S|) + 1 shingles of ``_ranked_shingles`` order,
     with t = t_num/t_den evaluated in EXACT integer arithmetic.
-    Keeps ``rn`` so callers can apply the positional filter."""
-    ranked = _ranked_shingles(sh)
+    Keeps ``rn`` so callers can apply the positional filter. Pass a
+    precomputed (possibly persisted) ``ranked`` frame to share one
+    ranking pipeline between the prefix and full-index sides —
+    Catalyst does NOT reuse the window+join subtree across the two
+    consumers on its own (0 ReusedExchange, plan-checked)."""
+    if ranked is None:
+        ranked = _ranked_shingles(sh)
     p = (
         F.col("size") - _ceil_mul_div(F.col("size"), t_num, t_den) + F.lit(1)
     ).cast("int")
@@ -1101,6 +1111,12 @@ def op_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select(
         "doc_id", shingles(tokens(F.col("text"))).alias("s")
     ).withColumn("size", F.size("s"))
+    # The self-join consumes the prefix index twice and Catalyst does
+    # not unify the duplicated window+freq-join subtree (2 Window
+    # nodes, 0 ReusedExchange). persist() was MEASURED and rejected:
+    # caching the multi-million-row incidence frame costs more than
+    # recomputing the codegen-cheap subtree (sf1 88 s -> 139 s with
+    # persist; PERF.md "persist-vs-recompute").
     prefix = _rarest_prefix(sh, _JACCARD_T_NUM, _JACCARD_T_DEN)
     a, b = prefix.alias("a"), prefix.alias("b")
     sa, sb = F.col("a.size"), F.col("b.size")
