@@ -238,17 +238,23 @@ def test_stateful_processing_time_timeout_evicts_idle_users(spark):
         .start()
     )
     try:
-        # refresh user 2 immediately; user 1 goes idle and times out
-        spark.createDataFrame(
-            [(3, DT(2024, 1, 1, 10, 1), 2, 1.0)], schema
-        ).coalesce(1).write.parquet(os.path.join(tmpdir, "f2"))
-        # generous deadline: the loop exits the moment both conditions
-        # hold, so this only pays off when the host is contended (a
-        # concurrent Spark job starving the 500 ms trigger was observed
-        # to push eviction past 90 s)
+        # user 1 goes idle and times out; user 2 is refreshed REPEATEDLY
+        # from inside the polling loop. A single up-front refresh was a
+        # real flake (observed in a full-suite run): if the host stalls
+        # batch scheduling past the 8 s timeout before the one refresh
+        # batch processes, user 2 is evicted, its counter resets to 1,
+        # and n_events can never reach 2. Continuous refreshes make the
+        # count-crossing inevitable under ANY scheduling: either two
+        # refresh batches process within the timeout (state carries,
+        # count increments), or queued refresh files pile into one
+        # batch and the count jumps by several at once.
         deadline = time.time() + 180
-        evicted, n2_max = set(), 0
+        evicted, n2_max, i = set(), 0, 0
         while time.time() < deadline:
+            spark.createDataFrame(
+                [(100 + i, DT(2024, 1, 1, 10, 1), 2, 1.0)], schema
+            ).coalesce(1).write.parquet(os.path.join(tmpdir, f"f2_{i}"))
+            i += 1
             rows = spark.table(name).collect()
             evicted = {
                 r["user_id"] for r in rows if r["status"] == "evicted"
