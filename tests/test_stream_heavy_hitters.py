@@ -86,3 +86,24 @@ def test_streamed_quantiles_equal_batch_op(spark):
     assert len(stream_rows) >= 2  # several event types present
     for _typ, p50, p90, p99 in stream_rows:
         assert p50 <= p90 <= p99
+
+
+def test_io_scratch_recreates_after_reclaim(spark):
+    """Regression (review finding r8): io._scratch caches dirs by
+    prefix; after scratch.reclaim_all() the cached path is deleted AND
+    unregistered, so returning it would hand out an unmanaged dir and
+    silently reintroduce the leak. _scratch must detect the missing
+    dir and mint a fresh registered one."""
+    import os
+
+    from universal_data_to_orc_converter_spark import scratch
+    from universal_data_to_orc_converter_spark.operators.io import _scratch
+
+    first = _scratch("reclaim_regress_")
+    assert os.path.isdir(first)
+    assert _scratch("reclaim_regress_") == first  # cached reuse
+    scratch.reclaim_all()
+    assert not os.path.exists(first)
+    second = _scratch("reclaim_regress_")
+    assert second != first and os.path.isdir(second)
+    assert second in scratch._REGISTERED  # managed again

@@ -55,9 +55,19 @@ def op_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "op_dedup_ngram_jaccard",
-    oracle="""
+#: Shared Jaccard threshold for the exact-pair ops. The NUM/DEN pair
+#: is the single source of truth (exact rational); the float is
+#: DERIVED so the prefix/positional integer bounds and the final
+#: filter can never disagree (review finding r8 — a hand-edited float
+#: next to an unedited rational is a silent lost-pair bug).
+_JACCARD_T_NUM, _JACCARD_T_DEN = 7, 10
+_JACCARD_T = _JACCARD_T_NUM / _JACCARD_T_DEN
+
+#: ONE oracle text for BOTH exact-Jaccard ops (op_dedup_ngram_jaccard
+#: and op_dedup_jaccard_prefix): the prefix op's losslessness contract
+#: is "identical oracle", so the SQL must be literally shared, not
+#: copy-pasted (review finding r8 — the MG_KEY_SQL pattern).
+_JACCARD_ORACLE = f"""
         WITH toks AS (
           SELECT doc_id,
                  list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
@@ -86,8 +96,14 @@ def op_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN sh sa ON sa.doc_id = c.doc_a
         JOIN sh sb ON sb.doc_id = c.doc_b
         WHERE CAST(c.n_shared AS DOUBLE)
-                  / (len(sa.s) + len(sb.s) - c.n_shared) >= 0.7
-    """,
+                  / (len(sa.s) + len(sb.s) - c.n_shared)
+              >= {_JACCARD_T_NUM} / {_JACCARD_T_DEN}.0
+    """
+
+
+@query(
+    "op_dedup_ngram_jaccard",
+    oracle=_JACCARD_ORACLE,
     notes="Exact 3-gram-shingle Jaccard ≥ 0.7 via inverted-index join. "
     "The jaccard value is an integer/integer double division — exact "
     "on both engines.",
@@ -133,7 +149,7 @@ def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.7)
+        .filter(F.col("jaccard") >= _JACCARD_T)
     )
 
 
@@ -913,8 +929,8 @@ def op_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_sub, doc_super, containment>=0.9) pairs: doc_sub's shingle
     set is ~contained in doc_super's."""
-    t = 0.9
-    t_num, t_den = 9, 10  # exact rational form of the threshold
+    t_num, t_den = 9, 10  # the threshold's exact rational form
+    t = t_num / t_den  # derived, so the bounds can never disagree
     par = spark.sparkContext.defaultParallelism
     d = load(spark, sf_dir, "documents").repartition(par, "doc_id")
     sh = d.select(
@@ -1037,49 +1053,9 @@ def _rarest_prefix(sh, t_num: int, t_den: int, ranked=None):
     return ranked.filter(F.col("rn") <= p)
 
 
-#: shared Jaccard threshold for the exact-pair ops (the 0.7 literal in
-#: op_dedup_ngram_jaccard's SQL); the prefix-filter arithmetic below
-#: derives its pruning bounds from this value, so they must agree.
-#: The NUM/DEN pair is the same threshold as an exact rational — all
-#: prefix/position/size bounds are computed in integer arithmetic so
-#: no double-rounding can shrink a prefix (a lost-pair bug).
-_JACCARD_T = 0.7
-_JACCARD_T_NUM, _JACCARD_T_DEN = 7, 10
-
-
 @query(
     "op_dedup_jaccard_prefix",
-    oracle="""
-        WITH toks AS (
-          SELECT doc_id,
-                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
-          FROM documents
-        ),
-        sh AS (
-          SELECT doc_id,
-                 list_distinct(
-                   CASE WHEN len(t) >= 3
-                        THEN list_transform(range(1, len(t) - 1),
-                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                        ELSE [COALESCE(array_to_string(t, ' '), '')]
-                   END) AS s
-          FROM toks
-        ),
-        ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-        cand AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY 1, 2
-        )
-        SELECT c.doc_a, c.doc_b,
-               CAST(c.n_shared AS DOUBLE)
-                   / (len(sa.s) + len(sb.s) - c.n_shared) AS jaccard
-        FROM cand c
-        JOIN sh sa ON sa.doc_id = c.doc_a
-        JOIN sh sb ON sb.doc_id = c.doc_b
-        WHERE CAST(c.n_shared AS DOUBLE)
-                  / (len(sa.s) + len(sb.s) - c.n_shared) >= 0.7
-    """,
+    oracle=_JACCARD_ORACLE,
     notes="PREFIX-FILTERED exact Jaccard (AllPairs/PPJoin, Bayardo et "
     "al. WWW'07 / Xiao et al. WWW'08) — same output contract as "
     "op_dedup_ngram_jaccard (identical oracle SQL: the filter is "

@@ -29,7 +29,11 @@ _SCRATCH: dict[str, str] = {}
 
 
 def _scratch(prefix: str) -> str:
-    if prefix not in _SCRATCH:
+    # re-create when the cached dir no longer exists (scratch.
+    # reclaim_all() removes the dir AND its atexit registration, so a
+    # stale cache entry would hand out an unmanaged path and silently
+    # reintroduce the leak — review finding r8)
+    if prefix not in _SCRATCH or not os.path.isdir(_SCRATCH[prefix]):
         _SCRATCH[prefix] = session_scratch(prefix)
     return _SCRATCH[prefix]
 

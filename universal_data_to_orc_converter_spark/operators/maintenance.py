@@ -652,9 +652,11 @@ def op_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query(
-    "op_quantile_histogram_maintain",
-    oracle="""
+#: ONE oracle text for the quantile-histogram pair (batch maintain +
+#: op_stream_quantiles) — shared for the same reason as
+#: _JACCARD_ORACLE/MG_KEY_SQL: the equality contract must not rot
+#: through copy-paste drift.
+HIST_QUANTILE_ORACLE = """
         WITH b AS (
           SELECT event_type,
                  CAST(FLOOR(value) AS BIGINT) AS bin,
@@ -678,7 +680,12 @@ def op_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS DOUBLE) AS p99_lo
         FROM w
         GROUP BY event_type
-    """,
+    """
+
+
+@query(
+    "op_quantile_histogram_maintain",
+    oracle=HIST_QUANTILE_ORACLE,
     notes="Mergeable QUANTILE maintenance — the third non-algebraic "
     "aggregate the rollup-maintenance family covers (count/sum/min/"
     "max merge trivially, distinct-count merges as HLL registers in "

@@ -204,7 +204,6 @@ def op_python_datasource_writer(
 ) -> DataFrame:
     """events -> Python-DataSource dump write -> read back ->
     aggregate (must equal the source table)."""
-    import tempfile
 
     from ..catalog import load
 
@@ -320,7 +319,6 @@ EventDumpSink.streamWriter = _stream_writer
 def op_stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events stream -> Python streaming sink (4 epochs) -> read back
     -> aggregate (must equal the batch table)."""
-    import tempfile
 
     from ..catalog import load
 

@@ -98,7 +98,6 @@ def run_replay_until_drained(
     exercises the real continuous path, and the final complete-mode
     emission is batch-boundary-independent, so the result is
     deterministic for any timing."""
-    import tempfile
     import time
     import uuid
 

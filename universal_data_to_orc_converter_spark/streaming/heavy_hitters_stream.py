@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from ..operators.maintenance import (
     _MG_K,
+    HIST_QUANTILE_ORACLE,
     MG_KEY_SQL,
     _mg_partials,
     mg_key_expr,
@@ -42,6 +43,30 @@ from ..operators.maintenance import (
 )
 from ..registry import query
 from ..scratch import session_scratch
+
+
+def _drain_foreachbatch(spark, staged, work, batch_fn, op_name):
+    """Shared micro-batch harness for the summary-maintenance streams
+    (review finding r8 — it existed as two verbatim copies): stage the
+    frame as a 4-file parquet stream source under ``work``, run it
+    through foreachBatch(batch_fn) with availableNow, raise on an
+    un-drained stream (the r7-ADVICE TimeoutError contract)."""
+    src = os.path.join(work, "src")
+    staged.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(f"{op_name}: stream did not drain in 300s")
 
 
 def mg_summary_batch(
@@ -90,32 +115,14 @@ def op_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import load
 
     work = session_scratch("shh_")
-    src = os.path.join(work, "src")
     store = os.path.join(work, "summaries")
-
-    load(spark, sf_dir, "events").select("event_id").repartition(
-        4
-    ).write.parquet(src)
-
-    stream = (
-        spark.readStream.schema(spark.read.parquet(src).schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
+    _drain_foreachbatch(
+        spark,
+        load(spark, sf_dir, "events").select("event_id"),
+        work,
+        lambda bdf, bid: mg_summary_batch(bdf, store, bid),
+        "op_stream_heavy_hitters",
     )
-    q = (
-        stream.writeStream.foreachBatch(
-            lambda bdf, bid: mg_summary_batch(bdf, store, bid)
-        )
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "op_stream_heavy_hitters: stream did not drain in 300s"
-        )
-
     partials = spark.read.option("recursiveFileLookup", "true").parquet(
         store
     )
@@ -134,31 +141,7 @@ def hist_batch(batch_df: DataFrame, store: str, batch_id: int) -> None:
 
 @query(
     "op_stream_quantiles",
-    oracle="""
-        WITH b AS (
-          SELECT event_type,
-                 CAST(FLOOR(value) AS BIGINT) AS bin,
-                 COUNT(*) AS c
-          FROM events
-          GROUP BY event_type, bin
-        ),
-        w AS (
-          SELECT event_type, bin,
-                 SUM(c) OVER (PARTITION BY event_type ORDER BY bin)
-                   AS cum,
-                 SUM(c) OVER (PARTITION BY event_type) AS n
-          FROM b
-        )
-        SELECT event_type,
-               CAST(MIN(CASE WHEN cum * 2 >= n THEN bin END) AS DOUBLE)
-                 AS p50_lo,
-               CAST(MIN(CASE WHEN cum * 10 >= 9 * n THEN bin END)
-                    AS DOUBLE) AS p90_lo,
-               CAST(MIN(CASE WHEN cum * 100 >= 99 * n THEN bin END)
-                    AS DOUBLE) AS p99_lo
-        FROM w
-        GROUP BY event_type
-    """,
+    oracle=HIST_QUANTILE_ORACLE,
     notes="STREAMING quantile maintenance — the histogram sibling of "
     "op_stream_heavy_hitters, completing the streaming-maintenance "
     "family (top-k sketch + quantile sketch, both via foreachBatch): "
@@ -182,32 +165,14 @@ def op_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.maintenance import hist_serve
 
     work = session_scratch("shq_")
-    src = os.path.join(work, "src")
     store = os.path.join(work, "summaries")
-
-    load(spark, sf_dir, "events").select(
-        "event_type", "value"
-    ).repartition(4).write.parquet(src)
-
-    stream = (
-        spark.readStream.schema(spark.read.parquet(src).schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
+    _drain_foreachbatch(
+        spark,
+        load(spark, sf_dir, "events").select("event_type", "value"),
+        work,
+        lambda bdf, bid: hist_batch(bdf, store, bid),
+        "op_stream_quantiles",
     )
-    q = (
-        stream.writeStream.foreachBatch(
-            lambda bdf, bid: hist_batch(bdf, store, bid)
-        )
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "op_stream_quantiles: stream did not drain in 300s"
-        )
-
     merged = (
         spark.read.option("recursiveFileLookup", "true")
         .parquet(store)

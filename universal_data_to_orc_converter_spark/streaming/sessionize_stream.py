@@ -21,7 +21,6 @@ from __future__ import annotations
 import glob
 import os
 import shutil
-import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession
