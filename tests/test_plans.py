@@ -797,3 +797,13 @@ def test_stream_mg_partials_bound_shuffle_rows(spark):
     k = 16
     rows = _mg_partials(df, k).count()
     assert rows <= 8 * k, f"partials leaked {rows} rows > parts*k"
+
+
+def test_containment_plan_is_equi_join_only(spark):
+    """Same contract as the Jaccard prefix op: the one-sided
+    prefix ⋈ full candidate join must stay an equi join on shingle —
+    never a nested-loop/cartesian fallback."""
+    df = q("op_dedup_containment", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
