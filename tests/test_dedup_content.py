@@ -397,3 +397,19 @@ def test_prefix_and_position_filters_lossless_on_random_corpora(
     assert got_jac == want_jac
     assert got_cont == want_cont
     assert want_jac and want_cont, "corpus must exercise both thresholds"
+
+
+def test_exact_jaccard_ops_share_one_oracle_object(spark):
+    """The prefix op's losslessness contract is 'identical oracle' —
+    pin that both registrations reference the SAME SQL text so a
+    future edit to one cannot silently desync the other (the guard
+    the shared _JACCARD_ORACLE constant exists for)."""
+    qs = load_all_queries()
+    assert (
+        qs["op_dedup_ngram_jaccard"].oracle
+        == qs["op_dedup_jaccard_prefix"].oracle
+    )
+    assert (
+        qs["op_quantile_histogram_maintain"].oracle
+        == qs["op_stream_quantiles"].oracle
+    )

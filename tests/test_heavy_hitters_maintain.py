@@ -81,3 +81,40 @@ def test_maintain_reclaims_scratch_store_and_result_survives(spark):
     assert 1 <= len(rows) <= 10
     # top row is one of the three hot sentinels by construction
     assert rows[0]["k"] in (-1, -2, -3)
+
+
+def test_hist_serve_matches_python_quantile_reference(spark):
+    """hist_serve's integer-rank reads (cum*2>=n etc.) vs an
+    independent Python computation over random histograms — the
+    all-integer comparisons must pick the same lower bin edge for
+    p50/p90/p99 on every seed."""
+    import random
+
+    from universal_data_to_orc_converter_spark.operators.maintenance import (
+        hist_serve,
+    )
+
+    rng = random.Random(0xFEED)
+    rows = []
+    want = {}
+    for g in range(5):
+        typ = f"t{g}"
+        bins = {b: rng.randint(1, 50) for b in rng.sample(range(-20, 200), 12)}
+        rows += [(typ, b, c) for b, c in bins.items()]
+        n = sum(bins.values())
+        cum, marks = 0, {}
+        for b in sorted(bins):
+            cum += bins[b]
+            if "p50" not in marks and cum * 2 >= n:
+                marks["p50"] = float(b)
+            if "p90" not in marks and cum * 10 >= 9 * n:
+                marks["p90"] = float(b)
+            if "p99" not in marks and cum * 100 >= 99 * n:
+                marks["p99"] = float(b)
+        want[typ] = marks
+    df = spark.createDataFrame(rows, "event_type string, bin bigint, c bigint")
+    got = {r["event_type"]: r for r in hist_serve(df).collect()}
+    for typ, marks in want.items():
+        assert got[typ]["p50_lo"] == marks["p50"], typ
+        assert got[typ]["p90_lo"] == marks["p90"], typ
+        assert got[typ]["p99_lo"] == marks["p99"], typ
