@@ -167,14 +167,20 @@ def test_no_silent_post_freeze_registration():
     whole round. Make that state unreachable: every registered name
     must be inside the pinned window, already driver-verified in a
     prior round (a CORRECTNESS_r*.json row), or explicitly acknowledged
-    in BELOW_FOLD_R8."""
+    in the CURRENT round's BELOW_FOLD_R{N} set (resolved dynamically so
+    the rotation rename can't silently detach this gate)."""
     import glob
     import json
     import os
 
-    from universal_data_to_orc_converter_spark.registry import (
-        BELOW_FOLD_R8,
+    import universal_data_to_orc_converter_spark.registry as reg
+
+    bf_names = sorted(
+        (n for n in dir(reg) if n.startswith("BELOW_FOLD_R")),
+        key=lambda n: int(n.rsplit("R", 1)[1]),
     )
+    assert bf_names, "registry must carry a BELOW_FOLD_R{N} constant"
+    below_fold = getattr(reg, bf_names[-1])
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     verified: set[str] = set()
@@ -185,10 +191,10 @@ def test_no_silent_post_freeze_registration():
         for n in load_all_queries()
         if n not in DRIVER_PRIORITY
         and n not in verified
-        and n not in BELOW_FOLD_R8
+        and n not in below_fold
     ]
     assert not unaccounted, (
         f"queries registered after the driver window was pinned with no "
         f"window slot and no below-fold tag: {unaccounted} — either seat "
-        f"them in DRIVER_PRIORITY or add them to BELOW_FOLD_R8"
+        f"them in DRIVER_PRIORITY or add them to {bf_names[-1]}"
     )

@@ -85,65 +85,66 @@ def query(
 DRIVER_PRIORITY: tuple[str, ...] = (
     # headline flagship — always in the window
     "flagship_revenue_by_nation",
-    # (a) the 9 BELOW_FOLD_R7 names — the 7 r7 registrations plus the 2
-    # r2-stale overflow carryovers (op_time_rollup, op_funnel), none of
-    # which has a driver row in any round. Verdict r7 item #1: seat all
-    # of them first (computed by scripts/rotate_window.py).
-    "op_attribution_last_touch",
-    "op_reservoir_sample",
-    "op_importance_resample",
-    "op_connected_components_star",
-    "op_semdedup",
-    "op_lambda_serve",
-    "op_unigram_train",
-    "op_time_rollup",
-    "op_funnel",
-    # (b) no op was modified after its latest green row this time.
-    # (c) the stalest previously-verified names: 40 of the 42 queries
-    # whose latest driver row is r3 (five rounds old — the budget floor
-    # at r8 is exactly r3). The two NEWEST of the 42 by registration
-    # order overflow to r9, where the floor rises to r4 and they MUST
-    # seat (see TODO_r9 window math).
-    "op_agg_percentile",
-    "op_agg_stats",
-    "op_agg_salted_twophase",
-    "op_domain_mixture",
-    "op_shard_assign",
-    "op_dedup_exact",
-    "op_dedup_clusters",
-    "op_split_contamination",
-    "op_cluster_representative",
-    "op_orc_roundtrip",
-    "op_jdbc_roundtrip",
-    "op_orc_partitioned_scan",
-    "op_cdc_merge",
-    "op_join_multiway",
-    "op_join_asof",
-    "op_join_bloom",
-    "op_join_bucketed",
-    "op_multimodal_frames",
-    "op_filter_date",
-    "op_intersect",
-    "op_sim_topk",
-    "op_embedding_stats",
-    "op_dedup_embedding_cell",
-    "op_sim_ann_ivfpq",
-    "op_text_quality",
-    "op_doc_winnow",
-    "op_pack_sequences",
-    "op_text_repetition",
-    "op_pii_redact",
-    "op_tfidf_topterms",
-    "op_heavy_hitters",
-    "op_win_range_frame",
-    "op_win_rank_family",
-    "op_win_first_last",
-    "op_datediff",
-    "op_str_funcs2",
-    "op_cond_funcs",
-    "op_date_funcs2",
-    "op_json_agg",
-    "op_array_explode",
+    # (b) modified after its latest green row: refactored late-r8 onto
+    # the extracted hist_bins/hist_serve helpers (plan/output verified
+    # unchanged locally; defensive re-seat per TODO_r9 #1).
+    "op_quantile_histogram_maintain",
+    # (a) the 14 BELOW_FOLD_R8 names — the r8 registrations, none with
+    # a driver row in any round. Verdict r8 item #1: seat all of them
+    # first (computed by scripts/rotate_window.py).
+    "op_curriculum_shards",
+    "op_pii_scrub",
+    "op_dedup_containment",
+    "op_dedup_jaccard_prefix",
+    "op_binaryfile_scan",
+    "op_join_asof_nearest",
+    "op_kcenter_coreset",
+    "op_heavy_hitters_maintain",
+    "op_compression_ratio",
+    "op_text_normalize",
+    "op_pandas_api",
+    "op_arrow_interchange",
+    "op_stream_heavy_hitters",
+    "op_stream_quantiles",
+    # (c) the stalest previously-verified names: the 2 r3-stale
+    # MUST-seats (the budget floor at r9 is r4), then 32 of the 46
+    # r4-stale names by registration order. The 14 newest r4 names
+    # overflow to r10, where the floor rises to r5 and they MUST seat
+    # (see TODO_r10 window math).
+    "op_retention_cohorts",
+    "op_time_gapfill",
+    "op_agg_global",
+    "op_agg_approx_distinct",
+    "op_agg_having",
+    "op_agg_mode",
+    "op_agg_approx_quantile",
+    "op_histogram",
+    "op_zscore_anomaly",
+    "op_table_stats",
+    "op_corpus_curate",
+    "op_dedup_ngram_jaccard",
+    "op_jsonl_roundtrip",
+    "op_schema_evolution_scan",
+    "op_join_broadcast",
+    "op_join_shuffle",
+    "op_join_anti",
+    "op_join_theta",
+    "op_join_salted",
+    "op_tpch_q3_shipping_priority",
+    "op_tpch_q18_large_orders",
+    "op_latest_by_key",
+    "op_tpch_q13_order_counts",
+    "op_tpch_q7_nation_volume",
+    "op_tpch_q10_returned_items",
+    "op_multimodal_decode",
+    "op_project",
+    "op_filter_compound",
+    "op_unpivot",
+    "op_sql_passthrough",
+    "op_union_mixed_schema",
+    "op_sim_ann_lsh",
+    "op_topk",
+    "op_bm25",
 )
 
 #: Names registered AFTER this round's DRIVER_PRIORITY was pinned that
@@ -152,28 +153,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: driver-verified in a prior round's CORRECTNESS file, or (3) listed
 #: here — tests/test_registry_order.py fails otherwise, so a
 #: post-freeze registration can never again be silently unverified
-#: (r4 accumulated 14 such names before this gate existed). The r7
-#: set (9 names) is fully seated in the r8 window above; new r8
+#: (r4 accumulated 14 such names before this gate existed). The r8
+#: set (14 names) is fully seated in the r9 window above; new r9
 #: registrations accumulate here and get first-in-line priority for
-#: the r9 rotation.
-BELOW_FOLD_R8: frozenset[str] = frozenset({
-    # new r8 registrations (locally oracle-checked; first driver row
-    # comes with the r9 rotation)
-    "op_pii_scrub",
-    "op_kcenter_coreset",
-    "op_compression_ratio",
-    "op_curriculum_shards",
-    "op_dedup_containment",
-    "op_join_asof_nearest",
-    "op_binaryfile_scan",
-    "op_heavy_hitters_maintain",
-    "op_text_normalize",
-    "op_pandas_api",
-    "op_arrow_interchange",
-    "op_dedup_jaccard_prefix",
-    "op_stream_heavy_hitters",
-    "op_stream_quantiles",
-})
+#: the r10 rotation.
+BELOW_FOLD_R9: frozenset[str] = frozenset()
 
 
 def load_all_queries() -> dict[str, QuerySpec]:
