@@ -112,6 +112,22 @@ def main() -> None:
         except ValueError:
             sf = None
 
+    # Machine-state stamp: two rounds running, the driver's bench figure
+    # was a hot-machine sample reconciled after the fact (PERF.md
+    # "Headline bench reconciliation"). Emitting the 1-min load average
+    # (taken BEFORE this process's own Spark work ends, so it reflects
+    # ambient + bench load) and uptime makes the contamination check a
+    # printed fact instead of archaeology.
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
+    try:
+        with open("/proc/uptime") as f:
+            uptime_sec = round(float(f.read().split()[0]))
+    except (OSError, ValueError):
+        uptime_sec = None
+
     out = {
         "metric": "headline_total_sec",
         "value": round(sum(timings.values()), 4),
@@ -119,6 +135,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "orc_vs_csv_size_ratio": round(measure_compression(spark), 4),
+        "load1": load1,
+        "uptime_sec": uptime_sec,
     }
     print(json.dumps(out))
     sys.stdout.flush()

@@ -56,15 +56,20 @@ def test_summary_batch_write_is_replay_idempotent(spark, tmp_path):
 
 def test_session_scratch_reclaims_on_demand(tmp_path):
     """The atexit-registered scratch registry: dirs exist during the
-    session and reclaim_all removes every registered one."""
+    session and targeted reclaim removes exactly the requested ones.
+    Deliberately NOT reclaim_all() here (ADVICE r8): that would delete
+    every registered dir, breaking any lazy frame or live streaming
+    checkpoint an earlier test in this shared-session suite staged."""
     from universal_data_to_orc_converter_spark import scratch
 
     d1 = scratch.session_scratch("unittest_scr_")
     d2 = scratch.session_scratch("unittest_scr_")
     assert os.path.isdir(d1) and os.path.isdir(d2)
-    n = scratch.reclaim_all()
-    assert n >= 2
+    before = list(scratch._REGISTERED)
+    n = scratch.reclaim([d1, d2, str(tmp_path / "never_registered")])
+    assert n == 2  # the unregistered path is ignored, not deleted
     assert not os.path.exists(d1) and not os.path.exists(d2)
+    assert scratch._REGISTERED == [p for p in before if p not in (d1, d2)]
 
 
 def test_streamed_quantiles_equal_batch_op(spark):
@@ -90,10 +95,11 @@ def test_streamed_quantiles_equal_batch_op(spark):
 
 def test_io_scratch_recreates_after_reclaim(spark):
     """Regression (review finding r8): io._scratch caches dirs by
-    prefix; after scratch.reclaim_all() the cached path is deleted AND
+    prefix; after reclamation the cached path is deleted AND
     unregistered, so returning it would hand out an unmanaged dir and
     silently reintroduce the leak. _scratch must detect the missing
-    dir and mint a fresh registered one."""
+    dir and mint a fresh registered one. Uses targeted reclaim, not
+    reclaim_all(), to avoid nuking other tests' live scratch dirs."""
     import os
 
     from universal_data_to_orc_converter_spark import scratch
@@ -102,7 +108,7 @@ def test_io_scratch_recreates_after_reclaim(spark):
     first = _scratch("reclaim_regress_")
     assert os.path.isdir(first)
     assert _scratch("reclaim_regress_") == first  # cached reuse
-    scratch.reclaim_all()
+    assert scratch.reclaim([first]) == 1
     assert not os.path.exists(first)
     second = _scratch("reclaim_regress_")
     assert second != first and os.path.isdir(second)

@@ -248,13 +248,19 @@ def test_stateful_processing_time_timeout_evicts_idle_users(spark):
         # refresh batches process within the timeout (state carries,
         # count increments), or queued refresh files pile into one
         # batch and the count jumps by several at once.
+        # Cap refresh files (ADVICE r8): unbounded writes would pile up
+        # hundreds of tiny files on a worst-case stall, and the growing
+        # source listing itself slows every micro-batch, compounding the
+        # stall it guards against. 80 refreshes over ≥40 s is far beyond
+        # any observed scheduling gap; past the cap we keep polling.
         deadline = time.time() + 180
         evicted, n2_max, i = set(), 0, 0
         while time.time() < deadline:
-            spark.createDataFrame(
-                [(100 + i, DT(2024, 1, 1, 10, 1), 2, 1.0)], schema
-            ).coalesce(1).write.parquet(os.path.join(tmpdir, f"f2_{i}"))
-            i += 1
+            if i < 80:
+                spark.createDataFrame(
+                    [(100 + i, DT(2024, 1, 1, 10, 1), 2, 1.0)], schema
+                ).coalesce(1).write.parquet(os.path.join(tmpdir, f"f2_{i}"))
+                i += 1
             rows = spark.table(name).collect()
             evicted = {
                 r["user_id"] for r in rows if r["status"] == "evicted"

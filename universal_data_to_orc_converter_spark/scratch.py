@@ -35,6 +35,22 @@ def session_scratch(prefix: str) -> str:
     return path
 
 
+def reclaim(paths: "list[str] | tuple[str, ...]") -> int:
+    """Remove ONLY the given registered scratch dirs now; returns the
+    count removed. Unregistered paths are ignored (never delete a path
+    this module doesn't own). Prefer this over ``reclaim_all()`` inside
+    shared-session test suites: ``reclaim_all()`` deletes EVERY
+    registered dir, so a lazy frame or live streaming checkpoint staged
+    by an unrelated earlier test fails on its next action."""
+    n = 0
+    for p in paths:
+        if p in _REGISTERED:
+            _REGISTERED.remove(p)
+            shutil.rmtree(p, ignore_errors=True)
+            n += 1
+    return n
+
+
 def reclaim_all() -> int:
     """Remove every registered scratch dir now; returns the count."""
     n = 0

@@ -126,7 +126,12 @@ def op_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials = spark.read.option("recursiveFileLookup", "true").parquet(
         store
     )
-    return mg_merge_topk(partials, _MG_K, 10)
+    # Eager localCheckpoint (ADVICE r8): the serve plan reads parquet
+    # out of session_scratch; checkpointing the tiny top-10 result
+    # (like batch op_heavy_hitters_maintain) makes the returned frame
+    # independent of the scratch dir, so a host calling
+    # scratch.reclaim_all() before its first action can't break it.
+    return mg_merge_topk(partials, _MG_K, 10).localCheckpoint(eager=True)
 
 
 def hist_batch(batch_df: DataFrame, store: str, batch_id: int) -> None:
@@ -179,4 +184,7 @@ def op_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bin")
         .agg(F.sum("c").alias("c"))
     )
-    return hist_serve(merged)
+    # Eager localCheckpoint: same scratch-independence contract as
+    # op_stream_heavy_hitters above (ADVICE r8) — the served quantile
+    # frame is a handful of rows, so the checkpoint is free.
+    return hist_serve(merged).localCheckpoint(eager=True)
