@@ -399,6 +399,81 @@ def test_prefix_and_position_filters_lossless_on_random_corpora(
     assert want_jac and want_cont, "corpus must exercise both thresholds"
 
 
+def test_hash_injectivity_guard_passes_and_raises(spark):
+    """The r9 int64 relabeling of the exact-pair ops is exact only
+    under per-corpus hash injectivity, certified at runtime by
+    _assert_shingle_hash_injective. (a) The certificate must PASS on
+    the real fixture vocabulary; (b) the collision branch must RAISE —
+    exercised via an injected degenerate hash, since a genuine
+    xxhash64 collision cannot be crafted."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from universal_data_to_orc_converter_spark.catalog import load
+    from universal_data_to_orc_converter_spark.operators.dedup import (
+        _assert_shingle_hash_injective,
+    )
+    from universal_data_to_orc_converter_spark.operators.textprep import (
+        shingles,
+        tokens,
+    )
+
+    from .conftest import SF_DIR
+
+    sh = (
+        load(spark, SF_DIR, "documents")
+        .select("doc_id", shingles(tokens(F.col("text"))).alias("s"))
+    )
+    _assert_shingle_hash_injective(sh)  # fixture vocab: no collision
+    with pytest.raises(ValueError, match="collision"):
+        _assert_shingle_hash_injective(sh, hash_expr=lambda c: F.lit(1))
+
+
+def test_hashed_relabel_preserves_intersections(spark):
+    """Independent element-level check of the relabeling claim: for
+    fixture doc pairs, |xxhash64(A) ∩ xxhash64(B)| must equal
+    |A ∩ B| computed over the string sets (no within-pair collision
+    merging two distinct shared shingles). Checked in Python over a
+    doc sample so a Spark-side bug can't cancel out."""
+    from pyspark.sql import functions as F
+
+    from universal_data_to_orc_converter_spark.catalog import load
+    from universal_data_to_orc_converter_spark.operators.dedup import (
+        _hashed_shingle_sets,
+    )
+    from universal_data_to_orc_converter_spark.operators.textprep import (
+        shingles,
+        tokens,
+    )
+
+    from .conftest import SF_DIR
+
+    sh = (
+        load(spark, SF_DIR, "documents")
+        .select("doc_id", shingles(tokens(F.col("text"))).alias("s"))
+        .withColumn("size", F.size("s"))
+        .limit(200)
+    )
+    rows = (
+        sh.join(_hashed_shingle_sets(sh).withColumnRenamed("hs", "h"),
+                ["doc_id", "size"])
+        .collect()
+    )
+    sets = {r["doc_id"]: (set(r["s"]), set(r["h"])) for r in rows}
+    assert all(len(s) == len(h) for s, h in sets.values())
+    ids = sorted(sets)[:80]
+    checked = 0
+    for i in ids:
+        for j in ids:
+            if i >= j:
+                continue
+            s_int = len(sets[i][0] & sets[j][0])
+            h_int = len(sets[i][1] & sets[j][1])
+            assert s_int == h_int, (i, j, s_int, h_int)
+            checked += s_int > 0
+    assert checked > 0, "sample must contain overlapping pairs"
+
+
 def test_exact_jaccard_ops_share_one_oracle_object(spark):
     """The prefix op's losslessness contract is 'identical oracle' —
     pin that both registrations reference the SAME SQL text so a

@@ -919,8 +919,11 @@ def op_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(hot shingles rank last within every doc, so they carry "
     "near-zero prefix occupancy and their buckets collapse; the "
     "full-index original measured 13× wall at 10× on the "
-    "closed-vocab fixtures, PERF.md r8). Survivors are verified with "
-    "one JVM-side array_intersect, no second explode. Emits BOTH "
+    "closed-vocab fixtures, PERF.md r8). r9: join keys + verify "
+    "arrays relabeled to int64 under the injectivity certificate "
+    "(see op_dedup_jaccard_prefix notes; 1.68x at sf1). Survivors "
+    "are verified with one JVM-side array_intersect, no second "
+    "explode. Emits BOTH "
     "directions of each candidate pair so containment is reported "
     "per (contained, container) ordering. The value is an "
     "integer/integer double division — exact on both engines.",
@@ -943,7 +946,14 @@ def op_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Window nodes, 0 ReusedExchange) — persist() was MEASURED and
     # rejected, caching costs more than the recompute (PERF.md
     # "persist-vs-recompute").
-    ranked = _ranked_shingles(sh)
+    # int64 relabeling, same certificate-then-hash scheme as
+    # op_dedup_jaccard_prefix: the window sort (global rarest-first
+    # order) still ties-breaks on the string, only the JOIN key and
+    # the verify arrays become fixed-width longs (PERF.md r9).
+    _assert_shingle_hash_injective(sh)
+    ranked = _ranked_shingles(sh).select(
+        "doc_id", "size", "rn", F.xxhash64("shingle").alias("sh_h")
+    )
     prefix = _rarest_prefix(sh, t_num, t_den, ranked=ranked)
     full = ranked
     a, b = prefix.alias("a"), full.alias("b")
@@ -958,7 +968,7 @@ def op_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.sh_h") == F.col("b.sh_h"))
             & (F.col("a.doc_id") != F.col("b.doc_id"))
             & (ubound >= need),
         )
@@ -968,14 +978,15 @@ def op_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sa = sh.select(
+    hs = _hashed_shingle_sets(sh)
+    sa = hs.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("s").alias("s_a"),
+        F.col("hs").alias("s_a"),
         F.col("size").alias("size_a"),
     )
-    sb = sh.select(
+    sb = hs.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("s").alias("s_b"),
+        F.col("hs").alias("s_b"),
         F.col("size").alias("size_b"),
     )
     n_shared = F.size(F.array_intersect("s_a", "s_b")).alias("n_shared")
@@ -999,6 +1010,61 @@ def op_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return fwd.unionAll(rev).filter(F.col("containment") >= t)
+
+
+def _assert_shingle_hash_injective(sh, hash_expr=None) -> None:
+    """Certify that xxhash64 is injective on THIS corpus's shingle
+    vocabulary (one bounded 1-row collect: distinct shingles vs
+    distinct hashes). Under injectivity the hashed incidence keys and
+    hashed verify arrays used by the exact-pair ops are a pure
+    relabeling — intersect sizes, and therefore every emitted
+    jaccard/containment value, are EXACT, not approximate. A collision
+    (p < |vocab|²/2⁶⁴; ~2.7% for a 10⁹-shingle open-web vocabulary,
+    negligible below that) raises loudly instead of silently losing
+    pairs — the documented fallbacks are the string-keyed
+    op_dedup_ngram_jaccard or widening the relabeling to 128 bits.
+    The guard itself is O(|incidences|) map-side + a |vocab|-row
+    distinct: corpus-metadata scale, priced in PERF.md (r9).
+    ``hash_expr`` is injectable so tests can exercise the collision
+    branch (xxhash64 collisions cannot be crafted)."""
+    hash_expr = hash_expr or F.xxhash64
+    # distinct() FIRST (map-side partial distinct collapses the
+    # incidence stream to |vocab| rows before the shuffle), then one
+    # plain count + one countDistinct over the small vocab frame. The
+    # obvious one-pass formulation — two countDistincts in a single
+    # agg over the raw incidences — plans an Expand that doubles every
+    # incidence row and measured 51 s at sf1 vs ~3 s for this shape.
+    row = (
+        sh.select(F.explode("s").alias("shingle"))
+        .distinct()
+        .agg(
+            F.count("*").alias("n_str"),
+            F.countDistinct(hash_expr("shingle")).alias("n_hash"),
+        )
+        .collect()[0]
+    )
+    if row.n_str != row.n_hash:
+        raise ValueError(
+            f"xxhash64 collision in shingle vocabulary "
+            f"({row.n_str} distinct shingles -> {row.n_hash} distinct "
+            f"hashes): the hashed exact-pair path would under-count "
+            f"overlaps. Use op_dedup_ngram_jaccard (string keys) for "
+            f"this corpus."
+        )
+
+
+def _hashed_shingle_sets(sh):
+    """(doc_id, hs: array<long>, size) — each doc's shingle set mapped
+    elementwise through xxhash64. Fixed-width verify arrays: shipping
+    8-byte longs instead of ~20-40-byte trigram strings cuts the
+    verify join's shuffle bytes ~3-4× and array_intersect compares
+    longs instead of hashing strings (measured, PERF.md r9). Exact
+    under _assert_shingle_hash_injective's per-run certificate."""
+    return sh.select(
+        "doc_id",
+        F.transform("s", lambda x: F.xxhash64(x)).alias("hs"),
+        "size",
+    )
 
 
 def _ceil_mul_div(col, num: int, den: int):
@@ -1072,7 +1138,14 @@ def _rarest_prefix(sh, t_num: int, t_den: int, ranked=None):
     "head buckets that drive the Σ bucket² blowup on Zipf/saturated "
     "corpora never enter the self-join at all. The size filter "
     "(t*|A| <= |B| <= |A|/t) prunes at the join. MEASURED vs the "
-    "plain inverted index in PERF.md (r8). At 100 TB this is the "
+    "plain inverted index in PERF.md (r8). r9: the candidate join "
+    "keys and verify arrays are relabeled to int64 via xxhash64 "
+    "behind a per-run injectivity certificate "
+    "(_assert_shingle_hash_injective) — a key collision could only "
+    "ADD candidates and the certificate makes the verify intersects "
+    "exact, so the result stays bit-identical to the shared oracle; "
+    "measured 1.50x at sf1 on top of the shingle let-binding "
+    "(PERF.md r9 'hashed verify'). At 100 TB this is the "
     "exact-tier answer when MinHash recall (<100%) is not "
     "acceptable; the df table is corpus metadata (|vocab| rows).",
     tags=("dedup", "scale"),
@@ -1093,7 +1166,16 @@ def op_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # caching the multi-million-row incidence frame costs more than
     # recomputing the codegen-cheap subtree (sf1 88 s -> 139 s with
     # persist; PERF.md "persist-vs-recompute").
-    prefix = _rarest_prefix(sh, _JACCARD_T_NUM, _JACCARD_T_DEN)
+    # Certify xxhash64 injectivity on this corpus's vocab, then join
+    # and verify on int64 relabels: strings never enter the candidate
+    # shuffle (they are still the WINDOW sort tie-break, so the global
+    # rarest-first order — and with it the prefix lemma — is untouched).
+    # A key collision could only ADD candidates; the guard makes the
+    # verify stage exact too (r9, PERF.md "hashed verify").
+    _assert_shingle_hash_injective(sh)
+    prefix = _rarest_prefix(sh, _JACCARD_T_NUM, _JACCARD_T_DEN).select(
+        "doc_id", "size", "rn", F.xxhash64("shingle").alias("sh_h")
+    )
     a, b = prefix.alias("a"), prefix.alias("b")
     sa, sb = F.col("a.size"), F.col("b.size")
     # PPJoin positional filter: J >= t forces overlap
@@ -1108,7 +1190,7 @@ def op_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.sh_h") == F.col("b.sh_h"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # size filter: J >= t forces t*|A| <= |B| and t*|B| <= |A|
             & (sb * F.lit(_JACCARD_T_DEN) >= sa * F.lit(_JACCARD_T_NUM))
@@ -1121,23 +1203,24 @@ def op_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sa = sh.select(
+    hs = _hashed_shingle_sets(sh)
+    ha = hs.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("s").alias("s_a"),
+        F.col("hs").alias("h_a"),
         F.col("size").alias("size_a"),
     )
-    sb = sh.select(
+    hb = hs.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("s").alias("s_b"),
+        F.col("hs").alias("h_b"),
         F.col("size").alias("size_b"),
     )
-    n_shared = F.size(F.array_intersect("s_a", "s_b"))
+    n_shared = F.size(F.array_intersect("h_a", "h_b"))
     jac = n_shared.cast("double") / (
         F.col("size_a") + F.col("size_b") - n_shared
     )
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= t)
     )

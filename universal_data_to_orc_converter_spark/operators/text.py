@@ -656,8 +656,6 @@ def op_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage at scan speed; the per-doc cost is O(distinct_bigrams ·
     bigrams), bounded by document length, not corpus size."""
     d = load(spark, sf_dir, "documents")
-    t = tokens(F.col("text"))
-    n = F.size(t)
 
     def grams(col, k):
         idx = F.sequence(F.lit(1), F.size(col) - (k - 1))
@@ -671,11 +669,17 @@ def op_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
-    df = d.select(
+    # Materialize tokens as a COLUMN before the per-element gram
+    # references: pasting the tokens(...) expression into grams()
+    # re-tokenized the document per element — the O(tokens²) hazard
+    # textprep.let documents (CollapseProject never inlines a
+    # non-cheap producer referenced more than once, so the two-step
+    # select is a real evaluation barrier).
+    df = d.select("doc_id", tokens(F.col("text")).alias("t")).select(
         "doc_id",
-        n.cast("bigint").alias("n_tokens"),
-        grams(t, 2).alias("bg"),
-        grams(t, 3).alias("tg"),
+        F.size("t").cast("bigint").alias("n_tokens"),
+        grams(F.col("t"), 2).alias("bg"),
+        grams(F.col("t"), 3).alias("tg"),
     )
     bg, tg = F.col("bg"), F.col("tg")
     top_bg = F.array_max(
