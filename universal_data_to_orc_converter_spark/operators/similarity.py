@@ -121,18 +121,11 @@ def lsh_topk(
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    unit = em.select(
-        "vec_id",
-        array_to_vector(
-            F.transform("embedding", lambda x: x.cast("double") / norm)
-        ).alias("features"),
+    # _unit_vectors materializes the norm before the per-element
+    # division (the O(dim²) duplication fix, r9 audit) — reuse it
+    # instead of a third hand-rolled normalize.
+    unit = _unit_vectors(em).select(
+        "vec_id", array_to_vector(F.col("u")).alias("features")
     )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
@@ -255,7 +248,12 @@ def op_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _unit_vectors(em: DataFrame) -> DataFrame:
-    """L2-normalized embeddings: (vec_id, u array<double>)."""
+    """L2-normalized embeddings: (vec_id, u array<double>).
+
+    The norm is materialized as a column BEFORE the per-element
+    division: pasting the aggregate expression into the divide lambda
+    re-evaluated the full O(dim) norm per element — O(dim²) per row
+    (the textprep.let duplication class, r9 audit)."""
     norm = F.sqrt(
         F.aggregate(
             F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
@@ -263,9 +261,11 @@ def _unit_vectors(em: DataFrame) -> DataFrame:
             lambda acc, x: acc + x,
         )
     )
-    return em.select(
+    return em.select("vec_id", "embedding", norm.alias("nrm")).select(
         "vec_id",
-        F.transform("embedding", lambda x: x.cast("double") / norm).alias("u"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") / F.col("nrm")
+        ).alias("u"),
     )
 
 
