@@ -1022,8 +1022,10 @@ def op_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mask deterministic token spans; emit (corrupted, target)."""
     d = load(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    nblocks = F.floor((F.size(toks) + 2) / 3).cast("bigint")
+    # tokens materialized as a column FIRST: nblocks pastes the token
+    # expression twice inside blocks, which re-tokenized every doc 3×
+    # (constant-factor cousin of the textprep.let O(tokens²) class).
+    nblocks = F.floor((F.size("t") + 2) / 3).cast("bigint")
     # Guard the empty-document case: sequence(0, -1) would auto-step
     # DOWNWARD to [0, -1] (phantom blocks), while the oracle's
     # range(0, 0) is empty — an all-whitespace doc must yield no
@@ -1038,7 +1040,9 @@ def op_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     def block_text(t, b):
         return F.concat_ws(" ", F.slice(t, (b * 3 + 1).cast("int"), 3))
 
-    with_toks = d.select("doc_id", toks.alias("t"), blocks.alias("bs"))
+    with_toks = d.select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    ).select("doc_id", "t", blocks.alias("bs"))
     return with_toks.select(
         "doc_id",
         F.array_join(
