@@ -399,6 +399,74 @@ def test_prefix_and_position_filters_lossless_on_random_corpora(
     assert want_jac and want_cont, "corpus must exercise both thresholds"
 
 
+def test_shingles_match_python_reference_on_adversarial_docs(
+    spark, tmp_path
+):
+    """Semantic pin for the r9 let-binding refactor of shingles():
+    the rewrite routed the token array through a single-element
+    transform (textprep.let), which must be a pure evaluation-order
+    change. Compare against an independent pure-Python reference on
+    adversarial docs — empty, whitespace-only, runs of spaces,
+    below/at/above the 3-token fallback boundary, embedded tabs and
+    newlines (tokens splits on the LITERAL space, so they stay inside
+    tokens), mixed case, accented latin, and seeded-random docs."""
+    import random
+
+    crafted = [
+        "",
+        " ",
+        "     ",
+        "one",
+        "one two",
+        "one two three",
+        "one two three four",
+        "  leading and   multiple   spaces  ",
+        "Tab\tinside token",
+        "line\nbreak stays in token",
+        "MiXeD CaSe TOKENS here",
+        "àccénted wörds çomposé tokens",
+        "a a a a a a",
+    ]
+    rng = random.Random(0xBEEF)
+    vocab = ["w%d" % i for i in range(6)] + ["W0", "x\ty", "a\nb"]
+    for _ in range(60):
+        n = rng.randint(0, 15)
+        sep = lambda: " " * rng.randint(1, 3)  # noqa: E731
+        crafted.append(sep().join(rng.choice(vocab) for _ in range(n)))
+
+    def ref_shingles(text: str) -> list[str]:
+        t = [x for x in text.lower().split(" ") if x != ""]
+        if len(t) >= 3:
+            grams = [" ".join(t[i : i + 3]) for i in range(len(t) - 2)]
+        else:
+            grams = [" ".join(t)]
+        out, seen = [], set()
+        for g in grams:  # array_distinct keeps first-occurrence order
+            if g not in seen:
+                seen.add(g)
+                out.append(g)
+        return out
+
+    from pyspark.sql import functions as F
+
+    from universal_data_to_orc_converter_spark.operators.textprep import (
+        shingles,
+        tokens,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(crafted)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", shingles(tokens(F.col("text"))).alias("s")
+        ).collect()
+    }
+    for i, text in enumerate(crafted):
+        assert got[i] == ref_shingles(text), (i, repr(text))
+
+
 def test_hash_injectivity_guard_passes_and_raises(spark):
     """The r9 int64 relabeling of the exact-pair ops is exact only
     under per-corpus hash injectivity, certified at runtime by
