@@ -1028,12 +1028,14 @@ def _assert_shingle_hash_injective(sh, hash_expr=None) -> None:
     ``hash_expr`` is injectable so tests can exercise the collision
     branch (xxhash64 collisions cannot be crafted)."""
     hash_expr = hash_expr or F.xxhash64
-    # distinct() FIRST (map-side partial distinct collapses the
-    # incidence stream to |vocab| rows before the shuffle), then one
-    # plain count + one countDistinct over the small vocab frame. The
-    # obvious one-pass formulation — two countDistincts in a single
-    # agg over the raw incidences — plans an Expand that doubles every
-    # incidence row and measured 51 s at sf1 vs ~3 s for this shape.
+    # distinct() FIRST: map-side partial distinct collapses the
+    # incidence stream to |vocab| rows BEFORE the shuffle, where the
+    # one-agg double-countDistinct alternative plans an Expand that
+    # doubles every incidence row into the exchange. Locally the two
+    # cost the same (~2.8 s at sf1, A/B in PERF.md r9 — the 51 s
+    # first measurement was the O(tokens²) shingle bug, since fixed);
+    # the distinct-first shape is kept for the 100 TB posture, where
+    # shuffling 2× incidences vs 1× vocab is the difference.
     row = (
         sh.select(F.explode("s").alias("shingle"))
         .distinct()
