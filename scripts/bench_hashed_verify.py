@@ -42,9 +42,8 @@ from universal_data_to_orc_converter_spark.operators.textprep import (
 )
 from universal_data_to_orc_converter_spark.session import get_spark
 
-N_RUNS = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-WHICH = sys.argv[2] if len(sys.argv) > 2 else "both"
-DIRS = sys.argv[3:] or ["/tmp/sf1", "/tmp/sfskew"]
+# argv parsed in main() so the frozen replicas stay importable from
+# other scripts (measure_shuffle_bytes.py) without argv coupling
 
 
 def jaccard_prefix_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,17 +173,20 @@ VARIANTS = {
 
 
 def main() -> None:
+    n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    which = sys.argv[2] if len(sys.argv) > 2 else "both"
+    dirs = sys.argv[3:] or ["/tmp/sf1", "/tmp/sfskew"]
     spark = get_spark("bench-hashed-verify")
     spark.sparkContext.setLogLevel("ERROR")
     pairs = (
         VARIANTS["jaccard"] + VARIANTS["containment"]
-        if WHICH == "both"
-        else VARIANTS[WHICH]
+        if which == "both"
+        else VARIANTS[which]
     )
-    for sf_dir in DIRS:
+    for sf_dir in dirs:
         for label, fn in pairs:
             walls, rows = [], None
-            for _ in range(N_RUNS):
+            for _ in range(n_runs):
                 t0 = time.perf_counter()
                 rows = fn(spark, sf_dir).count()
                 walls.append(time.perf_counter() - t0)

@@ -1057,11 +1057,13 @@ def _assert_shingle_hash_injective(sh, hash_expr=None) -> None:
 
 def _hashed_shingle_sets(sh):
     """(doc_id, hs: array<long>, size) — each doc's shingle set mapped
-    elementwise through xxhash64. Fixed-width verify arrays: shipping
-    8-byte longs instead of ~20-40-byte trigram strings cuts the
-    verify join's shuffle bytes ~3-4× and array_intersect compares
-    longs instead of hashing strings (measured, PERF.md r9). Exact
-    under _assert_shingle_hash_injective's per-run certificate."""
+    elementwise through xxhash64. The measured win (1.5-2× wall,
+    PERF.md r9) is JVM COMPUTE — array_intersect and the join compare
+    8-byte longs instead of hashing/comparing strings. Event-log
+    measurement showed shuffle BYTES are not the lever on the local
+    fixtures: lz4 compresses the closed-vocab strings below their raw
+    width (PERF.md r9 "shuffle-byte measurement"). Exact under
+    _assert_shingle_hash_injective's per-run certificate."""
     return sh.select(
         "doc_id",
         F.transform("s", lambda x: F.xxhash64(x)).alias("hs"),

@@ -35,8 +35,14 @@ DEFAULT_MAX_PARTITION_BYTES = os.environ.get(
 )
 
 
-def get_spark(app_name: str = "universal_data_to_orc_converter_spark") -> SparkSession:
-    """Build (or reuse) a SparkSession with the engine's standard config."""
+def get_spark(
+    app_name: str = "universal_data_to_orc_converter_spark",
+    extra_conf: "dict[str, str] | None" = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard
+    config. ``extra_conf`` entries are applied last (pre-JVM settings
+    like ``spark.eventLog.*`` only take effect when no session exists
+    yet — the diagnostics scripts' use case)."""
     builder = (
         SparkSession.builder.master(f"local[{DEFAULT_CPUS}]")
         .appName(app_name)
@@ -55,6 +61,8 @@ def get_spark(app_name: str = "universal_data_to_orc_converter_spark") -> SparkS
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
 
 
