@@ -413,6 +413,7 @@ def test_shingles_match_python_reference_on_adversarial_docs(
     import random
 
     crafted = [
+        None,  # NULL text: concat_ws folds it to the [''] sentinel
         "",
         " ",
         "     ",
@@ -434,8 +435,8 @@ def test_shingles_match_python_reference_on_adversarial_docs(
         sep = lambda: " " * rng.randint(1, 3)  # noqa: E731
         crafted.append(sep().join(rng.choice(vocab) for _ in range(n)))
 
-    def ref_shingles(text: str) -> list[str]:
-        t = [x for x in text.lower().split(" ") if x != ""]
+    def ref_shingles(text) -> list[str]:
+        t = [x for x in (text or "").lower().split(" ") if x != ""]
         if len(t) >= 3:
             grams = [" ".join(t[i : i + 3]) for i in range(len(t) - 2)]
         else:
