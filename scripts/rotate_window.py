@@ -108,7 +108,10 @@ def main() -> int:
     # only never-verified overflow needs a below-fold tag — verified
     # stale names wait in the ledger without one
     nxt = [n for n in overflow if n not in latest]
-    print(f"\n# never-verified overflow needing BELOW_FOLD_R{current} "
+    print(f"\n# REMEMBER: set registry.WINDOW_ROUND = {current} in the "
+          f"same commit (the staleness gates enforce the floor against "
+          f"it; lag >1 behind the ledger is a test failure)")
+    print(f"# never-verified overflow needing BELOW_FOLD_R{current} "
           f"tags: {nxt or 'none'}")
     print(f"# ({len(overflow) - len(nxt)} verified stale names also "
           f"wait, tracked by the ledger alone)")

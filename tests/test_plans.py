@@ -807,3 +807,53 @@ def test_containment_plan_is_equi_join_only(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan[:1500]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+
+def test_unit_vectors_norm_hoisted_out_of_lambda(spark):
+    """r9 ADVICE regression: the O(dim) norm aggregate must sit OUTSIDE
+    the per-element division lambda in the OPTIMIZED plan. The r9
+    source-level fix (project nrm, then divide) was silently undone by
+    CollapseProject — a non-cheap producer referenced exactly once gets
+    re-inlined into the lambda, making the division O(dim²) per row.
+    textprep.let survives because the norm becomes a bound HOF lambda
+    argument, which Catalyst cannot inline. The source-level AST lint
+    (tests/test_expr_duplication_lint.py) cannot observe this — only
+    the optimized plan can."""
+    from universal_data_to_orc_converter_spark.catalog import load
+    from universal_data_to_orc_converter_spark.operators.similarity import (
+        _unit_vectors,
+    )
+    from universal_data_to_orc_converter_spark.plans.inspect import (
+        expr_inside_lambda,
+        optimized_plan,
+    )
+
+    plan = optimized_plan(_unit_vectors(load(spark, SF_DIR, "embeddings")))
+    assert not expr_inside_lambda(plan, "aggregate("), (
+        "norm aggregate re-inlined into the per-element lambda "
+        "(O(dim^2) regression): " + plan[:800]
+    )
+    # and the division really is by the bound lambda variable
+    assert "/ lambda" in plan, plan[:800]
+
+
+def test_shingle_tokenization_hoisted_out_of_lambda(spark):
+    """Same plan-level guard for the other known-hot let site: the
+    split+filter tokenization feeding shingles() must not re-run per
+    output element (the measured O(tokens²) class, PERF.md r9)."""
+    from universal_data_to_orc_converter_spark.catalog import load
+    from universal_data_to_orc_converter_spark.operators import textprep
+    from universal_data_to_orc_converter_spark.plans.inspect import (
+        expr_inside_lambda,
+        optimized_plan,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    df = docs.select(
+        textprep.shingles(textprep.tokens(docs["text"])).alias("sh")
+    )
+    plan = optimized_plan(df)
+    assert not expr_inside_lambda(plan, "split("), (
+        "tokenization re-inlined into the per-element shingle lambda "
+        "(O(tokens^2) regression): " + plan[:800]
+    )

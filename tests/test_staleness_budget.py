@@ -22,6 +22,20 @@ def test_ledger_loads():
     assert len(latest) >= 215
 
 
+def test_window_lag_at_most_one_round():
+    """The WINDOW_ROUND pin keeps the tree green through the
+    between-rounds handoff gap (driver commits CORRECTNESS_r{N} before
+    the builder rotates — lag 1). Lag ≥2 means a whole round passed
+    without rotating: the budget gates below would be enforcing an
+    outdated floor, so fail loudly here instead."""
+    lag = staleness_audit.window_lag()
+    assert 0 <= lag <= 1, (
+        f"DRIVER_PRIORITY window trails the correctness ledger by {lag} "
+        f"rounds — rotate it (scripts/rotate_window.py) and bump "
+        f"registry.WINDOW_ROUND"
+    )
+
+
 def test_no_query_exceeds_staleness_budget():
     bad = staleness_audit.violations()
     assert not bad, (
@@ -39,8 +53,10 @@ def test_window_covers_next_rounds_expiring_names():
         DRIVER_PRIORITY,
     )
 
-    latest, current = staleness_audit.load_ledger()
-    next_floor = staleness_audit.budget_floor(current + 1)
+    latest, _ = staleness_audit.load_ledger()
+    next_floor = staleness_audit.budget_floor(
+        staleness_audit.effective_round() + 1
+    )
     window = set(DRIVER_PRIORITY)
     expiring = [
         n for n, r in latest.items() if r < next_floor and n not in window

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import query
+from . import textprep
 
 _N_QUERY_VECS = 3
 _TOP_K = 10
@@ -95,7 +96,8 @@ def op_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     notes="Random-hyperplane LSH (BucketedRandomProjectionLSH, "
     "seed=42 → deterministic planes). Approximate by construction — "
     "rows-only check; recall vs op_sim_topk asserted in "
-    "tests/test_similarity.py.",
+    "tests/test_quality.py (test_ann_lsh_recall_vs_brute_force and "
+    "test_lsh_recall_on_clustered_corpus).",
     tags=("similarity", "approx"),
 )
 def op_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,9 +123,9 @@ def lsh_topk(
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    # _unit_vectors materializes the norm before the per-element
-    # division (the O(dim²) duplication fix, r9 audit) — reuse it
-    # instead of a third hand-rolled normalize.
+    # _unit_vectors let-binds the norm outside the per-element
+    # division (the O(dim²) duplication fix, r9 audit + r9 advice) —
+    # reuse it instead of a third hand-rolled normalize.
     unit = _unit_vectors(em).select(
         "vec_id", array_to_vector(F.col("u")).alias("features")
     )
@@ -250,10 +252,17 @@ def op_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _unit_vectors(em: DataFrame) -> DataFrame:
     """L2-normalized embeddings: (vec_id, u array<double>).
 
-    The norm is materialized as a column BEFORE the per-element
-    division: pasting the aggregate expression into the divide lambda
-    re-evaluated the full O(dim) norm per element — O(dim²) per row
-    (the textprep.let duplication class, r9 audit)."""
+    The O(dim) norm must be evaluated ONCE per row, not once per
+    element inside the divide lambda (O(dim²) — the textprep.let
+    duplication class, r9 audit). The r9 attempt materialized the norm
+    as an intermediate projected column, but CollapseProject inlines a
+    non-cheap producer referenced exactly once, putting the aggregate
+    right back inside the per-element lambda (r9 ADVICE, verified on
+    the optimizedPlan). ``textprep.let`` survives the optimizer —
+    the norm becomes a bound HOF lambda variable, which Catalyst
+    cannot inline — asserted on the optimized plan by
+    tests/test_plans.py::test_unit_vectors_norm_hoisted_out_of_lambda.
+    """
     norm = F.sqrt(
         F.aggregate(
             F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
@@ -261,10 +270,11 @@ def _unit_vectors(em: DataFrame) -> DataFrame:
             lambda acc, x: acc + x,
         )
     )
-    return em.select("vec_id", "embedding", norm.alias("nrm")).select(
+    return em.select(
         "vec_id",
-        F.transform(
-            "embedding", lambda x: x.cast("double") / F.col("nrm")
+        textprep.let(
+            norm,
+            lambda n: F.transform("embedding", lambda x: x.cast("double") / n),
         ).alias("u"),
     )
 

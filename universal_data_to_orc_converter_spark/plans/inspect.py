@@ -75,3 +75,41 @@ def uses_window_group_limit(df: DataFrame) -> bool:
     """Spark ≥3.5 pushes rank()<=k below the shuffle as
     WindowGroupLimit — the property that makes grouped top-k skew-safe."""
     return "WindowGroupLimit" in simple_plan(df)
+
+
+def optimized_plan(df: DataFrame) -> str:
+    """The post-Catalyst logical plan — where CollapseProject has
+    already run, so per-element expression duplication (an expensive
+    producer inlined into a HOF lambda) is visible here even when the
+    source code looked hoisted."""
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def expr_inside_lambda(plan: str, needle: str) -> bool:
+    """True if ``needle`` occurs INSIDE any ``lambdafunction(...)``
+    span of a plan string (balanced-paren scan).
+
+    This is the plan-level complement to the source-level AST lint
+    (tests/test_expr_duplication_lint.py): the lint can't see
+    CollapseProject re-inlining a single-use projected column into a
+    HOF lambda — the r9 ``_unit_vectors`` case, where the O(dim) norm
+    aggregate ended up re-evaluated per array element. Checking the
+    optimized plan catches exactly that class: an expensive expression
+    (``aggregate(``, ``split(``, …) nested under ``lambdafunction(``
+    evaluates once per ELEMENT, not once per row."""
+    start = 0
+    while True:
+        i = plan.find("lambdafunction(", start)
+        if i == -1:
+            return False
+        j = i + len("lambdafunction(")
+        depth = 1
+        while j < len(plan) and depth:
+            if plan[j] == "(":
+                depth += 1
+            elif plan[j] == ")":
+                depth -= 1
+            j += 1
+        if needle in plan[i:j]:
+            return True
+        start = i + 1

@@ -82,69 +82,81 @@ def query(
 #: every SURVEY.md §2 family inside the cap. Everything below the fold
 #: is covered by the identical local oracle harness
 #: (tests/test_oracle.py) every round.
+#: The round this DRIVER_PRIORITY window was rotated FOR. The staleness
+#: gates (scripts/staleness_audit.py) enforce the budget floor relative
+#: to THIS round, not to the newest CORRECTNESS file on disk — so when
+#: the external driver commits CORRECTNESS_r{WINDOW_ROUND}.json between
+#: rounds (bumping the inferred current round before the next builder
+#: session rotates), the committed tree stays green instead of tripping
+#: the gates at handoff (the r9 verdict's "red suite at handoff" item).
+#: A separate lag guard (tests/test_staleness_budget.py) fails if the
+#: window ever falls MORE than one round behind the ledger, so the
+#: rotation still cannot be skipped.
+WINDOW_ROUND: int = 10
+
 DRIVER_PRIORITY: tuple[str, ...] = (
     # headline flagship — always in the window
     "flagship_revenue_by_nation",
-    # (b) modified after its latest green row: refactored late-r8 onto
-    # the extracted hist_bins/hist_serve helpers (plan/output verified
-    # unchanged locally; defensive re-seat per TODO_r9 #1).
-    "op_quantile_histogram_maintain",
-    # (a) the 14 BELOW_FOLD_R8 names — the r8 registrations, none with
-    # a driver row in any round. Verdict r8 item #1: seat all of them
-    # first (computed by scripts/rotate_window.py).
-    "op_curriculum_shards",
-    "op_pii_scrub",
-    "op_dedup_containment",
-    "op_dedup_jaccard_prefix",
-    "op_binaryfile_scan",
-    "op_join_asof_nearest",
-    "op_kcenter_coreset",
-    "op_heavy_hitters_maintain",
-    "op_compression_ratio",
-    "op_text_normalize",
-    "op_pandas_api",
-    "op_arrow_interchange",
-    "op_stream_heavy_hitters",
-    "op_stream_quantiles",
-    # (c) the stalest previously-verified names: the 2 r3-stale
-    # MUST-seats (the budget floor at r9 is r4), then 32 of the 46
-    # r4-stale names by registration order. The 14 newest r4 names
-    # overflow to r10, where the floor rises to r5 and they MUST seat
-    # (see TODO_r10 window math).
-    "op_retention_cohorts",
-    "op_time_gapfill",
-    "op_agg_global",
-    "op_agg_approx_distinct",
-    "op_agg_having",
-    "op_agg_mode",
-    "op_agg_approx_quantile",
-    "op_histogram",
-    "op_zscore_anomaly",
-    "op_table_stats",
-    "op_corpus_curate",
-    "op_dedup_ngram_jaccard",
-    "op_jsonl_roundtrip",
-    "op_schema_evolution_scan",
-    "op_join_broadcast",
-    "op_join_shuffle",
-    "op_join_anti",
-    "op_join_theta",
-    "op_join_salted",
-    "op_tpch_q3_shipping_priority",
-    "op_tpch_q18_large_orders",
-    "op_latest_by_key",
-    "op_tpch_q13_order_counts",
-    "op_tpch_q7_nation_volume",
-    "op_tpch_q10_returned_items",
-    "op_multimodal_decode",
-    "op_project",
-    "op_filter_compound",
-    "op_unpivot",
-    "op_sql_passthrough",
-    "op_union_mixed_schema",
-    "op_sim_ann_lsh",
-    "op_topk",
-    "op_bm25",
+    # (b) modified after their latest green row (defensive re-seats per
+    # TODO_r10 #1): op_text_repetition/op_span_corruption picked up the
+    # r9 token-array materialization; op_dedup_embedding_cell /
+    # op_sim_ann_ivf / op_sim_ann_ivfpq picked up the _unit_vectors norm
+    # materialization (re-fixed this round via textprep.let after the r9
+    # attempt was found to be optimizer-inlined away — see ADVICE r9).
+    "op_text_repetition",
+    "op_dedup_embedding_cell",
+    "op_sim_ann_ivf",
+    "op_sim_ann_ivfpq",
+    "op_span_corruption",
+    # (c1) the 14 r4-stale MUST-seats (budget floor at r10 is r5;
+    # op_span_corruption already seated above as a modified re-seat).
+    "op_doc_rarity",
+    "op_udaf",
+    "op_win_topk_group",
+    "op_str_funcs",
+    "op_map_funcs",
+    "op_stream_availablenow",
+    "op_stream_watermark",
+    "op_stream_dedup",
+    "op_stream_stateful",
+    "op_stream_interval_join",
+    "op_sessionize",
+    "op_stream_cdc_upsert",
+    "op_stream_cdc_delete",
+    # (c2) 31 of the 48 r5-stale names by registration order; the other
+    # 17 overflow to r11 where the floor rises to r6 and they MUST seat
+    # (see TODO_r11 window math).
+    "op_row_count",
+    "op_agg_count_distinct",
+    "op_agg_rollup",
+    "op_agg_cube",
+    "op_agg_gsets",
+    "op_agg_conditional",
+    "op_agg_listagg",
+    "op_agg_bitwise",
+    "op_grouped_sample",
+    "op_dedup_minhash_lsh",
+    "op_dedup_url_canonical",
+    "op_jsonl_corrupt_scan",
+    "op_compact_small_files",
+    "op_xml_roundtrip",
+    "op_join_outer",
+    "op_join_semi",
+    "op_join_range_bucketized",
+    "op_join_nullsafe",
+    "op_tpch_q4_order_priority",
+    "op_tpch_q14_promo_share",
+    "op_tpch_q19_disjunctive",
+    "op_snapshot_diff",
+    "op_multimodal_audio",
+    "op_select_star",
+    "op_union_distinct",
+    "op_except",
+    "op_embedding_quantize",
+    "op_limit_offset",
+    "op_subquery_correlated",
+    "op_lang_id",
+    "op_tpch_q5_local_supplier",
 )
 
 #: Names registered AFTER this round's DRIVER_PRIORITY was pinned that
@@ -153,11 +165,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: driver-verified in a prior round's CORRECTNESS file, or (3) listed
 #: here — tests/test_registry_order.py fails otherwise, so a
 #: post-freeze registration can never again be silently unverified
-#: (r4 accumulated 14 such names before this gate existed). The r8
-#: set (14 names) is fully seated in the r9 window above; new r9
-#: registrations accumulate here and get first-in-line priority for
-#: the r10 rotation.
-BELOW_FOLD_R9: frozenset[str] = frozenset()
+#: (r4 accumulated 14 such names before this gate existed). Rounds 9
+#: and 10 registered zero new names (depth over breadth — capacity
+#: budget 258/295), so the set is empty; new r10 registrations would
+#: accumulate here and get first-in-line priority for the r11 rotation.
+BELOW_FOLD_R10: frozenset[str] = frozenset()
 
 
 def load_all_queries() -> dict[str, QuerySpec]:
