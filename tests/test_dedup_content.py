@@ -557,3 +557,90 @@ def test_exact_jaccard_ops_share_one_oracle_object(spark):
         qs["op_quantile_histogram_maintain"].oracle
         == qs["op_stream_quantiles"].oracle
     )
+
+
+def test_hot_bucket_guard_fires_on_skewed_corpus_and_passes_fixture(
+    spark, tmp_path
+):
+    """r9 verdict `weak`: nothing stopped a user pointing the plain
+    inverted-index Jaccard op at a corpus whose hottest shingle bucket
+    makes the candidate join quadratic. (a) The guard must RAISE on a
+    crafted hot-shingle corpus (one phrase shared by every doc: that
+    bucket alone emits n² candidate rows) with the prescriptive
+    message naming the scale-safe tiers; (b) it must PASS the real
+    fixture (healthy max_df/docs is ~0.01, PERF.md r10); (c) the op
+    wrapper must surface the same error end-to-end."""
+    import pytest
+
+    from universal_data_to_orc_converter_spark.operators.dedup import (
+        _HOT_BUCKET_MIN_DF,
+        exact_jaccard_pairs,
+    )
+    from universal_data_to_orc_converter_spark.registry import load_all_queries
+
+    from .conftest import SF_DIR
+
+    n = _HOT_BUCKET_MIN_DF  # every doc shares the hot phrase
+    docs = [f"the common refrain uniq{i} word{i % 7} tail{i}" for i in range(n)]
+    sf = _write_documents(spark, tmp_path, docs)
+    d = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    with pytest.raises(ValueError, match="op_dedup_jaccard_prefix"):
+        exact_jaccard_pairs(d)
+
+    # same failure through the registered op (corpus_key memo path)
+    with pytest.raises(ValueError, match="hot shingle bucket"):
+        load_all_queries()["op_dedup_ngram_jaccard"].fn(spark, sf)
+
+    # and the real fixture constructs (and still evaluates) fine
+    out = load_all_queries()["op_dedup_ngram_jaccard"].fn(spark, SF_DIR)
+    assert out.count() >= 0
+
+
+def test_corpus_certificates_memoized_per_session(spark):
+    """r9 advice: constructing BOTH exact-pair ops over the same
+    corpus must run the (eager, full-tokenize) injectivity certificate
+    once, not twice. Proof by poison: after a real certification, a
+    SECOND guard call with the same corpus_key is handed a frame whose
+    evaluation raises — a memo hit returns without ever executing it;
+    a memo miss (different corpus_key, or no key) must still run and
+    blow up."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import CapturedException
+
+    from universal_data_to_orc_converter_spark.catalog import load
+    from universal_data_to_orc_converter_spark.operators.dedup import (
+        _CORPUS_CERTS,
+        _assert_no_hot_shingle_bucket,
+        _assert_shingle_hash_injective,
+    )
+    from universal_data_to_orc_converter_spark.operators.textprep import (
+        shingles,
+        tokens,
+    )
+
+    from .conftest import SF_DIR
+
+    _CORPUS_CERTS.clear()
+    app = spark.sparkContext.applicationId
+    sh = (
+        load(spark, SF_DIR, "documents")
+        .select("doc_id", shingles(tokens(F.col("text"))).alias("s"))
+    )
+    _assert_shingle_hash_injective(sh, corpus_key=SF_DIR)
+    _assert_no_hot_shingle_bucket(sh, corpus_key=SF_DIR)
+    assert (app, SF_DIR, "injective") in _CORPUS_CERTS
+    assert (app, SF_DIR, "hot_bucket") in _CORPUS_CERTS
+
+    poisoned = spark.range(1).select(
+        F.col("id").alias("doc_id"),
+        F.array(F.raise_error("guard should not have evaluated")).alias("s"),
+    )
+    # memo hit: returns without executing the poisoned frame
+    _assert_shingle_hash_injective(poisoned, corpus_key=SF_DIR)
+    _assert_no_hot_shingle_bucket(poisoned, corpus_key=SF_DIR)
+    # memo miss (unknown corpus / no key): the guard really runs
+    with pytest.raises(CapturedException):
+        _assert_shingle_hash_injective(poisoned, corpus_key="/elsewhere")
+    with pytest.raises(CapturedException):
+        _assert_no_hot_shingle_bucket(poisoned)

@@ -106,7 +106,11 @@ _JACCARD_ORACLE = f"""
     oracle=_JACCARD_ORACLE,
     notes="Exact 3-gram-shingle Jaccard ≥ 0.7 via inverted-index join. "
     "The jaccard value is an integer/integer double division — exact "
-    "on both engines.",
+    "on both engines. REGIME BOUNDARY: candidate cost is sum(df²) over "
+    "shingle posting lists; a guard refuses corpora whose hottest "
+    "shingle covers ≥1/20 of docs (≥1000 postings) with a pointer to "
+    "op_dedup_jaccard_prefix / op_dedup_minhash_lsh — the scale-safe "
+    "tiers (tests/test_dedup_content.py hot-bucket test; PERF.md r10).",
     tags=("dedup",),
 )
 def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,12 +120,24 @@ def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     MEASURED superlinear on the closed-vocab fixtures (PERF.md r8:
     16.5 s → 82.4 s at 10×; bucket sizes grow linearly once the
     shingle vocab saturates). At scale this op is the VERIFY tier
-    behind op_dedup_minhash_lsh's O(n) candidate generation."""
+    behind op_dedup_minhash_lsh's O(n) candidate generation.
+    A hot-bucket guard (_assert_no_hot_shingle_bucket) refuses corpora
+    where the Σ bucket² regime is outright quadratic — the documented
+    r9 `weak`: nothing used to STOP a user pointing this op at a
+    skewed corpus where op_dedup_jaccard_prefix is the right tier."""
     par = spark.sparkContext.defaultParallelism
     d = load(spark, sf_dir, "documents").repartition(par, "doc_id")
+    return exact_jaccard_pairs(d, corpus_key=sf_dir)
+
+
+def exact_jaccard_pairs(d: DataFrame, corpus_key: str | None = None) -> DataFrame:
+    """The op_dedup_ngram_jaccard core over any (doc_id, text) frame —
+    factored so the hot-bucket guard can be exercised on crafted
+    corpora (tests/test_dedup_content.py)."""
     sh = d.select(
         "doc_id", shingles(tokens(F.col("text"))).alias("s")
     )
+    _assert_no_hot_shingle_bucket(sh, corpus_key=corpus_key)
     ex = sh.select("doc_id", F.explode("s").alias("shingle"))
     a, b = ex.alias("a"), ex.alias("b")
     cand = (
@@ -950,7 +966,7 @@ def op_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # op_dedup_jaccard_prefix: the window sort (global rarest-first
     # order) still ties-breaks on the string, only the JOIN key and
     # the verify arrays become fixed-width longs (PERF.md r9).
-    _assert_shingle_hash_injective(sh)
+    _assert_shingle_hash_injective(sh, corpus_key=sf_dir)
     ranked = _ranked_shingles(sh).select(
         "doc_id", "size", "rn", F.xxhash64("shingle").alias("sh_h")
     )
@@ -1012,7 +1028,82 @@ def op_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fwd.unionAll(rev).filter(F.col("containment") >= t)
 
 
-def _assert_shingle_hash_injective(sh, hash_expr=None) -> None:
+#: Per-session corpus-certificate memo: (applicationId, corpus key,
+#: certificate kind) -> already certified. The eager guards below run
+#: a bounded Spark job at DataFrame-CONSTRUCTION time (an acknowledged
+#: break of the lazy-builder contract, priced in PERF.md); memoizing
+#: per corpus keeps that to ONE job per session even when several
+#: exact-pair ops are constructed over the same fixture dir (r9 advice:
+#: op_dedup_jaccard_prefix + op_dedup_containment used to run the
+#: injectivity certificate twice over the same vocabulary).
+_CORPUS_CERTS: set[tuple[str, str, str]] = set()
+
+
+def _cert_memo(sh, kind: str, corpus_key: str | None):
+    """Return (already_certified, record_fn). ``corpus_key=None``
+    (crafted test corpora) disables memoization."""
+    if corpus_key is None:
+        return False, lambda: None
+    app = sh.sparkSession.sparkContext.applicationId
+    key = (app, corpus_key, kind)
+    return key in _CORPUS_CERTS, lambda: _CORPUS_CERTS.add(key)
+
+
+#: Hot-bucket regime boundary for the plain inverted-index Jaccard op:
+#: refuse when ONE shingle's posting list covers ≥ 1/20 of all docs AND
+#: is ≥ 1000 postings absolute. That single bucket alone then emits
+#: ≥ (n/20)² candidate pairs — the Σ bucket² quadratic regime. Both
+#: bounds are needed: the fraction alone would fire on tiny corpora
+#: where df² is harmless (sf0.01's hottest shingle is 7/500 docs), the
+#: absolute floor alone would fire on any web-scale corpus whose
+#: stopword shingles are large in absolute terms but a vanishing
+#: fraction (healthy measured profile: max_df/docs 0.003–0.014 on
+#: sf0.01/0.1/sf1 vs 0.80 on the adversarial sfskew — PERF.md r10).
+_HOT_BUCKET_MIN_DF = 1000
+_HOT_BUCKET_FRAC_DEN = 20
+
+
+def _assert_no_hot_shingle_bucket(sh, corpus_key=None) -> None:
+    """Refuse the plain inverted-index Jaccard join on corpora with a
+    degenerate hot shingle bucket (see the regime constants above).
+
+    The probe is one bounded job over the already-needed posting
+    index: explode → groupBy(shingle).count → global max (map-side
+    partial max, a 1-row collect) plus a pruned count of docs —
+    corpus-metadata scale, priced in PERF.md (r10). Memoized per
+    (session, corpus) like the injectivity certificate. Same
+    prescriptive-error pattern as _assert_shingle_hash_injective:
+    raise loudly with the scale-safe alternatives rather than letting
+    the job quietly go quadratic."""
+    done, record = _cert_memo(sh, "hot_bucket", corpus_key)
+    if done:
+        return
+    row = (
+        sh.select(F.explode("s").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .agg(F.max("df").alias("max_df"))
+        .collect()[0]
+    )
+    max_df = row.max_df or 0
+    if max_df >= _HOT_BUCKET_MIN_DF:
+        n_docs = sh.count()
+        if max_df * _HOT_BUCKET_FRAC_DEN >= n_docs:
+            raise ValueError(
+                f"hot shingle bucket: the most frequent shingle appears "
+                f"in {max_df} of {n_docs} documents "
+                f"({100.0 * max_df / n_docs:.0f}%) — the inverted-index "
+                f"candidate join would emit >= {max_df}^2 pairs from "
+                f"that bucket alone (the quadratic sum-of-bucket-squared "
+                f"regime). Use op_dedup_jaccard_prefix (prefix+positional "
+                f"filtering, same threshold and oracle) or "
+                f"op_dedup_minhash_lsh (banded LSH candidates) for this "
+                f"corpus."
+            )
+    record()
+
+
+def _assert_shingle_hash_injective(sh, hash_expr=None, corpus_key=None) -> None:
     """Certify that xxhash64 is injective on THIS corpus's shingle
     vocabulary (one bounded 1-row collect: distinct shingles vs
     distinct hashes). Under injectivity the hashed incidence keys and
@@ -1026,7 +1117,15 @@ def _assert_shingle_hash_injective(sh, hash_expr=None) -> None:
     The guard itself is O(|incidences|) map-side + a |vocab|-row
     distinct: corpus-metadata scale, priced in PERF.md (r9).
     ``hash_expr`` is injectable so tests can exercise the collision
-    branch (xxhash64 collisions cannot be crafted)."""
+    branch (xxhash64 collisions cannot be crafted). ``corpus_key``
+    (the fixture dir in the registered ops) memoizes the certificate
+    per session — see _CORPUS_CERTS; a custom ``hash_expr`` bypasses
+    the memo so the collision tests always run the check."""
+    done, record = _cert_memo(
+        sh, "injective", None if hash_expr is not None else corpus_key
+    )
+    if done:
+        return
     hash_expr = hash_expr or F.xxhash64
     # distinct() FIRST: map-side partial distinct collapses the
     # incidence stream to |vocab| rows BEFORE the shuffle, where the
@@ -1053,6 +1152,7 @@ def _assert_shingle_hash_injective(sh, hash_expr=None) -> None:
             f"overlaps. Use op_dedup_ngram_jaccard (string keys) for "
             f"this corpus."
         )
+    record()
 
 
 def _hashed_shingle_sets(sh):
@@ -1176,7 +1276,7 @@ def op_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rarest-first order — and with it the prefix lemma — is untouched).
     # A key collision could only ADD candidates; the guard makes the
     # verify stage exact too (r9, PERF.md "hashed verify").
-    _assert_shingle_hash_injective(sh)
+    _assert_shingle_hash_injective(sh, corpus_key=sf_dir)
     prefix = _rarest_prefix(sh, _JACCARD_T_NUM, _JACCARD_T_DEN).select(
         "doc_id", "size", "rn", F.xxhash64("shingle").alias("sh_h")
     )
