@@ -1206,7 +1206,7 @@ def _ranked_shingles(sh):
     )
 
 
-def _rarest_prefix(sh, t_num: int, t_den: int, ranked=None):
+def _rarest_prefix(sh, t_num: int, t_den: int, ranked=None, indexing=False):
     """Per-doc rarest-first prefix index: the first
     p = |S| - ceil(t*|S|) + 1 shingles of ``_ranked_shingles`` order,
     with t = t_num/t_den evaluated in EXACT integer arithmetic.
@@ -1214,11 +1214,27 @@ def _rarest_prefix(sh, t_num: int, t_den: int, ranked=None):
     precomputed (possibly persisted) ``ranked`` frame to share one
     ranking pipeline between the prefix and full-index sides —
     Catalyst does NOT reuse the window+join subtree across the two
-    consumers on its own (0 ReusedExchange, plan-checked)."""
+    consumers on its own (0 ReusedExchange, plan-checked).
+
+    ``indexing=True`` returns PPJoin's SHORTER indexing prefix
+    p = |S| - ceil(2t/(1+t) * |S|) + 1 (Xiao et al. WWW'08 §3.2),
+    valid ONLY for the smaller doc of a pair: |A| <= |B| and
+    J(A,B) >= t give overlap O >= t/(1+t)*(|A|+|B|) >= 2t/(1+t)*|A|;
+    A's elements AFTER this prefix number ceil(2t/(1+t)*|A|) - 1 < O,
+    so the FIRST (rarest) common element w must sit inside it (if w
+    were outside, ALL O common elements would be outside — too few
+    slots). The probe (larger) side still needs the standard prefix.
+    At t=7/10 the indexing prefix is 14/17 vs 7/10 — ~0.18|S| vs
+    ~0.3|S| of each doc indexed, a measured candidate cut on the
+    skew fixture (PERF.md r10 "asymmetric indexing prefix")."""
     if ranked is None:
         ranked = _ranked_shingles(sh)
+    if indexing:
+        num, den = 2 * t_num, t_num + t_den
+    else:
+        num, den = t_num, t_den
     p = (
-        F.col("size") - _ceil_mul_div(F.col("size"), t_num, t_den) + F.lit(1)
+        F.col("size") - _ceil_mul_div(F.col("size"), num, den) + F.lit(1)
     ).cast("int")
     return ranked.filter(F.col("rn") <= p)
 
@@ -1277,10 +1293,24 @@ def op_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A key collision could only ADD candidates; the guard makes the
     # verify stage exact too (r9, PERF.md "hashed verify").
     _assert_shingle_hash_injective(sh, corpus_key=sf_dir)
-    prefix = _rarest_prefix(sh, _JACCARD_T_NUM, _JACCARD_T_DEN).select(
-        "doc_id", "size", "rn", F.xxhash64("shingle").alias("sh_h")
-    )
-    a, b = prefix.alias("a"), prefix.alias("b")
+    # ASYMMETRIC prefixes (PPJoin, Xiao WWW'08 §3.2): the smaller doc
+    # of a pair only needs its short INDEXING prefix in the join — the
+    # first common element of a qualifying pair provably sits inside
+    # it (see _rarest_prefix). The larger doc probes with the standard
+    # prefix. Candidate volume per shingle bucket falls from
+    # p_long(a)*p_long(b) to p_idx(a)*p_long(b) — measured on the
+    # skew fixture in PERF.md r10. Sides are oriented by (size,
+    # doc_id) lexicographic order so every unordered pair is generated
+    # exactly one way and the |A| <= |B| premise of the indexing-
+    # prefix lemma holds on the a-side.
+    ranked = _ranked_shingles(sh)
+    idx_pref = _rarest_prefix(
+        sh, _JACCARD_T_NUM, _JACCARD_T_DEN, ranked=ranked, indexing=True
+    ).select("doc_id", "size", "rn", F.xxhash64("shingle").alias("sh_h"))
+    probe_pref = _rarest_prefix(
+        sh, _JACCARD_T_NUM, _JACCARD_T_DEN, ranked=ranked
+    ).select("doc_id", "size", "rn", F.xxhash64("shingle").alias("sh_h"))
+    a, b = idx_pref.alias("a"), probe_pref.alias("b")
     sa, sb = F.col("a.size"), F.col("b.size")
     # PPJoin positional filter: J >= t forces overlap
     # alpha = ceil(t/(1+t) * (|A|+|B|)) = ceil(num*(|A|+|B|)/(num+den)).
@@ -1295,15 +1325,20 @@ def op_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.sh_h") == F.col("b.sh_h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # size filter: J >= t forces t*|A| <= |B| and t*|B| <= |A|
-            & (sb * F.lit(_JACCARD_T_DEN) >= sa * F.lit(_JACCARD_T_NUM))
+            # a is the smaller side (ties broken by doc_id), so each
+            # unordered pair appears once and |A| <= |B| holds for the
+            # indexing-prefix lemma
+            & (
+                (sa < sb)
+                | ((sa == sb) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            )
+            # size filter: J >= t forces t*|B| <= |A| (a smaller side)
             & (sa * F.lit(_JACCARD_T_DEN) >= sb * F.lit(_JACCARD_T_NUM))
             & (ubound >= alpha),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
         )
         .distinct()
     )
