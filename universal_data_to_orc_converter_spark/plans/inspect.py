@@ -96,7 +96,15 @@ def expr_inside_lambda(plan: str, needle: str) -> bool:
     aggregate ended up re-evaluated per array element. Checking the
     optimized plan catches exactly that class: an expensive expression
     (``aggregate(``, ``split(``, …) nested under ``lambdafunction(``
-    evaluates once per ELEMENT, not once per row."""
+    evaluates once per ELEMENT, not once per row.
+
+    The balanced scan is bounded at end-of-line: expressions print
+    inline (one plan OPERATOR per line), while cached subtrees
+    (InMemoryRelation) embed multi-line child plans whose printer
+    TRUNCATES long field lists — an unmatched paren there would make
+    the span swallow unrelated lines (observed: a 415 kB "span" over
+    op_dedup_clusters' cached label-prop plan flagging the tokenize
+    split as in-lambda when it is not)."""
     start = 0
     while True:
         i = plan.find("lambdafunction(", start)
@@ -104,7 +112,7 @@ def expr_inside_lambda(plan: str, needle: str) -> bool:
             return False
         j = i + len("lambdafunction(")
         depth = 1
-        while j < len(plan) and depth:
+        while j < len(plan) and depth and plan[j] != "\n":
             if plan[j] == "(":
                 depth += 1
             elif plan[j] == ")":
