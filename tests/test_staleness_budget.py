@@ -65,3 +65,61 @@ def test_window_covers_next_rounds_expiring_names():
         f"{len(expiring)} queries expire next round — more than one "
         f"window can refresh; the rotation has fallen behind: {expiring}"
     )
+
+
+def test_handoff_gap_stays_green_and_skipped_rotation_goes_red(tmp_path):
+    """End-to-end check of the WINDOW_ROUND design at the one state the
+    committed repo is never in while tests run: the between-rounds gap.
+    Simulate ledgers in a temp root against the REAL registry pin
+    (WINDOW_ROUND = W):
+
+    * ledger max = W-1 (building W, rotation done): lag 0, floor
+      enforced at W — the r9-era behavior, unchanged.
+    * ledger max = W (driver just committed CORRECTNESS_r{W}): lag 1,
+      floor still enforced at W — names that aged out exactly at the
+      boundary do NOT violate, so the handoff tree is green (this is
+      the state that made the r9 handoff suite red).
+    * ledger max = W+1 (a whole round passed without rotating): lag 2
+      — the lag gate fails, so the budget can never silently loosen.
+    """
+    import json
+
+    from universal_data_to_orc_converter_spark.registry import (
+        DRIVER_PRIORITY,
+        WINDOW_ROUND,
+    )
+
+    W = WINDOW_ROUND
+    stale_name = "synthetic_op_not_in_window"
+    assert stale_name not in DRIVER_PRIORITY
+
+    def write_ledger(max_round: int) -> str:
+        root = tmp_path / f"ledger_{max_round}"
+        root.mkdir()
+        # the stale name's latest row is exactly at the floor for W:
+        # fresh while the window round is W, one-past-floor at W+1
+        stale_round = W - staleness_audit.BUDGET_ROUNDS
+        (root / f"CORRECTNESS_r{stale_round}.json").write_text(
+            json.dumps({stale_name: {"rows_match": True}})
+        )
+        (root / f"CORRECTNESS_r{max_round}.json").write_text(
+            json.dumps({n: {"rows_match": True} for n in DRIVER_PRIORITY})
+        )
+        return str(root)
+
+    # building round W (rotation committed): green
+    root = write_ledger(W - 1)
+    assert staleness_audit.window_lag(root) == 0
+    assert staleness_audit.violations(root) == []
+
+    # handoff gap (driver committed r{W}): still green at the same floor
+    root = write_ledger(W)
+    assert staleness_audit.window_lag(root) == 1
+    assert staleness_audit.violations(root) == [], (
+        "the handoff gap flagged boundary-aged names — the r9 "
+        "red-at-handoff failure mode is back"
+    )
+
+    # skipped rotation: the lag gate must go red
+    root = write_ledger(W + 1)
+    assert staleness_audit.window_lag(root) == 2
