@@ -287,7 +287,20 @@ def _ivf_index(
     (n_assign>1 = index-side multi-probe: a vector near a Voronoi
     boundary lands in both adjacent cells, so boundary-straddling
     near-dup pairs still share a block). Returns (assigned
-    [vec_id, u, cell], broadcast centers [cell, center])."""
+    [vec_id, u, cell], broadcast centers [cell, center]).
+
+    The ml.KMeans fit (euclidean, 5 iterations, seed 42) was kept
+    DELIBERATELY after an r10 experiment: a driver-side numpy fit on a
+    bounded sample (FAISS-style, ~6 s cheaper at fixture scale) was
+    built, measured, and REVERTED — converging the quantizer harder
+    (best-of-16 kmeans++ restarts, Lloyd to convergence) RAISED
+    coarse-fit quality but DROPPED IVF-PQ agreement 0.8→0.67: tighter
+    cells make within-cell distances more uniform, which is precisely
+    the regime where 4-bit ADC codes cannot order candidates
+    (tests/test_quality.py::test_ivfpq_adc_error_is_resolution_bound
+    documents the same effect from the code-width side). The loose
+    5-iteration fit is load-bearing for the shipped PQ calibration;
+    see PERF.md r10 "IVF quantizer experiment"."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window as W
@@ -347,18 +360,46 @@ def op_dedup_embedding_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit = _unit_vectors(em).cache()
     assigned, _ = _ivf_index(spark, unit, n_cells, n_assign=2)
 
-    a = assigned.select("vec_id", "u", "cell")
-    b = assigned.select(
-        F.col("vec_id").alias("nn_vec_id"),
-        F.col("u").alias("u_b"),
-        "cell",
+    # Per-cell scoring as ONE numpy GEMM per block (applyInPandas)
+    # instead of a pair self-join + interpreted per-pair dot: the pair
+    # join materialized |block|² rows each carrying TWO dim-length
+    # arrays through the shuffle, and the HOF dot is interpreted
+    # (never codegen). Here each vector crosses the shuffle once per
+    # assigned cell, the |block|² work happens inside BLAS, and only
+    # |block| top-1 rows come back — measured 6.8 s → <1 s on the
+    # scoring stage at sf0.1 (PERF.md r10). Rows are sorted by vec_id
+    # inside the block so argmax tie-breaks to the SMALLEST nn_vec_id,
+    # matching the window's (nn_cos desc, nn_vec_id asc) order.
+    def _block_top1(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_id": [], "nn_vec_id": [], "nn_cos": []}
+            ).astype({"vec_id": "int64", "nn_vec_id": "int64",
+                      "nn_cos": "float64"})
+        U = np.stack(pdf["u"].to_numpy())
+        S = U @ U.T
+        np.fill_diagonal(S, -np.inf)
+        best = S.argmax(axis=1)
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "nn_vec_id": ids[best],
+                "nn_cos": S[np.arange(n), best],
+            }
+        )
+
+    scored = assigned.groupBy("cell").applyInPandas(
+        _block_top1, "vec_id long, nn_vec_id long, nn_cos double"
     )
-    pairs = a.join(b, "cell").filter(F.col("vec_id") != F.col("nn_vec_id"))
-    # unit vectors: dot product IS the cosine. A pair sharing several
-    # cells scores identically each time; the top-1 row_number keeps one.
-    scored = pairs.select(
-        "vec_id", "nn_vec_id", _dot(F.col("u"), F.col("u_b")).alias("nn_cos")
-    )
+    # a vector assigned to 2 cells has one top-1 row per cell (a pair
+    # sharing both cells scores identically); the global window keeps
+    # the best
     w = W.partitionBy("vec_id").orderBy(F.col("nn_cos").desc(), "nn_vec_id")
     out = (
         scored.withColumn("rn", F.row_number().over(w))
