@@ -1036,6 +1036,9 @@ def op_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: exact-pair ops are constructed over the same fixture dir (r9 advice:
 #: op_dedup_jaccard_prefix + op_dedup_containment used to run the
 #: injectivity certificate twice over the same vocabulary).
+#: The key treats the corpus at a path as IMMUTABLE for the session —
+#: true of the fixture dirs the registered ops read; code that
+#: rewrites a path's contents mid-session must pass corpus_key=None.
 _CORPUS_CERTS: set[tuple[str, str, str]] = set()
 
 
