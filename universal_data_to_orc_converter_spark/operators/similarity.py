@@ -331,6 +331,37 @@ def _ivf_index(
     return assigned, centers_df
 
 
+def _cell_block_top1(pdf):
+    """The GEMM block kernel of op_dedup_embedding_cell (module-level
+    so tests exercise THE op's implementation, not a copy —
+    tests/test_quality.py::test_cell_block_gemm_matches_pairwise_reference).
+    Rows are sorted by vec_id so argmax tie-breaks to the SMALLEST
+    nn_vec_id, matching the window's (nn_cos desc, nn_vec_id asc)
+    order."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    n = len(pdf)
+    if n < 2:
+        return pd.DataFrame(
+            {"vec_id": [], "nn_vec_id": [], "nn_cos": []}
+        ).astype({"vec_id": "int64", "nn_vec_id": "int64",
+                  "nn_cos": "float64"})
+    U = np.stack(pdf["u"].to_numpy())
+    S = U @ U.T
+    np.fill_diagonal(S, -np.inf)
+    best = S.argmax(axis=1)
+    ids = pdf["vec_id"].to_numpy()
+    return pd.DataFrame(
+        {
+            "vec_id": ids,
+            "nn_vec_id": ids[best],
+            "nn_cos": S[np.arange(n), best],
+        }
+    )
+
+
 @query(
     "op_dedup_embedding_cell",
     oracle=None,
@@ -370,32 +401,8 @@ def op_dedup_embedding_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scoring stage at sf0.1 (PERF.md r10). Rows are sorted by vec_id
     # inside the block so argmax tie-breaks to the SMALLEST nn_vec_id,
     # matching the window's (nn_cos desc, nn_vec_id asc) order.
-    def _block_top1(pdf):
-        import numpy as np
-        import pandas as pd
-
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame(
-                {"vec_id": [], "nn_vec_id": [], "nn_cos": []}
-            ).astype({"vec_id": "int64", "nn_vec_id": "int64",
-                      "nn_cos": "float64"})
-        U = np.stack(pdf["u"].to_numpy())
-        S = U @ U.T
-        np.fill_diagonal(S, -np.inf)
-        best = S.argmax(axis=1)
-        ids = pdf["vec_id"].to_numpy()
-        return pd.DataFrame(
-            {
-                "vec_id": ids,
-                "nn_vec_id": ids[best],
-                "nn_cos": S[np.arange(n), best],
-            }
-        )
-
     scored = assigned.groupBy("cell").applyInPandas(
-        _block_top1, "vec_id long, nn_vec_id long, nn_cos double"
+        _cell_block_top1, "vec_id long, nn_vec_id long, nn_cos double"
     )
     # a vector assigned to 2 cells has one top-1 row per cell (a pair
     # sharing both cells scores identically); the global window keeps
