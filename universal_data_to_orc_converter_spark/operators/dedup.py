@@ -1228,8 +1228,10 @@ def _rarest_prefix(sh, t_num: int, t_den: int, ranked=None, indexing=False):
     were outside, ALL O common elements would be outside — too few
     slots). The probe (larger) side still needs the standard prefix.
     At t=7/10 the indexing prefix is 14/17 vs 7/10 — ~0.18|S| vs
-    ~0.3|S| of each doc indexed, a measured candidate cut on the
-    skew fixture (PERF.md r10 "asymmetric indexing prefix")."""
+    ~0.3|S| of each doc indexed; the measured effect is a ~40% cut of
+    the join's indexed input and its raw probe work, NOT of the
+    surviving candidate set (PERF.md r10 "asymmetric indexing
+    prefix" attribution measurement)."""
     if ranked is None:
         ranked = _ranked_shingles(sh)
     if indexing:
@@ -1300,9 +1302,11 @@ def op_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of a pair only needs its short INDEXING prefix in the join — the
     # first common element of a qualifying pair provably sits inside
     # it (see _rarest_prefix). The larger doc probes with the standard
-    # prefix. Candidate volume per shingle bucket falls from
-    # p_long(a)*p_long(b) to p_idx(a)*p_long(b) — measured on the
-    # skew fixture in PERF.md r10. Sides are oriented by (size,
+    # prefix. Per-bucket raw probe work falls from p_long(a)*p_long(b)
+    # to p_idx(a)*p_long(b) (~40% less indexed input; on sfskew the
+    # surviving candidate SET is unchanged — the win is join-stage
+    # compute, measured + attributed in PERF.md r10). Sides are
+    # oriented by (size,
     # doc_id) lexicographic order so every unordered pair is generated
     # exactly one way and the |A| <= |B| premise of the indexing-
     # prefix lemma holds on the a-side.
