@@ -644,3 +644,45 @@ def test_corpus_certificates_memoized_per_session(spark):
         _assert_shingle_hash_injective(poisoned, corpus_key="/elsewhere")
     with pytest.raises(CapturedException):
         _assert_no_hot_shingle_bucket(poisoned)
+
+
+def test_asymmetric_indexing_prefix_exact_boundary_pair(spark, tmp_path):
+    """Triple-boundary pin for the r10 asymmetric indexing prefix
+    (every bound EXACTLY tight, so any off-by-one loses the pair):
+
+    A = u1 u2 u3 c1..c16 and B = v1 v2 v3 c1..c16 (19 tokens, 17
+    3-gram shingles each; the three u*/v* shingles are df=1 and rank
+    1-3 rarest-first, the 14 shared c-run shingles are df=2 and rank
+    4-17). Then:
+
+    * J(A,B) = 14/20 = 0.7 — exactly at the inclusive threshold;
+    * indexing prefix p_idx = 17 − ceil(14·17/17) + 1 = 4 — the FIRST
+      common shingle sits at rank 4, the LAST slot of the indexing
+      prefix (one slot shorter and the pair is unreachable);
+    * positional bound at that incidence: 1 + min(17−4, 17−4) = 14 =
+      alpha = ceil(7·34/17) — passes with zero slack;
+    * |A| = |B| → the (size, doc_id) orientation's tie branch is the
+      one exercised.
+
+    The pair must come out of BOTH exact-pair formulations with the
+    identical jaccard value."""
+    from universal_data_to_orc_converter_spark.registry import load_all_queries
+
+    a_text = "u1 u2 u3 " + " ".join(f"c{i}" for i in range(1, 17))
+    b_text = "v1 v2 v3 " + " ".join(f"c{i}" for i in range(1, 17))
+    sf = _write_documents(spark, tmp_path, [a_text, b_text, "filler doc here"])
+
+    q = load_all_queries()
+    plain = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in q["op_dedup_ngram_jaccard"].fn(spark, sf).collect()
+    }
+    pref = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in q["op_dedup_jaccard_prefix"].fn(spark, sf).collect()
+    }
+    assert (0, 1) in plain and abs(plain[(0, 1)] - 0.7) < 1e-12
+    assert pref == plain, (
+        "prefix-filtered op lost or altered the exact-boundary pair: "
+        f"{pref} vs {plain}"
+    )
