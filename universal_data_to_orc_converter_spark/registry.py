@@ -92,71 +92,74 @@ def query(
 #: A separate lag guard (tests/test_staleness_budget.py) fails if the
 #: window ever falls MORE than one round behind the ledger, so the
 #: rotation still cannot be skipped.
-WINDOW_ROUND: int = 10
+WINDOW_ROUND: int = 11
 
 DRIVER_PRIORITY: tuple[str, ...] = (
     # headline flagship — always in the window
     "flagship_revenue_by_nation",
     # (b) modified after their latest green row (defensive re-seats per
-    # TODO_r10 #1): op_text_repetition/op_span_corruption picked up the
-    # r9 token-array materialization; op_dedup_embedding_cell /
-    # op_sim_ann_ivf / op_sim_ann_ivfpq picked up the _unit_vectors norm
-    # materialization (re-fixed this round via textprep.let after the r9
-    # attempt was found to be optimizer-inlined away — see ADVICE r9).
-    "op_text_repetition",
+    # TODO_r11 #1 + VERDICT r10 #2): op_dedup_jaccard_prefix picked up
+    # the r10 asymmetric-indexing-prefix join; op_dedup_ngram_jaccard
+    # picked up the r10 hot-bucket refusal guard (returned plan
+    # unchanged, seated defensively); op_dedup_embedding_cell picks up
+    # the r11 data-adaptive n_cells + row-chunked GEMM kernel (the r10
+    # verdict's one `weak`). Seating embedding_cell displaces one
+    # r6-stale name (op_bpe_pair_counts → r12), the swap the verdict
+    # explicitly allowed — documented in COVERAGE.md's r11 entry.
+    "op_dedup_jaccard_prefix",
+    "op_dedup_ngram_jaccard",
     "op_dedup_embedding_cell",
-    "op_sim_ann_ivf",
-    "op_sim_ann_ivfpq",
-    "op_span_corruption",
-    # (c1) the 14 r4-stale MUST-seats (budget floor at r10 is r5;
-    # op_span_corruption already seated above as a modified re-seat).
-    "op_doc_rarity",
-    "op_udaf",
-    "op_win_topk_group",
-    "op_str_funcs",
-    "op_map_funcs",
-    "op_stream_availablenow",
-    "op_stream_watermark",
-    "op_stream_dedup",
-    "op_stream_stateful",
-    "op_stream_interval_join",
-    "op_sessionize",
-    "op_stream_cdc_upsert",
-    "op_stream_cdc_delete",
-    # (c2) 31 of the 48 r5-stale names by registration order; the other
-    # 17 overflow to r11 where the floor rises to r6 and they MUST seat
-    # (see TODO_r11 window math).
-    "op_row_count",
-    "op_agg_count_distinct",
-    "op_agg_rollup",
-    "op_agg_cube",
-    "op_agg_gsets",
-    "op_agg_conditional",
-    "op_agg_listagg",
-    "op_agg_bitwise",
-    "op_grouped_sample",
-    "op_dedup_minhash_lsh",
-    "op_dedup_url_canonical",
-    "op_jsonl_corrupt_scan",
-    "op_compact_small_files",
-    "op_xml_roundtrip",
-    "op_join_outer",
-    "op_join_semi",
-    "op_join_range_bucketized",
-    "op_join_nullsafe",
-    "op_tpch_q4_order_priority",
-    "op_tpch_q14_promo_share",
-    "op_tpch_q19_disjunctive",
-    "op_snapshot_diff",
-    "op_multimodal_audio",
-    "op_select_star",
-    "op_union_distinct",
-    "op_except",
-    "op_embedding_quantize",
-    "op_limit_offset",
-    "op_subquery_correlated",
-    "op_lang_id",
-    "op_tpch_q5_local_supplier",
+    # (c1) the 17 r5-stale MUST-seats (budget floor at r11 is r6; the
+    # overflow listed in COVERAGE.md's r10 entry).
+    "op_tpch_q6_forecast_revenue",
+    "op_tpch_q2_min_cost_supplier",
+    "op_tpch_q8_market_share",
+    "op_tpch_q9_product_profit",
+    "op_tpch_q11_important_stock",
+    "op_tpch_q15_top_supplier",
+    "op_tpch_q16_parts_supplier",
+    "op_tpch_q20_part_promotion",
+    "op_tpch_q21_waiting_supplier",
+    "op_tpch_q22_global_sales",
+    "op_cogroup_asof",
+    "op_regexp",
+    "op_posexplode_outer",
+    "op_win_time_range",
+    "op_stream_static_join",
+    "op_stream_sessionize",
+    "op_stream_update_counts",
+    # (c2) 29 of the 49 r6-stale names by registration order; the other
+    # 20 overflow to r12 where the floor rises to r7 and they MUST seat
+    # (r12 ≈ 1 + 20 + 29 of 48 r7-stale — see TODO_r12 window math).
+    "op_agg_grouping_id",
+    "op_skew_profile",
+    "op_winsorize",
+    "op_agg_bucketed_no_shuffle",
+    "op_rank_fusion",
+    "op_ab_test",
+    "op_trend_slope",
+    "op_event_transitions",
+    "op_stratified_sample",
+    "op_pagerank",
+    "op_graph_triangles",
+    "op_partition_pruned_join",
+    "op_federated_join",
+    "op_join_fuzzy_blocked",
+    "op_embedding_covariance",
+    "op_pca_project",
+    "op_kmeans",
+    "op_incremental_distinct_maintain",
+    "op_incremental_file_ingest",
+    "op_quality_audit",
+    "op_observed_metrics",
+    "op_manifest_audit",
+    "op_multimodal_meta",
+    "op_filter",
+    "op_surrogate_key",
+    "op_union_all",
+    "op_sort",
+    "op_subquery_scalar",
+    "op_doc_chunk",
 )
 
 #: Names registered AFTER this round's DRIVER_PRIORITY was pinned that
@@ -165,11 +168,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: driver-verified in a prior round's CORRECTNESS file, or (3) listed
 #: here — tests/test_registry_order.py fails otherwise, so a
 #: post-freeze registration can never again be silently unverified
-#: (r4 accumulated 14 such names before this gate existed). Rounds 9
-#: and 10 registered zero new names (depth over breadth — capacity
-#: budget 258/295), so the set is empty; new r10 registrations would
-#: accumulate here and get first-in-line priority for the r11 rotation.
-BELOW_FOLD_R10: frozenset[str] = frozenset()
+#: (r4 accumulated 14 such names before this gate existed). Rounds 9,
+#: 10 and 11 registered zero new names (depth over breadth — capacity
+#: budget 258/295), so the set is empty; new r11 registrations would
+#: accumulate here and get first-in-line priority for the r12 rotation.
+BELOW_FOLD_R11: frozenset[str] = frozenset()
 
 
 def load_all_queries() -> dict[str, QuerySpec]:
