@@ -56,6 +56,7 @@ def main() -> int:
 
     from universal_data_to_orc_converter_spark.plans.inspect import (
         expr_inside_lambda,
+        lambda_spans,
     )
     from universal_data_to_orc_converter_spark.registry import (
         load_all_queries,
@@ -71,6 +72,7 @@ def main() -> int:
     t0 = time.time()
     hits: list[tuple[str, str]] = []
     errs: list[tuple[str, str]] = []
+    warns: list[tuple[str, int]] = []
     specs = load_all_queries()
     for name, spec in specs.items():
         try:
@@ -82,14 +84,28 @@ def main() -> int:
         for nd in NEEDLES:
             if expr_inside_lambda(plan, nd) and (name, nd) not in ALLOWLIST:
                 hits.append((name, nd))
+        # ADVICE r10: a span cut at end-of-line with depth>0 was NOT
+        # fully scanned (cached-subtree printers elide field lists) —
+        # report it instead of silently treating the remainder as
+        # clean. WARN, not ERR: op_dedup_clusters' cached label-prop
+        # plan legitimately truncates; a hit hiding in a truncated
+        # remainder would need the needle to survive the printer's
+        # elision anyway, so the warn is the audit trail.
+        n_trunc = sum(1 for _, t in lambda_spans(plan) if t)
+        if n_trunc:
+            warns.append((name, n_trunc))
     print(
         f"hof-inlining census: {len(specs)} queries in "
-        f"{time.time() - t0:.0f}s, {len(hits)} hits, {len(errs)} errors"
+        f"{time.time() - t0:.0f}s, {len(hits)} hits, {len(errs)} errors, "
+        f"{len(warns)} queries with truncated spans"
     )
     for name, nd in hits:
         print(f"  HIT {name}: {nd} inside a lambdafunction")
     for name, msg in errs:
         print(f"  ERR {name}: {msg}")
+    for name, k in warns:
+        print(f"  WARN {name}: {k} truncated lambdafunction span(s) "
+              f"(remainder unscanned — cached-subtree printer)")
     return 1 if (hits or errs) else 0
 
 

@@ -613,6 +613,7 @@ def test_corpus_certificates_memoized_per_session(spark):
         _CORPUS_CERTS,
         _assert_no_hot_shingle_bucket,
         _assert_shingle_hash_injective,
+        _corpus_fingerprint,
     )
     from universal_data_to_orc_converter_spark.operators.textprep import (
         shingles,
@@ -623,14 +624,15 @@ def test_corpus_certificates_memoized_per_session(spark):
 
     _CORPUS_CERTS.clear()
     app = spark.sparkContext.applicationId
+    fp = _corpus_fingerprint(SF_DIR)
     sh = (
         load(spark, SF_DIR, "documents")
         .select("doc_id", shingles(tokens(F.col("text"))).alias("s"))
     )
     _assert_shingle_hash_injective(sh, corpus_key=SF_DIR)
     _assert_no_hot_shingle_bucket(sh, corpus_key=SF_DIR)
-    assert (app, SF_DIR, "injective") in _CORPUS_CERTS
-    assert (app, SF_DIR, "hot_bucket") in _CORPUS_CERTS
+    assert (app, SF_DIR, fp, "injective") in _CORPUS_CERTS
+    assert (app, SF_DIR, fp, "hot_bucket") in _CORPUS_CERTS
 
     poisoned = spark.range(1).select(
         F.col("id").alias("doc_id"),
@@ -644,6 +646,83 @@ def test_corpus_certificates_memoized_per_session(spark):
         _assert_shingle_hash_injective(poisoned, corpus_key="/elsewhere")
     with pytest.raises(CapturedException):
         _assert_no_hot_shingle_bucket(poisoned)
+
+
+def test_corpus_certificate_invalidated_on_rewrite(spark, tmp_path):
+    """ADVICE r10: the certificate memo keyed on (session, path) alone
+    silently skipped the guards when a corpus was REWRITTEN at the same
+    path mid-session. The memo key now folds in a metadata fingerprint
+    (file sizes + mtimes), so: certify a corpus, rewrite the parquet at
+    the same path, and a poisoned frame handed to the guard with the
+    SAME corpus_key must still RUN (memo miss on the new fingerprint),
+    not silently pass."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import CapturedException
+
+    from universal_data_to_orc_converter_spark.operators.dedup import (
+        _assert_no_hot_shingle_bucket,
+        _corpus_fingerprint,
+    )
+    from universal_data_to_orc_converter_spark.operators.textprep import (
+        shingles,
+        tokens,
+    )
+
+    sf = _write_documents(
+        spark, tmp_path, [f"unique doc number {i} body text" for i in range(8)]
+    )
+    d = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    sh = d.select("doc_id", shingles(tokens(F.col("text"))).alias("s"))
+    fp_before = _corpus_fingerprint(sf)
+    _assert_no_hot_shingle_bucket(sh, corpus_key=sf)
+
+    # memo hit while the path's contents are unchanged
+    poisoned = spark.range(1).select(
+        F.col("id").alias("doc_id"),
+        F.array(F.raise_error("memo hit expected")).alias("s"),
+    )
+    _assert_no_hot_shingle_bucket(poisoned, corpus_key=sf)
+
+    # rewrite the corpus at the SAME path → fingerprint changes →
+    # the guard really runs again
+    _write_documents(
+        spark, tmp_path, [f"rewritten doc {i} other words" for i in range(9)]
+    )
+    assert _corpus_fingerprint(sf) != fp_before
+    with pytest.raises(CapturedException):
+        _assert_no_hot_shingle_bucket(poisoned, corpus_key=sf)
+
+    # non-local URIs fall back to bare-path memoization (documented)
+    assert _corpus_fingerprint("s3://bucket/prefix") == ""
+
+
+def test_hot_bucket_guard_escape_hatch(spark, tmp_path):
+    """ADVICE r10: the hot-bucket refusal is advisory for direct
+    callers — ``exact_jaccard_pairs(d, allow_hot_buckets=True)`` must
+    run the corpus the guard refuses (a boilerplate-heavy corpus where
+    the caller accepts the Σ bucket² cost) and return correct pairs.
+    The planted near-dup pair must surface despite the hot bucket."""
+    import pytest
+
+    from universal_data_to_orc_converter_spark.operators.dedup import (
+        _HOT_BUCKET_MIN_DF,
+        exact_jaccard_pairs,
+    )
+
+    n = _HOT_BUCKET_MIN_DF
+    docs = [f"the common refrain uniq{i} word{i % 7} tail{i}" for i in range(n)]
+    docs[3] = docs[2]  # planted exact dup → jaccard 1.0
+    _write_documents(spark, tmp_path, docs)
+    d = spark.read.parquet(str(tmp_path / "documents.parquet"))
+
+    with pytest.raises(ValueError, match="hot shingle bucket"):
+        exact_jaccard_pairs(d)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in exact_jaccard_pairs(d, allow_hot_buckets=True).collect()
+    }
+    assert (2, 3) in pairs
 
 
 def test_asymmetric_indexing_prefix_exact_boundary_pair(spark, tmp_path):

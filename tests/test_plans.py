@@ -857,3 +857,40 @@ def test_shingle_tokenization_hoisted_out_of_lambda(spark):
         "tokenization re-inlined into the per-element shingle lambda "
         "(O(tokens^2) regression): " + plan[:800]
     )
+
+
+def test_lambda_spans_flags_truncated_spans():
+    """ADVICE r10: the balanced-paren scan bounds a lambdafunction span
+    at end-of-line (cached-subtree printers elide field lists, leaving
+    unmatched parens); a span cut with depth>0 used to be silently
+    treated as clean. ``lambda_spans`` must now FLAG it so the census
+    can report the unscanned remainder. Pure unit test over crafted
+    plan strings — no Spark session."""
+    from universal_data_to_orc_converter_spark.plans.inspect import (
+        expr_inside_lambda,
+        lambda_spans,
+    )
+
+    # balanced span on one line: complete, not truncated
+    plan = "Project [transform(x, lambdafunction(y + 1, y))]"
+    spans = lambda_spans(plan)
+    assert len(spans) == 1 and spans[0] == ("lambdafunction(y + 1, y)", False)
+
+    # line ends while depth>0 (printer elision / wrapped expression):
+    # flagged truncated; the wrapped remainder is NOT scanned, so the
+    # needle on the next line does not hit — the flag is the audit
+    # trail for exactly that blind spot
+    plan = "Project [transform(x, lambdafunction(foo(y,\n  aggregate(z)), y))]"
+    spans = lambda_spans(plan)
+    assert len(spans) == 1
+    assert spans[0][1] is True, spans
+    assert not expr_inside_lambda(plan, "aggregate(")
+
+    # two spans, one of each kind; needle inside the complete one hits
+    plan = (
+        "Filter [transform(a, lambdafunction(aggregate(a, 0, acc), v))]\n"
+        "   +- InMemoryRelation [transform(b, lambdafunction(trunc(\n"
+    )
+    spans = lambda_spans(plan)
+    assert [t for _, t in spans] == [False, True]
+    assert expr_inside_lambda(plan, "aggregate(")

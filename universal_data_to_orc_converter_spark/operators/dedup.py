@@ -130,14 +130,28 @@ def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_jaccard_pairs(d, corpus_key=sf_dir)
 
 
-def exact_jaccard_pairs(d: DataFrame, corpus_key: str | None = None) -> DataFrame:
+def exact_jaccard_pairs(
+    d: DataFrame,
+    corpus_key: str | None = None,
+    allow_hot_buckets: bool = False,
+) -> DataFrame:
     """The op_dedup_ngram_jaccard core over any (doc_id, text) frame —
     factored so the hot-bucket guard can be exercised on crafted
-    corpora (tests/test_dedup_content.py)."""
+    corpora (tests/test_dedup_content.py).
+
+    ``allow_hot_buckets=True`` is the documented escape hatch (ADVICE
+    r10): the hot-bucket refusal is ADVISORY for direct callers who
+    accept the Σ bucket² cost on a boilerplate-heavy corpus (e.g. a
+    bounded slice where exact pairs are worth a quadratic bucket) —
+    the guard exists to stop the ACCIDENTAL quadratic run, not to make
+    the exact tier unreachable. The registered query keeps the guard
+    on: the driver's fixture corpora are healthy, and the refusal
+    names the scale-safe tiers."""
     sh = d.select(
         "doc_id", shingles(tokens(F.col("text"))).alias("s")
     )
-    _assert_no_hot_shingle_bucket(sh, corpus_key=corpus_key)
+    if not allow_hot_buckets:
+        _assert_no_hot_shingle_bucket(sh, corpus_key=corpus_key)
     ex = sh.select("doc_id", F.explode("s").alias("shingle"))
     a, b = ex.alias("a"), ex.alias("b")
     cand = (
@@ -1036,10 +1050,46 @@ def op_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: exact-pair ops are constructed over the same fixture dir (r9 advice:
 #: op_dedup_jaccard_prefix + op_dedup_containment used to run the
 #: injectivity certificate twice over the same vocabulary).
-#: The key treats the corpus at a path as IMMUTABLE for the session —
-#: true of the fixture dirs the registered ops read; code that
-#: rewrites a path's contents mid-session must pass corpus_key=None.
-_CORPUS_CERTS: set[tuple[str, str, str]] = set()
+#: The memo key folds in a metadata fingerprint of the path's contents
+#: (file sizes + mtimes — ADVICE r10), so a corpus REWRITTEN at the
+#: same local path mid-session re-certifies instead of silently
+#: skipping the guards. Remote URIs (no os.stat) fall back to the bare
+#: path and keep the original immutable-for-the-session contract;
+#: code that rewrites such a path mid-session must pass
+#: corpus_key=None.
+_CORPUS_CERTS: set[tuple[str, str, str, str]] = set()
+
+
+def _corpus_fingerprint(path: str) -> str:
+    """Metadata fingerprint of a LOCAL corpus path: blake2b over the
+    sorted (relpath, size, mtime_ns) of every file under it. Driver-
+    side listing only — the same metadata scan Spark's file index does
+    on every read, so bounded at the same scale. Non-local or
+    unstattable paths return "" (bare-path memoization)."""
+    import hashlib
+    import os
+
+    h = hashlib.blake2b(digest_size=8)
+    try:
+        if os.path.isfile(path):
+            st = os.stat(path)
+            h.update(f".:{st.st_size}:{st.st_mtime_ns}".encode())
+        elif os.path.isdir(path):
+            for root, dirs, files in os.walk(path):
+                dirs.sort()
+                for fn in sorted(files):
+                    p = os.path.join(root, fn)
+                    try:
+                        st = os.stat(p)
+                    except OSError:
+                        continue
+                    rel = os.path.relpath(p, path)
+                    h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
+        else:
+            return ""
+    except OSError:
+        return ""
+    return h.hexdigest()
 
 
 def _cert_memo(sh, kind: str, corpus_key: str | None):
@@ -1048,7 +1098,7 @@ def _cert_memo(sh, kind: str, corpus_key: str | None):
     if corpus_key is None:
         return False, lambda: None
     app = sh.sparkSession.sparkContext.applicationId
-    key = (app, corpus_key, kind)
+    key = (app, corpus_key, _corpus_fingerprint(corpus_key), kind)
     return key in _CORPUS_CERTS, lambda: _CORPUS_CERTS.add(key)
 
 

@@ -104,12 +104,28 @@ def expr_inside_lambda(plan: str, needle: str) -> bool:
     TRUNCATES long field lists — an unmatched paren there would make
     the span swallow unrelated lines (observed: a 415 kB "span" over
     op_dedup_clusters' cached label-prop plan flagging the tokenize
-    split as in-lambda when it is not)."""
+    split as in-lambda when it is not). A span cut at end-of-line with
+    depth>0 is therefore possible — use ``lambda_spans`` to SEE those
+    truncations instead of silently treating the remainder as clean
+    (ADVICE r10: the census reports them)."""
+    return any(needle in span for span, _ in lambda_spans(plan))
+
+
+def lambda_spans(plan: str) -> list[tuple[str, bool]]:
+    """All ``lambdafunction(...)`` spans of a plan string as
+    (span_text, truncated) pairs. ``truncated=True`` means the
+    balanced-paren scan hit end-of-line with depth>0 — either the plan
+    printer elided a long field list (cached InMemoryRelation
+    subtrees, the normal case) or a future printer wrapped the
+    expression; either way the remainder of that span was NOT scanned,
+    so callers that must not miss a needle (the HOF-inlining census)
+    can surface the truncation rather than assume clean."""
+    spans: list[tuple[str, bool]] = []
     start = 0
     while True:
         i = plan.find("lambdafunction(", start)
         if i == -1:
-            return False
+            return spans
         j = i + len("lambdafunction(")
         depth = 1
         while j < len(plan) and depth and plan[j] != "\n":
@@ -118,6 +134,5 @@ def expr_inside_lambda(plan: str, needle: str) -> bool:
             elif plan[j] == ")":
                 depth -= 1
             j += 1
-        if needle in plan[i:j]:
-            return True
+        spans.append((plan[i:j], depth > 0))
         start = i + 1
