@@ -495,7 +495,16 @@ def ivf_topk(
     vec_id < n_query), exact cosine within probed cells, top-k. Shared
     by op_sim_ann_ivf (fixture corpus) and the clustered-corpus recall
     test in tests/test_quality.py — same code path, different data
-    regime."""
+    regime.
+
+    ``n_cells`` stays an EXPLICIT caller knob here (unlike
+    op_dedup_embedding_cell, which derives ⌈√n⌉ via
+    `_adaptive_n_cells`): for SEARCH, recall is set by the FRACTION
+    of cells probed (n_probe/n_cells), so the two knobs must be
+    calibrated jointly — silently growing n_cells with the corpus
+    while n_probe stays put would quietly collapse recall. Callers
+    scaling the corpus should scale both (√n cells with √n-
+    proportional n_probe is the standard operating point)."""
     from pyspark.sql import Window as W
 
     par = spark.sparkContext.defaultParallelism
@@ -596,6 +605,8 @@ def ivfpq_topk(
 ) -> DataFrame:
     """IVF-PQ search core over any (vec_id, embedding) frame — shared
     by op_sim_ann_ivfpq and the clustered-corpus recall test.
+    ``n_cells``/``n_probe`` are joint caller knobs (see ivf_topk's
+    docstring for why search does NOT auto-derive cell count).
     ``rerank_factor`` sizes the exact-re-rank shortlist
     (rerank_factor * top_k): the knob that trades ADC distortion for
     re-rank cost — tightly-clustered corpora need a deeper shortlist
