@@ -371,7 +371,15 @@ def _block_top1_chunked(pdf, _chunk_elems: int):
     change the result: argmax is per-row, and within a row numpy's
     argmax picks the FIRST max — the smallest index, hence the
     smallest vec_id after the sort — identically in every chunk
-    width; asserted by the forced-chunking equivalence test)."""
+    width; asserted by the forced-chunking equivalence test).
+
+    Residual bound, stated honestly: a task still holds the block's
+    VECTORS (|block|·dim doubles) — O(√n·dim) expected under the
+    ⌈√n⌉-cell blocking, and the Arrow batch carries them in anyway.
+    If a pathologically hot cell ever makes that the binding term,
+    the next lever is a sub-block equi-join (row-chunks × full cell
+    as separate tasks, argmax-merged by the existing downstream
+    window) — a plan change, noted here so it isn't re-derived."""
     import numpy as np
     import pandas as pd
 
