@@ -947,6 +947,54 @@ def test_adaptive_n_cells_scales_with_corpus():
     assert _adaptive_n_cells(500_000) == 708
 
 
+def test_embedding_cell_survives_a_hot_cell(spark, tmp_path):
+    """The ADVICE r10 skew scenario end-to-end: a corpus the quantizer
+    CANNOT balance. With every vector an EXACT copy of one direction,
+    all k-means centers coincide, every cell score ties, and the
+    deterministic (score desc, cell asc) tie-break piles ALL vectors
+    into the same two assigned cells — one block of n, the worst case
+    the old unchunked kernel would have scored as a full n² matrix
+    (9M doubles here, over the 2²¹ chunk budget → the multi-chunk
+    path runs INSIDE the op, not just in the kernel unit test). Must
+    return one row per vector: NN cosine exactly 1, smallest-id
+    tie-break (vec 0's NN is 1, everyone else's is 0), all is_dup."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=16)
+    base /= np.linalg.norm(base)
+    n = 3000  # |block|² = 9M doubles > the 2²¹ chunk budget → multi-chunk
+    vecs = np.tile(base, (n, 1))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype="int64"),
+            "embedding": [list(map(float, v)) for v in vecs],
+            "label": np.int32(np.zeros(n)),
+        }
+    )
+    sdf = spark.createDataFrame(pdf).selectExpr(
+        "CAST(vec_id AS BIGINT) vec_id",
+        "CAST(embedding AS ARRAY<FLOAT>) embedding",
+        "CAST(label AS INT) label",
+    )
+    sdf.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    rows = (
+        q_dir("op_dedup_embedding_cell", spark, str(tmp_path))
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(rows) == n  # one row per vector, none lost to the split
+    assert (rows["nn_cos"] > 1 - 1e-9).all()
+    assert rows["is_dup"].all()
+    # smallest-id argmax tie-break, preserved across chunks
+    assert rows.loc[0, "nn_vec_id"] == 1
+    assert (rows.loc[1:, "nn_vec_id"] == 0).all()
+
+
 def test_embedding_cell_op_wires_the_adaptive_derivation(
     spark, monkeypatch
 ):
