@@ -922,7 +922,73 @@ def test_cell_block_gemm_chunking_is_bounded_and_lossless():
     one_chunk = _block_top1_chunked(pdf, 1 << 30)
     for budget in (1, 50, 137):  # chunk = 1, 1, 2 rows at n=50
         chunked = _block_top1_chunked(pdf, budget)
-        pd.testing.assert_frame_equal(chunked, one_chunk)
+        # ids exactly; scores to ulp tolerance (different chunk shapes
+        # take different BLAS paths — the kernel's documented contract)
+        pd.testing.assert_series_equal(
+            chunked["nn_vec_id"], one_chunk["nn_vec_id"]
+        )
+        np.testing.assert_allclose(
+            chunked["nn_cos"], one_chunk["nn_cos"], rtol=0, atol=1e-12
+        )
+
+
+def test_cell_block_chunking_property():
+    """Property form of the forced-chunking equivalence (hypothesis):
+    for ANY block — arbitrary sizes, dims, duplicate vectors (exact
+    ties), shuffled ids — and ANY chunk budget, the chunked kernel
+    selects the SAME neighbor as the single-chunk kernel, with scores
+    equal to ulp tolerance. Catches chunk-boundary arithmetic the
+    fixed-seed test can't sweep (n % chunk == 0 edges, budget == n,
+    1-row final chunks). This test originally FOUND a real defect: a
+    raw argmax's tie-break depended on chunk width because BLAS
+    kernels for different chunk shapes compute the same logical dot
+    to different last-ulp values (GEMV vs GEMM, 5.5e-17 apart on an
+    exact-duplicate pair) — fixed with the epsilon-tolerant argmax
+    (_ARGMAX_TIE_EPS). Scores are compared with tolerance, ids
+    exactly: that asymmetry IS the kernel's contract."""
+    import numpy as np
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from universal_data_to_orc_converter_spark.operators.similarity import (
+        _block_top1_chunked,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        n=st.integers(min_value=2, max_value=40),
+        dim=st.integers(min_value=1, max_value=9),
+        n_dupes=st.integers(min_value=0, max_value=6),
+        budget=st.integers(min_value=1, max_value=2000),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(n, dim, n_dupes, budget, seed):
+        rng = np.random.default_rng(seed)
+        vecs = rng.normal(size=(n, dim))
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        vecs /= norms[:, None]
+        for _ in range(min(n_dupes, n - 1)):
+            i, j = rng.integers(0, n, size=2)
+            vecs[i] = vecs[j].copy()  # plant exact ties
+        pdf = pd.DataFrame(
+            {
+                "vec_id": rng.permutation(n).astype("int64"),
+                "u": [list(map(float, v)) for v in vecs],
+            }
+        )
+        one = _block_top1_chunked(pdf, 1 << 30)
+        chunked = _block_top1_chunked(pdf, budget)
+        pd.testing.assert_series_equal(chunked["vec_id"], one["vec_id"])
+        pd.testing.assert_series_equal(
+            chunked["nn_vec_id"], one["nn_vec_id"]
+        )
+        np.testing.assert_allclose(
+            chunked["nn_cos"], one["nn_cos"], rtol=0, atol=1e-12
+        )
+
+    check()
 
 
 def test_adaptive_n_cells_scales_with_corpus():

@@ -342,6 +342,18 @@ def _ivf_index(
 #: concentrates the corpus.
 _GEMM_CHUNK_ELEMS: int = 1 << 21
 
+#: Argmax tie tolerance for the block kernel. BLAS kernels for
+#: different chunk shapes compute the SAME logical dot product to
+#: different last-ulp values (measured: a 1-row GEMV and the full GEMM
+#: disagree by 5.5e-17 on an exact-duplicate pair — found by the
+#: hypothesis property test, tests/test_quality.py::
+#: test_cell_block_chunking_property), so a raw argmax's tie-break
+#: would depend on chunk width. Scores within this band of the row max
+#: are treated as tied and broken to the SMALLEST index. 1e-9 sits far
+#: above kernel summation noise (~dim·ulp ≈ 1e-13 at dim 256) and far
+#: below any meaningful cosine distinction.
+_ARGMAX_TIE_EPS: float = 1e-9
+
 
 def _gemm_chunk_rows(n: int, budget: int = _GEMM_CHUNK_ELEMS) -> int:
     """Rows per GEMM chunk so one chunk's (rows × n) score matrix holds
@@ -367,11 +379,18 @@ def _block_top1_chunked(pdf, _chunk_elems: int):
     nn_vec_id, matching the window's (nn_cos desc, nn_vec_id asc)
     order. The product runs in row chunks of ``_gemm_chunk_rows(n)``
     with a running per-row argmax, so peak task memory is bounded by
-    ``_chunk_elems`` doubles instead of |block|² (chunking cannot
-    change the result: argmax is per-row, and within a row numpy's
-    argmax picks the FIRST max — the smallest index, hence the
-    smallest vec_id after the sort — identically in every chunk
-    width; asserted by the forced-chunking equivalence test).
+    ``_chunk_elems`` doubles instead of |block|².
+
+    The per-row selection is an EPSILON-TOLERANT argmax (scores within
+    ``_ARGMAX_TIE_EPS`` of the row max tie-break to the smallest
+    index, hence smallest vec_id after the sort): a raw argmax's
+    tie-break would depend on chunk width, because BLAS kernels for
+    different chunk shapes compute the same logical dot to different
+    last-ulp values (see _ARGMAX_TIE_EPS). With the tolerant form the
+    SELECTED neighbor is identical in every chunk width (hypothesis
+    property test + forced-chunking equivalence test); the reported
+    score can still carry the kernel's last-ulp — compare with
+    tolerance, not bytes.
 
     Residual bound, stated honestly: a task still holds the block's
     VECTORS (|block|·dim doubles) — O(√n·dim) expected under the
@@ -399,7 +418,9 @@ def _block_top1_chunked(pdf, _chunk_elems: int):
         hi = min(lo + chunk, n)
         S = U[lo:hi] @ U.T  # (hi-lo) × n ≤ _chunk_elems doubles
         S[np.arange(hi - lo), np.arange(lo, hi)] = -np.inf  # self
-        b = S.argmax(axis=1)
+        m = S.max(axis=1)
+        # first column within eps of the row max = smallest tied index
+        b = (S >= (m - _ARGMAX_TIE_EPS)[:, None]).argmax(axis=1)
         best_idx[lo:hi] = b
         best_cos[lo:hi] = S[np.arange(hi - lo), b]
     return pd.DataFrame(
