@@ -33,7 +33,10 @@ def ref_simhash(text: str) -> int:
     """Reference SimHash in plain Python ints: majority vote per bit
     over the DISTINCT splitmix64-mixed 3-gram shingle hashes; <3-token
     docs fold all token hashes into one whole-document shingle."""
-    th = [_tokhash(t) for t in text.lower().split()]
+    # token spec = textprep.tokens: literal-space split, empties
+    # dropped (NOT \s+ — the Arrow kernel was realigned to the exact
+    # tier's tokenizer in r11)
+    th = [_tokhash(t) for t in text.lower().split(" ") if t != ""]
     if len(th) >= 3:
         sh = {
             _fin(((th[i] * _K1) & _M) ^ ((th[i + 1] * _K2) & _M) ^ th[i + 2])
@@ -765,3 +768,158 @@ def test_asymmetric_indexing_prefix_exact_boundary_pair(spark, tmp_path):
         "prefix-filtered op lost or altered the exact-boundary pair: "
         f"{pref} vs {plain}"
     )
+
+
+def _ref_shingle_hashes(text, distinct: bool) -> list[int]:
+    """Pure-Python reference for _shingle_hash_kernel's per-document
+    hash stream: literal-space tokens (textprep.tokens spec), blake2b
+    token hashes, splitmix64-mixed 3-grams, the <3-token order-
+    sensitive whole-document fold. distinct=True mirrors np.unique
+    (sorted set); distinct=False keeps positional order."""
+    t = (
+        [x for x in text.lower().split(" ") if x != ""]
+        if isinstance(text, str)
+        else []
+    )
+    th = [_tokhash(x) for x in t]
+    if len(th) >= 3:
+        sh = [
+            _fin(((th[i] * _K1) & _M) ^ ((th[i + 1] * _K2) & _M) ^ th[i + 2])
+            for i in range(len(th) - 2)
+        ]
+    else:
+        acc = 0xDEADBEEF
+        for v in th:
+            acc = ((acc ^ v) * _K1) & _M
+        sh = [_fin(acc)]
+    return sorted(set(sh)) if distinct else sh
+
+
+def test_arrow_shingle_kernel_matches_token_spec_property():
+    """Hypothesis sweep of the SHARED Arrow shingle-hash kernel
+    (_shingle_hash_kernel — under MinHash, SimHash and the streaming
+    incremental dedup) against _ref_shingle_hashes, over batches whose
+    docs mix literal spaces with tabs/newlines/multi-space runs and
+    unicode. Pins two contracts the fixed-doc tests cannot sweep:
+
+    1. TOKEN SPEC PARITY — the kernel splits on the LITERAL space
+       exactly like textprep.tokens. It used pandas' default
+       str.split() (\\s+) until r11: a second tokenizer that silently
+       forked the approximate tier from the exact tier it is
+       recall-tested against (this test fails on that kernel: any doc
+       with a tab collapses to the space-split hash stream).
+    2. BATCH-COMPOSITION INVARIANCE — a doc's hashes are identical
+       whether it arrives alone or surrounded by arbitrary neighbors
+       (the vectorized boundary mask / searchsorted bucketing is the
+       risk surface)."""
+    import numpy as np
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from universal_data_to_orc_converter_spark.operators.dedup import (
+        _shingle_hash_kernel,
+    )
+
+    _, _, _, doc_shingle_hashes = _shingle_hash_kernel()
+
+    piece = st.sampled_from(
+        ["a", "b", "cc", "ddd", "W0", "àé", "一二", "x\ty", "p\nq"]
+    )
+    sep = st.sampled_from([" ", "  ", "   ", "\t", "\n", " \t "])
+    doc = st.one_of(
+        st.none(),
+        st.builds(
+            lambda parts, seps, lead, trail: lead
+            + "".join(p + s for p, s in zip(parts, seps + [""]))
+            + trail,
+            st.lists(piece, min_size=0, max_size=8),
+            st.lists(sep, min_size=0, max_size=7),
+            st.sampled_from(["", " ", "\t"]),
+            st.sampled_from(["", " ", "\n"]),
+        ).map(
+            # zip() above truncates to the shorter list; rebuild with
+            # exactly len(parts)-1 separators is overkill — any
+            # resulting string is a valid adversarial doc
+            lambda s: s
+        ),
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(docs=st.lists(doc, min_size=1, max_size=6))
+    def check(docs):
+        pdf = pd.DataFrame({"text": pd.Series(docs, dtype="object")})
+        for distinct in (True, False):
+            got = doc_shingle_hashes(pdf, distinct)
+            for i, d in enumerate(docs):
+                assert [int(v) for v in got[i]] == _ref_shingle_hashes(
+                    d, distinct
+                ), (i, repr(d), distinct)
+        # batch-composition invariance (distinct=False keeps order,
+        # the stricter form)
+        for i, d in enumerate(docs):
+            solo = doc_shingle_hashes(
+                pd.DataFrame({"text": pd.Series([d], dtype="object")}),
+                False,
+            )[0]
+            batch = doc_shingle_hashes(pdf, False)[i]
+            assert np.array_equal(solo, batch), (i, repr(d))
+
+    check()
+
+
+def test_minhash_tier_tokenizes_like_exact_tier_on_raw_text(
+    spark, tmp_path
+):
+    """Cross-TIER token-spec consistency on raw (tab/newline) text:
+    the Arrow kernel's distinct shingle COUNT and pairwise
+    intersection STRUCTURE must equal the exact tier's
+    shingles(tokens(text)) on docs where \\s+ and literal-space
+    tokenization disagree. Values aren't comparable across tiers
+    (string shingles vs blake2b/splitmix hashes — injectivity is
+    certified separately), so compare set sizes and the
+    equality/overlap relations. Failed before the r11 kernel
+    realignment: doc 0 and doc 1 hashed identically in the
+    approximate tier while the exact tier kept them distinct."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from universal_data_to_orc_converter_spark.operators.dedup import (
+        _shingle_hash_kernel,
+    )
+    from universal_data_to_orc_converter_spark.operators.textprep import (
+        shingles,
+        tokens,
+    )
+
+    docs = [
+        "a\tb c d e",        # tab glues "a\tb" into ONE token
+        "a b c d e",         # the \s+ collapse of doc 0 — must differ
+        "p\nq r s",          # newline glues "p\nq"
+        "p q r s",
+        "x  y   z w",        # multi-space runs: SAME tokens both ways
+        "x y z w",
+    ]
+    sf = _write_documents(spark, tmp_path, docs)
+    exact = {
+        r["doc_id"]: set(r["s"])
+        for r in spark.read.parquet(str(tmp_path / "documents.parquet"))
+        .select("doc_id", shingles(tokens(F.col("text"))).alias("s"))
+        .collect()
+    }
+    _, _, _, doc_shingle_hashes = _shingle_hash_kernel()
+    approx = {
+        i: set(int(v) for v in h)
+        for i, h in enumerate(
+            doc_shingle_hashes(pd.DataFrame({"text": docs}), True)
+        )
+    }
+    assert set(exact) == set(approx)
+    ids = sorted(exact)
+    for i in ids:
+        assert len(exact[i]) == len(approx[i]), (i, docs[i])
+        for j in ids:
+            if i < j:
+                assert len(exact[i] & exact[j]) == len(
+                    approx[i] & approx[j]
+                ), (i, j)

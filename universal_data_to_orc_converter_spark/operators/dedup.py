@@ -225,9 +225,21 @@ def _shingle_hash_kernel():
         import pandas as pd
 
         n = len(pdf)
-        toks = pdf["text"].str.lower().str.split()
-        lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
-        codes, uniques = pd.factorize(toks.explode().dropna().to_numpy())
+        # literal-space split + empty-drop: the SAME token spec as
+        # textprep.tokens (filter(split(lower(text), ' '), x != '')).
+        # pandas' default str.split() is \s+ — a SECOND tokenizer that
+        # diverged from the exact tier on tabs/newlines (same class as
+        # the textprep review finding; fixture text is single-space so
+        # no current hash changes, but a raw-text corpus would have
+        # split the approximate tier from the exact tier it is
+        # recall-tested against).
+        ex = pdf["text"].str.lower().str.split(" ").reset_index(drop=True).explode()
+        keep = ex.notna() & (ex != "")
+        # doc position per kept token, in document order (explode
+        # preserves order; the reset index IS the batch position)
+        docidx = ex.index.to_numpy()[keep.to_numpy()]
+        lens = np.bincount(docidx, minlength=n).astype(np.int64)
+        codes, uniques = pd.factorize(ex[keep].to_numpy())
         # hash only the batch's unique tokens in Python; everything
         # per-occurrence is a numpy gather
         uh = np.fromiter(
@@ -243,7 +255,6 @@ def _shingle_hash_kernel():
         th = uh[codes] if len(codes) else np.empty(0, np.uint64)
         offs = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(lens, out=offs[1:])
-        docidx = np.repeat(np.arange(n), lens)
         # 3-gram shingle hash at every position not crossing a
         # document boundary
         if len(th) >= 3:
