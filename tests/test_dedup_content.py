@@ -599,6 +599,28 @@ def test_hot_bucket_guard_fires_on_skewed_corpus_and_passes_fixture(
     assert out.count() >= 0
 
 
+def test_hot_bucket_guard_propagates_through_split_contamination(
+    spark, tmp_path
+):
+    """TODO_r12 stretch (c): op_split_contamination COMPOSES the
+    guarded plain-Jaccard pair graph, so a hot-shingle corpus that
+    would make the composed audit quadratic must be refused at
+    construction with the same prescriptive error — the guard is not
+    bypassable by reaching the inverted index through a wrapper op."""
+    import pytest
+
+    from universal_data_to_orc_converter_spark.operators.dedup import (
+        _HOT_BUCKET_MIN_DF,
+    )
+    from universal_data_to_orc_converter_spark.registry import load_all_queries
+
+    n = _HOT_BUCKET_MIN_DF
+    docs = [f"the common refrain uniq{i} word{i % 7} tail{i}" for i in range(n)]
+    sf = _write_documents(spark, tmp_path, docs)
+    with pytest.raises(ValueError, match="hot shingle bucket"):
+        load_all_queries()["op_split_contamination"].fn(spark, sf)
+
+
 def test_corpus_certificates_memoized_per_session(spark):
     """r9 advice: constructing BOTH exact-pair ops over the same
     corpus must run the (eager, full-tokenize) injectivity certificate
