@@ -1095,3 +1095,89 @@ def test_embedding_cell_op_wires_the_adaptive_derivation(
     n_vecs = out.count()  # one output row per vector
     assert seen["n"] == n_vecs, seen
     assert seen["index_cells"] == seen["cells"] == real_adapt(n_vecs), seen
+
+
+# ---------------------------------------------------------------------------
+# winnowing differential (rows-only op: this is its only value gate)
+# ---------------------------------------------------------------------------
+
+
+def _winnow_reference(text):
+    """Independent re-derivation of the op_doc_winnow spec with a
+    DIRECT per-window polynomial hash (no rolling update) — the
+    kernel's rolling subtract/shift arithmetic is exactly the part a
+    differential can falsify. K=5-gram base-31 hashes mod 2^61-1,
+    min per W=8 window, plus the short-doc rule (0 < n_hashes < W
+    emits the global min)."""
+    K, W, MOD = 5, 8, (1 << 61) - 1
+    t = " ".join((text or "").lower().split())
+    hashes = [
+        sum(
+            ord(c) * pow(31, K - 1 - j, MOD)
+            for j, c in enumerate(t[i : i + K])
+        )
+        % MOD
+        for i in range(len(t) - K + 1)
+    ]
+    fps = set()
+    if 0 < len(hashes) < W:
+        fps.add(min(hashes))
+    for i in range(len(hashes) - W + 1):
+        fps.add(min(hashes[i : i + W]))
+    return fps
+
+
+def test_doc_winnow_matches_direct_hash_reference(spark, tmp_path):
+    """op_doc_winnow vs the direct-hash reference on a corpus crafted
+    around the arithmetic's edges: empty/null/whitespace-only text,
+    docs below/at/just-above the K=5 gram width, exactly one window,
+    repeated characters (rolling subtraction cancels to the same
+    value repeatedly), astral-plane unicode (large ord() terms), and
+    a long mixed doc (hundreds of windows)."""
+    import pandas as pd
+
+    docs = [
+        "",  # no hashes -> no rows
+        None,  # null text must behave as ""
+        "   \t  ",  # whitespace-only normalizes to ""
+        "abc",  # shorter than K -> no rows
+        "abcde",  # exactly K -> one hash, short-doc rule
+        "abcdef",  # two hashes, still < W
+        "abcde fghij",  # 11 normalized chars -> 7 hashes = W - 1
+        "abcde fghijk",  # 12 chars -> 8 hashes = exactly one window
+        "aaaaaaaaaaaaaaaaaaaa",  # constant rolling hash
+        "ababababababababab",  # period-2 rolling hash
+        "😀😀😀😀😀 big 𝟘rd values 😀😀",  # astral-plane code points
+        "MiXeD   CaSe\tand   runs  of   whitespace HERE",
+        " ".join(f"w{(i * 7919) % 401}" for i in range(200)),  # long doc
+        " ".join("tok%d" % (i % 5) for i in range(64)),  # repetitive doc
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(len(docs))),
+            "text": docs,
+            "lang": ["en"] * len(docs),
+            "source": ["test"] * len(docs),
+            "n_chars": [len(d or "") for d in docs],
+        }
+    )
+    df = spark.createDataFrame(pdf).selectExpr(
+        "CAST(doc_id AS BIGINT) doc_id",
+        "text",
+        "lang",
+        "source",
+        "CAST(n_chars AS BIGINT) n_chars",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    got = {}
+    for r in q_dir("op_doc_winnow", spark, str(tmp_path)).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    want = {
+        i: _winnow_reference(d)
+        for i, d in enumerate(docs)
+        if _winnow_reference(d)
+    }
+    assert got == want
