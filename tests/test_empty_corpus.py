@@ -1,0 +1,75 @@
+"""Empty-relation degradation tests (empty-corpus audit, r11-restart).
+
+At 100 TB an operator routinely receives an EMPTY relation — a
+predicate that matches nothing, a partition-pruned read, an upstream
+dedup that kept zero rows. Every op must degrade to a well-defined
+(usually empty) result, not die on a driver-side ``first()[...]``, an
+ML ``fit`` over zero rows, or a write-then-read whose dynamic-
+partition write produced no schema-bearing files.
+
+``scripts/empty_corpus_audit.py`` swept all 258 registered queries
+and found 21 crashing; this module pins the fixed behavior for
+exactly those ops (the other 237 passed the sweep — re-run the audit
+script if a new op class appears). The zero-row fixture mirrors the
+driver testdata layout: one single-file parquet per table with the
+real generator's schema.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from universal_data_to_orc_converter_spark.catalog import TABLES
+from universal_data_to_orc_converter_spark.registry import load_all_queries
+
+QUERIES = load_all_queries()
+
+#: the 21 ops the audit found crashing, by failure class
+FIXED_OPS = [
+    # driver-side first()/collect() on an empty aggregate
+    "op_embedding_covariance",
+    "op_pca_project",
+    "op_curriculum_shards",
+    "op_surrogate_key",
+    "op_jdbc_roundtrip",
+    "op_zorder_clustered_scan",
+    # ML fit / quantizer training over zero rows
+    "op_kmeans",
+    "op_semdedup",
+    "op_kcenter_coreset",
+    "op_dedup_embedding_cell",
+    "op_sim_ann_lsh",
+    "op_sim_ann_ivf",
+    "op_sim_ann_ivfpq",
+    # write-then-read losing the schema on empty writes
+    "op_orc_partitioned_scan",
+    "op_partition_pruned_join",
+    "op_incremental_file_ingest",
+    # stream choreography anchored on data-derived driver values
+    "op_stream_cdc_upsert",
+    "op_stream_cdc_delete",
+    "op_stream_interval_join_full",
+    "op_stream_interval_join_outer",
+    "op_stream_interval_join_right",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf(tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("sf_empty")
+    for t in TABLES:
+        tbl = pq.read_table(f"{src}/{t}.parquet")
+        pq.write_table(tbl.slice(0, 0), str(dst / f"{t}.parquet"))
+    return str(dst)
+
+
+@pytest.mark.parametrize("name", FIXED_OPS)
+def test_op_degrades_to_empty_result(spark, empty_sf, name):
+    out = QUERIES[name].fn(spark, empty_sf)
+    assert out.count() == 0
+    # the schema must still be the op's real schema, not a collapsed
+    # placeholder — column names are the contract the driver hashes
+    assert out.columns, name

@@ -98,15 +98,21 @@ def op_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_table(spark, cfg, c, "customer")
     lo, hi = c.agg(F.min("c_custkey"), F.max("c_custkey")).first()
-    back = read_table(
-        spark,
-        DerbyConfig(path=cfg.path),
-        "customer",
-        partition_column="c_custkey",
-        lower_bound=lo,
-        upper_bound=hi + 1,
-        num_partitions=8,
-    )
+    if lo is None:
+        # empty source: no key range to split — single unpartitioned
+        # scan (the JDBC writer still created the table, so read-back
+        # sees the schema; empty-corpus audit, r11-restart)
+        back = read_table(spark, DerbyConfig(path=cfg.path), "customer")
+    else:
+        back = read_table(
+            spark,
+            DerbyConfig(path=cfg.path),
+            "customer",
+            partition_column="c_custkey",
+            lower_bound=lo,
+            upper_bound=hi + 1,
+            num_partitions=8,
+        )
     return back.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_customers"),
         dsum(F.col("c_acctbal"), "total_acctbal"),
@@ -131,8 +137,15 @@ def op_orc_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     out = os.path.join(_scratch("orc_part_"), "customer")
     write_orc(c, out, partition_by=["c_mktsegment"])
-    back = read_orc(spark, out).filter(
-        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    # explicit schema: a dynamic-partition write of an EMPTY frame
+    # creates no data files (tasks open files on first row), so
+    # inference has nothing to read — the robust read-back pattern
+    # for any stage whose input may have been filtered to nothing
+    # (empty-corpus audit, r11-restart)
+    back = (
+        spark.read.schema(c.schema)
+        .orc(out)
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
     )
     return back.groupBy("c_mktsegment").agg(F.count("*").alias("n_customers"))
 
@@ -504,8 +517,16 @@ def op_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .parquet(dim_dir)
         )
-    fact = spark.read.parquet(fact_dir)
-    dim = spark.read.parquet(dim_dir).filter(F.col("phase") == "early")
+    # explicit schemas: empty dynamic-partition writes leave no data
+    # files to infer from (see op_orc_partitioned_scan)
+    fact = spark.read.schema(
+        e.select("value", "event_id", "day").schema
+    ).parquet(fact_dir)
+    dim = (
+        spark.read.schema("day date, phase string")
+        .parquet(dim_dir)
+        .filter(F.col("phase") == "early")
+    )
     return (
         fact.join(dim.select("day"), "day")
         .groupBy("day")

@@ -139,9 +139,17 @@ def op_embedding_covariance(
     )
     def build() -> DataFrame:
         # 65 sentinel rows to the driver: n and per-dim sums (metadata)
-        n = int(
-            agg.filter((F.col("i") == -1) & (F.col("j") == -1)).first()["s"]
-        )
+        head = agg.filter((F.col("i") == -1) & (F.col("j") == -1)).first()
+        if head is None:
+            # zero vectors -> zero sentinel rows AND zero pair cells;
+            # the j>=0 filter below is already empty, but create_map()
+            # with no entries types as map<void,void> and fails
+            # analysis — return the empty frame with the op's schema
+            # directly (empty-corpus audit, r11-restart)
+            return agg.filter(F.col("j") >= 0).select(
+                "i", "j", F.lit(None).cast("bigint").alias("cov_num_fp")
+            )
+        n = int(head["s"])
         sums = {
             r["i"]: int(r["s"])
             for r in agg.filter(
@@ -303,7 +311,16 @@ def kmeans_assignments(
     # instead of letting the M-step's centers[j] raise IndexError
     # (r7 advice — reachable via op_kmeans/op_semdedup on tiny frames)
     if not centers:
-        raise ValueError("kmeans_assignments: input frame is empty")
+        # k-means of an empty relation is an empty assignment, not an
+        # error: at scale an upstream filter legitimately empties the
+        # corpus, and every caller (groupBy, pair join) degrades
+        # correctly from zero rows (empty-corpus audit, r11-restart)
+        return q.select(
+            "vec_id",
+            "qv",
+            F.lit(None).cast("int").alias("cid"),
+            F.lit(None).cast("bigint").alias("dist"),
+        )
     k = min(k, len(centers))
     use_arrow = (k >= _ARROW_ASSIGN_MIN_K) if arrow is None else arrow
 
@@ -797,7 +814,12 @@ def op_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     seed = q.orderBy("vec_id").limit(1).collect()
     if not seed:  # collect() yields [], not [None], on an empty frame
-        raise ValueError("op_kcenter_coreset: empty embeddings table")
+        # no vectors -> no exemplars and no radius row; an empty
+        # coreset with the op's schema, not an error (empty-corpus
+        # audit, r11-restart)
+        return spark.createDataFrame(
+            [], "sel_round int, vec_id bigint, d2 bigint"
+        )
     first = seed[0]
     selected = [(1, int(first["vec_id"]), 0, list(first["qv"]))]
     # d2 tracks min distance to the selected set; recomputed as a

@@ -398,6 +398,11 @@ def op_incremental_file_ingest(
         ingest_new_files(spark, landing, visible, state, manifest)
     out = (
         spark.read.option("recursiveFileLookup", "true")
+        # explicit schema: zero-row ingest waves write no state files
+        # (dynamic partition overwrite opens files on first row), so
+        # inference has nothing to read (empty-corpus audit,
+        # r11-restart)
+        .schema("event_type string, n_events bigint, sum_value_fp bigint")
         .parquet(state)
         .groupBy("event_type")
         .agg(

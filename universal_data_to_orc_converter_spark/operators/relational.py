@@ -235,8 +235,14 @@ def op_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"percentile(o_orderkey, array({','.join(map(str, fracs))}))"
         ).alias("c")
     ).first()["c"]
+    if cuts is None:
+        # percentile over an empty key column is NULL: no cutpoints,
+        # every (zero) row lands in bucket 0 (empty-corpus audit,
+        # r11-restart)
+        cuts = []
     pid = sum(
-        (F.col("o_orderkey") > F.lit(float(c))).cast("int") for c in cuts
+        ((F.col("o_orderkey") > F.lit(float(c))).cast("int") for c in cuts),
+        F.lit(0),  # Column start value so zero cutpoints still build
     ).alias("pid")
     with_pid = o.select("o_orderkey", pid)
     # one row per bucket → driver; prefix-sum is metadata-scale

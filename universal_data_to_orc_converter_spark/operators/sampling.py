@@ -587,6 +587,20 @@ def op_curriculum_shards(
             .agg(F.count("*").alias("c"))
             .collect()
         }
+        if not sizes:
+            # empty corpus: create_map() with zero entries types as
+            # map<void,void> and fails analysis on the rank lookup —
+            # return the empty frame with the op's schema directly
+            # (empty-corpus audit, r11-restart)
+            out = ranked.select(
+                "doc_id",
+                "n_tokens",
+                F.lit(None).cast("bigint").alias("rank"),
+                F.lit(None).cast("int").alias("shard"),
+            )
+            return out if not _materialize else out.localCheckpoint(
+                eager=True
+            )
         n_total = sum(sizes.values())
         offsets, acc = {}, 0
         for pid in sorted(sizes):

@@ -131,6 +131,14 @@ def lsh_topk(
     unit = _unit_vectors(em).select(
         "vec_id", array_to_vector(F.col("u")).alias("features")
     )
+    if unit.isEmpty():
+        # LSH fit on zero rows throws; an empty corpus has an empty
+        # neighbor list (empty-corpus audit, r11-restart)
+        return unit.select(
+            F.col("vec_id").alias("q_id"),
+            "vec_id",
+            F.lit(None).cast("double").alias("dist"),
+        )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",
@@ -471,7 +479,20 @@ def op_dedup_embedding_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit = _unit_vectors(em).cache()
     # bounded driver metadata: one long per partition → a sum. Also
     # warms the unit-vector cache the KMeans fit reads next.
-    n_cells = _adaptive_n_cells(unit.count())
+    n = unit.count()
+    if n == 0:
+        # an upstream filter can legitimately empty the corpus; there
+        # is nothing to block or score — empty result with the op's
+        # schema, not a KMeans k<2 crash (empty-corpus audit,
+        # r11-restart)
+        unit.unpersist()
+        return unit.select(
+            "vec_id",
+            F.lit(None).cast("bigint").alias("nn_vec_id"),
+            F.lit(None).cast("double").alias("nn_cos"),
+            F.lit(None).cast("boolean").alias("is_dup"),
+        )
+    n_cells = _adaptive_n_cells(n)
     assigned, _ = _ivf_index(spark, unit, n_cells, n_assign=2)
 
     # Per-cell scoring as ONE numpy GEMM per block (applyInPandas)
@@ -539,6 +560,16 @@ def ivf_topk(
     par = spark.sparkContext.defaultParallelism
     em = em.repartition(par, "vec_id")
     unit = _unit_vectors(em).cache()
+    if unit.isEmpty():
+        # nothing to train the quantizer on and nothing to rank —
+        # empty search result, not a KMeans-fit-on-zero-rows crash
+        # (empty-corpus audit, r11-restart)
+        unit.unpersist()
+        return unit.select(
+            F.col("vec_id").alias("q_id"),
+            "vec_id",
+            F.lit(None).cast("double").alias("cosine"),
+        )
     # each corpus vector in exactly its nearest cell
     assigned, centers_df = _ivf_index(spark, unit, n_cells, n_assign=1)
 
@@ -666,6 +697,15 @@ def ivfpq_topk(
     par = spark.sparkContext.defaultParallelism
     em = em.repartition(par, "vec_id")
     unit = _unit_vectors(em).cache()
+    if unit.isEmpty():
+        # same degradation as ivf_topk: no quantizer, no codebooks,
+        # no candidates (empty-corpus audit, r11-restart)
+        unit.unpersist()
+        return unit.select(
+            F.col("vec_id").alias("q_id"),
+            "vec_id",
+            F.lit(None).cast("double").alias("cosine"),
+        )
     assigned, centers_df = _ivf_index(spark, unit, n_cells, n_assign=1)
     centers = {
         r["cell"]: np.array(r["center"], dtype=np.float64)

@@ -115,6 +115,15 @@ def zorder_write(
         F.min(cb).cast("double").alias("blo"),
         F.max(cb).cast("double").alias("bhi"),
     ).first()
+    if bounds["alo"] is None or bounds["blo"] is None:
+        # empty (or all-null-key) input: nothing to rank — write the
+        # frame as-is through one task so the file carries the schema
+        # for read-back (empty-corpus audit, r11-restart)
+        writer = df.repartition(1).write.mode("overwrite").option(
+            "compression", compression
+        )
+        getattr(writer, fmt)(path)
+        return
     z = morton2(
         _rank16(F.col(ca), bounds["alo"], bounds["ahi"]),
         _rank16(F.col(cb), bounds["blo"], bounds["bhi"]),

@@ -610,6 +610,15 @@ def _stream_interval_join_heartbeat(
     # watermark-dropped by a heartbeat that lands in its past.
     schema = pq.read_schema(real)
     max_ts = pc.max(pq.read_table(real, columns=["ts"])["ts"]).as_py()
+    if max_ts is None:
+        # zero real events: nothing can ever join, and the heartbeat
+        # has no data-derived timestamp to anchor to — empty emission
+        # set with the raw join schema (empty-corpus audit,
+        # r11-restart)
+        shutil.rmtree(src, ignore_errors=True)
+        return spark.createDataFrame(
+            [], "v_user bigint, v_id bigint, p_user bigint, p_id bigint"
+        )
     cols = {}
     for field in schema:
         if field.name == "ts":

@@ -138,6 +138,16 @@ def op_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # re-shard the fixture so availableNow delivers MULTIPLE batches
     events = load(spark, sf_dir, "events")
+    if events.isEmpty():
+        # no change stream -> no merges ever run and the target is
+        # never created; the snapshot of nothing is an empty frame
+        # (empty-corpus audit, r11-restart)
+        return events.select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
     events.repartition(4).write.parquet(src_dir)
 
     stream = spark.readStream.schema(
@@ -198,6 +208,14 @@ def op_stream_cdc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events").withColumn(
         "is_delete", F.col("event_id") % 17 == 0
     )
+    if events.isEmpty():
+        # same degradation as op_stream_cdc_upsert (empty-corpus
+        # audit, r11-restart)
+        return events.select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
     events.repartition(4).write.parquet(src_dir)
 
     stream = spark.readStream.schema(
