@@ -73,3 +73,36 @@ def test_op_degrades_to_empty_result(spark, empty_sf, name):
     # the schema must still be the op's real schema, not a collapsed
     # placeholder — column names are the contract the driver hashes
     assert out.columns, name
+
+
+#: ops the SINGLE-ROW audit (n_rows=1 — the off-by-one boundary: one
+#: vector has no possible neighbor, one observed day has sigma 0)
+#: found crashing; fixed to degrade to zero rows
+BOUNDARY_OPS = [
+    "op_dedup_embedding_cell",  # adaptive n_cells clamped to k>=2 gate
+    "op_sim_ann_ivf",           # quantizer cells clamp to the corpus
+    "op_sim_ann_ivfpq",         # + PQ code count clamps to the sample
+    "op_sim_ann_lsh",           # tolerant already — pinned here
+    "op_zscore_anomaly",        # try_divide: sigma-0 day -> null z,
+    #                             dropped by the filter on BOTH engines
+    #                             (DuckDB x/0 is NULL — measured)
+]
+
+
+@pytest.fixture(scope="module")
+def one_row_sf(tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("sf_one")
+    for t in TABLES:
+        tbl = pq.read_table(f"{src}/{t}.parquet")
+        pq.write_table(tbl.slice(0, 1), str(dst / f"{t}.parquet"))
+    return str(dst)
+
+
+@pytest.mark.parametrize("name", BOUNDARY_OPS)
+def test_op_degrades_on_single_row_corpus(spark, one_row_sf, name):
+    out = QUERIES[name].fn(spark, one_row_sf)
+    assert out.count() == 0
+    assert out.columns, name

@@ -530,12 +530,23 @@ def op_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n") * F.col("n")).alias("ss"),
         F.count("*").alias("d"),
     )
-    z = (F.col("n").cast("double") - F.col("s").cast("double") / F.col("d")) / F.sqrt(
-        (
-            F.col("ss").cast("double")
-            - F.col("s").cast("double") * F.col("s").cast("double") / F.col("d")
-        )
-        / F.col("d")
+    # try_divide: a type with ONE observed day has sigma 0, and ANSI
+    # mode turns the 0/0 into an ArithmeticException where DuckDB
+    # yields NULL (measured: DuckDB x/0 -> NULL) — null z is then
+    # dropped by the same abs(z) > 1.5 filter on both engines; for
+    # sigma > 0 try_divide is the identical IEEE division
+    # (single-row-fixture audit, r11-restart)
+    z = F.try_divide(
+        F.col("n").cast("double") - F.col("s").cast("double") / F.col("d"),
+        F.sqrt(
+            (
+                F.col("ss").cast("double")
+                - F.col("s").cast("double")
+                * F.col("s").cast("double")
+                / F.col("d")
+            )
+            / F.col("d")
+        ),
     )
     return (
         daily.join(F.broadcast(stats), "event_type")

@@ -134,7 +134,7 @@ def lsh_topk(
     if unit.isEmpty():
         # LSH fit on zero rows throws; an empty corpus has an empty
         # neighbor list (empty-corpus audit, r11-restart)
-        return unit.select(
+        return unit.limit(0).select(
             F.col("vec_id").alias("q_id"),
             "vec_id",
             F.lit(None).cast("double").alias("dist"),
@@ -480,13 +480,14 @@ def op_dedup_embedding_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded driver metadata: one long per partition → a sum. Also
     # warms the unit-vector cache the KMeans fit reads next.
     n = unit.count()
-    if n == 0:
-        # an upstream filter can legitimately empty the corpus; there
-        # is nothing to block or score — empty result with the op's
-        # schema, not a KMeans k<2 crash (empty-corpus audit,
-        # r11-restart)
+    if n < 2:
+        # an upstream filter can legitimately empty the corpus (or
+        # leave one vector, which has no possible neighbor); there is
+        # nothing to block or score — empty result with the op's
+        # schema, not a KMeans k<2 crash (empty/single-row-corpus
+        # audits, r11-restart)
         unit.unpersist()
-        return unit.select(
+        return unit.limit(0).select(
             "vec_id",
             F.lit(None).cast("bigint").alias("nn_vec_id"),
             F.lit(None).cast("double").alias("nn_cos"),
@@ -560,18 +561,24 @@ def ivf_topk(
     par = spark.sparkContext.defaultParallelism
     em = em.repartition(par, "vec_id")
     unit = _unit_vectors(em).cache()
-    if unit.isEmpty():
-        # nothing to train the quantizer on and nothing to rank —
-        # empty search result, not a KMeans-fit-on-zero-rows crash
-        # (empty-corpus audit, r11-restart)
+    n = unit.count()
+    if n < 2:
+        # zero vectors: nothing to train the quantizer on; one
+        # vector: no possible neighbor (candidates exclude self) —
+        # empty search result, not a KMeans-fit crash
+        # (empty/single-row-corpus audits, r11-restart)
         unit.unpersist()
-        return unit.select(
+        return unit.limit(0).select(
             F.col("vec_id").alias("q_id"),
             "vec_id",
             F.lit(None).cast("double").alias("cosine"),
         )
-    # each corpus vector in exactly its nearest cell
-    assigned, centers_df = _ivf_index(spark, unit, n_cells, n_assign=1)
+    # each corpus vector in exactly its nearest cell; cells clamp to
+    # the corpus so tiny inputs stay valid KMeans problems (the
+    # fixture regime n >= n_cells is unchanged)
+    assigned, centers_df = _ivf_index(
+        spark, unit, max(2, min(n_cells, n)), n_assign=1
+    )
 
     # queries probe their n_probe best cells
     queries_df = assigned.filter(F.col("vec_id") < n_query).select(
@@ -697,16 +704,19 @@ def ivfpq_topk(
     par = spark.sparkContext.defaultParallelism
     em = em.repartition(par, "vec_id")
     unit = _unit_vectors(em).cache()
-    if unit.isEmpty():
+    n = unit.count()
+    if n < 2:
         # same degradation as ivf_topk: no quantizer, no codebooks,
-        # no candidates (empty-corpus audit, r11-restart)
+        # no candidates (empty/single-row-corpus audits, r11-restart)
         unit.unpersist()
-        return unit.select(
+        return unit.limit(0).select(
             F.col("vec_id").alias("q_id"),
             "vec_id",
             F.lit(None).cast("double").alias("cosine"),
         )
-    assigned, centers_df = _ivf_index(spark, unit, n_cells, n_assign=1)
+    assigned, centers_df = _ivf_index(
+        spark, unit, max(2, min(n_cells, n)), n_assign=1
+    )
     centers = {
         r["cell"]: np.array(r["center"], dtype=np.float64)
         for r in centers_df.collect()
@@ -738,6 +748,9 @@ def ivfpq_topk(
                     cb[j] = x[m].mean(axis=0)
         return cb
 
+    # code count clamps to the sample so the seeded init can draw
+    # without replacement on tiny corpora (fixture regime unchanged)
+    n_codes = min(n_codes, len(res))
     codebooks = np.stack(
         [
             lloyd(res[:, m * sub : (m + 1) * sub], n_codes)
