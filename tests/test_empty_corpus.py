@@ -106,3 +106,62 @@ def test_op_degrades_on_single_row_corpus(spark, one_row_sf, name):
     out = QUERIES[name].fn(spark, one_row_sf)
     assert out.count() == 0
     assert out.columns, name
+
+
+#: ops the DIRTY-CORPUS audit (every 3rd documents.text and
+#: embeddings.embedding NULLed — the crawl regime the clean synthetic
+#: fixtures never exercise) found crashing; fixed under the contract:
+#: vector ops EXCLUDE null embeddings (SQL-aggregate null semantics,
+#: mirrored in their oracles), media kernels skip null-text rows, and
+#: the compression gate requires non-empty text. op_sim_ann_lsh also
+#: pins a Spark-internals class: the optimizer infers
+#: isnotnull(hash(arrayToVector(u))) predicates from the ML join into
+#: the same Filter as the null guard, and codegen CSE evaluates the
+#: hoisted UDF chain BEFORE the AND short-circuit — only a row-level
+#: TOTAL expression (dim-correct never-null input, never-zero
+#: divisor) survives arbitrary predicate placement.
+DIRTY_OPS = [
+    "op_compression_ratio",
+    "op_dedup_embedding_cell",
+    "op_kcenter_coreset",
+    "op_kmeans",
+    "op_mapinarrow_norm",
+    "op_multimodal_audio",
+    "op_multimodal_decode",
+    "op_semdedup",
+    "op_sim_ann_ivf",
+    "op_sim_ann_ivfpq",
+    "op_sim_ann_lsh",
+]
+
+
+@pytest.fixture(scope="module")
+def dirty_sf(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("sf_dirty")
+    null_cols = {"documents": "text", "embeddings": "embedding"}
+    for t in TABLES:
+        tbl = pq.read_table(f"{src}/{t}.parquet")
+        if t in null_cols:
+            c = null_cols[t]
+            i = tbl.schema.get_field_index(c)
+            mask = pa.array([j % 3 == 0 for j in range(len(tbl))])
+            nulled = pc.if_else(
+                mask,
+                pa.nulls(len(tbl), type=tbl.schema.field(c).type),
+                tbl.column(c).combine_chunks(),
+            )
+            tbl = tbl.set_column(i, tbl.schema.field(c), nulled)
+        pq.write_table(tbl, str(dst / f"{t}.parquet"))
+    return str(dst)
+
+
+@pytest.mark.parametrize("name", DIRTY_OPS)
+def test_op_survives_nullified_corpus(spark, dirty_sf, name):
+    out = QUERIES[name].fn(spark, dirty_sf)
+    # the non-null two-thirds of the corpus must still produce results
+    assert out.count() > 0

@@ -43,7 +43,7 @@ DIM = 64
                    embedding,
                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5)
                              AS BIGINT)) AS qv
-          FROM embeddings
+          FROM embeddings WHERE embedding IS NOT NULL
         ),
         pairs AS (
           SELECT a.i AS i, b.j AS j, SUM(qv[a.i] * qv[b.j]) AS s
@@ -96,7 +96,11 @@ def op_embedding_covariance(
     ``_materialize=False`` returns the lazy pipeline (the cached agg is
     NOT released — the caller owns the cache lifetime); used by plan
     tests that must inspect the pre-checkpoint physical plan."""
-    em = load(spark, sf_dir, "embeddings")
+    # NULL embeddings carry no coordinates — excluded, per the
+    # vector-op null contract (dirty-corpus audit, r11-restart)
+    em = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     q = em.select(_qv().alias("qv"))
 
     def cell(i, j, p):
@@ -422,7 +426,7 @@ _KMEANS_CTES = """
                    embedding,
                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5)
                              AS BIGINT)) AS qv
-          FROM embeddings
+          FROM embeddings WHERE embedding IS NOT NULL
         ),
         c0 AS (
           SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
@@ -535,7 +539,11 @@ _KMEANS_CTES = """
 def op_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact 2-round Lloyd's k-means over embeddings; per-
     center membership and inertia."""
-    em = load(spark, sf_dir, "embeddings")
+    # NULL embeddings carry no coordinates — excluded, per the
+    # vector-op null contract (dirty-corpus audit, r11-restart)
+    em = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     q = em.select("vec_id", _qv().alias("qv")).cache()
     try:
         final = kmeans_assignments(q)
@@ -630,7 +638,11 @@ def op_semdedup(
     inspect the pair-join exchanges (the eager localCheckpoint that
     releases the input cache otherwise hides them — the standard
     escape hatch, see op_duplicate_ngram_spans)."""
-    em = load(spark, sf_dir, "embeddings")
+    # NULL embeddings carry no coordinates — excluded, per the
+    # vector-op null contract (dirty-corpus audit, r11-restart)
+    em = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     q = em.select("vec_id", _qv().alias("qv"))
     if _materialize:
         # lazy path skips the cache: the Lloyd's-loop collects would
@@ -740,7 +752,7 @@ _KC_DIST = """CAST(list_sum(list_transform(
                    embedding,
                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5)
                              AS BIGINT)) AS qv
-          FROM embeddings
+          FROM embeddings WHERE embedding IS NOT NULL
         ),
         s1 AS (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1),
         d1 AS (
@@ -794,7 +806,11 @@ _KC_DIST = """CAST(list_sum(list_transform(
 def op_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gonzalez greedy k-center over quantized embeddings: k selected
     exemplars + the final coverage radius."""
-    em = load(spark, sf_dir, "embeddings")
+    # NULL embeddings carry no coordinates — excluded, per the
+    # vector-op null contract (dirty-corpus audit, r11-restart)
+    em = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     q = em.select("vec_id", _qv().alias("qv"))
 
     def dist_to(center: list[int]):

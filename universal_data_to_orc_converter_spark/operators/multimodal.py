@@ -55,7 +55,7 @@ def op_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE CAST(('0x' || substr(sha256(text), 9, 2)) AS BIGINT) % 3
                  WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp'
                END AS format
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     """,
     notes="Decode step is a STUB (no media libs in this container): a "
     "deterministic fake derives width/height/format from the payload "
@@ -84,6 +84,9 @@ def op_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def fake_decode(batches):
         for pdf in batches:
+            # NULL text = absent media: no payload, no decode row
+            # (dirty-corpus audit, r11-restart)
+            pdf = pdf[pdf["text"].notna()]
             payloads = [t.encode("utf-8") for t in pdf["text"]]
             digests = [hashlib.sha256(p).hexdigest() for p in payloads]
             yield pd.DataFrame(
@@ -164,7 +167,7 @@ def op_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH base AS (
           SELECT doc_id, text,
                  CAST(octet_length(encode(text)) % 4 + 2 AS INT) AS n_win
-          FROM documents
+          FROM documents WHERE text IS NOT NULL
         ),
         win AS (
           SELECT doc_id, CAST(u.w AS INT) AS window_idx,
@@ -226,6 +229,10 @@ def op_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "zero_crossings": [],
             }
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    # NULL text = absent media: no windows
+                    # (dirty-corpus audit, r11-restart)
+                    continue
                 payload = text.encode("utf-8")
                 n_win = len(payload) % 4 + 2
                 for w in range(n_win):

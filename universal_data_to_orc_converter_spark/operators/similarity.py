@@ -26,6 +26,10 @@ from . import textprep
 
 _N_QUERY_VECS = 3
 _TOP_K = 10
+#: the embeddings table's fixed dimensionality (same contract as
+#: linalg.DIM); used only for the never-evaluated-row coalesce
+#: fallback in _unit_vectors — see the totality note there
+_EMB_DIM = 64
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -273,18 +277,42 @@ def _unit_vectors(em: DataFrame) -> DataFrame:
     cannot inline — asserted on the optimized plan by
     tests/test_plans.py::test_unit_vectors_norm_hoisted_out_of_lambda.
     """
-    norm = F.sqrt(
+    # NULL embeddings are excluded here, centrally, for every consumer
+    # (LSH/IVF/PQ/cell-dedup): a null vector has no norm, no cell and
+    # no neighbors — SQL-aggregate null semantics (dirty-corpus audit,
+    # r11-restart; the clean fixtures make this a no-op).
+    # The expression is ALSO made row-level TOTAL — never-null input
+    # (dim-correct zero-vector fallback) and never-zero divisor — not
+    # because rows can pass the filter null, but because downstream ML
+    # joins make the optimizer INFER predicates like
+    # isnotnull(hash(arrayToVector(u))) into the same Filter as the
+    # isnotnull(embedding) conjunct, and codegen's common-
+    # subexpression elimination evaluates the hoisted UDF chain
+    # BEFORE the AND short-circuit: arrayToVector NPEs on null and
+    # BLAS gemv rejects a dim-0 fallback (both measured on
+    # op_sim_ann_lsh over the nullified corpus). A total, dim-correct
+    # expression is the only predicate-placement-independent guard.
+    # The zero-norm branch doubles as the all-zero-embedding guard
+    # (ANSI mode turns its 0/0 into an exception): a zero vector
+    # "normalizes" to itself.
+    emb = F.coalesce(
+        F.col("embedding"),
+        F.array_repeat(F.lit(0.0).cast("float"), _EMB_DIM),
+    )
+    raw_norm = F.sqrt(
         F.aggregate(
-            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.transform(emb, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
     )
+    norm = F.when(raw_norm == 0.0, F.lit(1.0)).otherwise(raw_norm)
+    em = em.filter(F.col("embedding").isNotNull())
     return em.select(
         "vec_id",
         textprep.let(
             norm,
-            lambda n: F.transform("embedding", lambda x: x.cast("double") / n),
+            lambda n: F.transform(emb, lambda x: x.cast("double") / n),
         ).alias("u"),
     )
 

@@ -2095,7 +2095,12 @@ def op_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return (
-        d.select(
+        # compressibility of nothing is undefined: NULL text would
+        # kill the encode in the UDF, and an EMPTY doc would make the
+        # ratio an ANSI 0/0 — both gated here (dirty-corpus audit,
+        # r11-restart; the clean fixtures make this a no-op)
+        d.filter(F.length("text") > 0)
+        .select(
             "doc_id",
             F.length("text").cast("bigint").alias("n_raw"),
             zlib_len("text").alias("n_zlib"),

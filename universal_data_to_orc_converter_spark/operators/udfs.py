@@ -253,7 +253,7 @@ def op_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
                  x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
                                  * 1000000 + 0.5) AS BIGINT)))
                  AS BIGINT) AS norm2_fixed
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     """,
     notes="mapInArrow — the fourth (and lowest-overhead) Python "
     "execution tier, completing the UDF surface: batches arrive as "
@@ -274,7 +274,13 @@ def op_mapinarrow_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point squared L2 norm per embedding via mapInArrow."""
     import pyarrow as pa
 
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        # a NULL embedding has no norm — excluded, per the engine's
+        # vector-op null contract (dirty-corpus audit, r11-restart)
+        .filter(F.col("embedding").isNotNull())
+    )
 
     def norms(batches):
         import numpy as np
