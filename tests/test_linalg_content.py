@@ -207,12 +207,14 @@ def test_kcenter_selection_distances_monotone_and_radius_bounded(spark):
     assert radius <= d[-1], "radius cannot exceed the last selection"
 
 
-def test_kcenter_empty_embeddings_raises_value_error(spark, tmp_path):
-    """Regression: collect() on an empty frame returns [], not [None],
-    so the seed guard must check emptiness — the old `first is None`
-    check was dead code and an empty table raised IndexError."""
-    import pytest
-
+def test_kcenter_empty_embeddings_returns_empty_coreset(spark, tmp_path):
+    """Regression, twice over: collect() on an empty frame returns
+    [], not [None], so the seed guard must check emptiness (the old
+    `first is None` check was dead code and an empty table raised
+    IndexError); and since the r11-restart empty-corpus contract the
+    guard degrades to an EMPTY coreset with the op's schema instead
+    of raising (tests/test_empty_corpus.py pins the same behavior
+    through the full fixture)."""
     from universal_data_to_orc_converter_spark.catalog import load
     from universal_data_to_orc_converter_spark.registry import (
         load_all_queries,
@@ -224,5 +226,6 @@ def test_kcenter_empty_embeddings_raises_value_error(spark, tmp_path):
     em.filter("vec_id < 0").write.parquet(
         str(tmp_path / "embeddings.parquet")
     )
-    with pytest.raises(ValueError, match="empty"):
-        load_all_queries()["op_kcenter_coreset"].fn(spark, str(tmp_path))
+    out = load_all_queries()["op_kcenter_coreset"].fn(spark, str(tmp_path))
+    assert out.columns == ["sel_round", "vec_id", "d2"]
+    assert out.count() == 0

@@ -223,7 +223,16 @@ def op_zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .io import _scratch
 
     li = load(spark, sf_dir, "lineitem")
-    out = os.path.join(_scratch("zorder_"), "lineitem_z")
+    # scratch key includes the FIXTURE path: the _SUCCESS reuse guard
+    # is per written dataset, and a session that runs this op at two
+    # scale factors must not serve the first fixture's clustered copy
+    # to the second (same class as the dpp/fed/binscan keys — exposed
+    # by the r11-restart empty-corpus regression suite, whose empty
+    # fixture poisoned the sf0.01 oracle run in the same session)
+    out = os.path.join(
+        _scratch(f"zorder_{abs(hash(os.path.abspath(sf_dir))):x}_"),
+        "lineitem_z",
+    )
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         zorder_write(li, out, ("l_orderkey", "l_suppkey"))
     bounds = li.agg(
