@@ -135,3 +135,43 @@ def test_sweep_covers_every_arrow_call_site():
         "Arrow call-site census drifted — new kernel? Add it to "
         f"ARROW_OPS or the exclusion notes. Census: {got}"
     )
+
+
+# ---------------------------------------------------------------------------
+# shuffle-partition-width invariance (the second re-batching axis)
+# ---------------------------------------------------------------------------
+
+#: ops whose kernels hold PER-PARTITION state (sketches, local top-k,
+#: samplers, partition-local ranks) — the ones where a result that
+#: moves with spark.sql.shuffle.partitions is most conceivable. The
+#: full registry was swept clean once (258/258 invariant,
+#: scripts/partition_invariance_audit.py, PERF.md r11-restart); this
+#: standing subset keeps the riskiest class pinned in the suite.
+PARTITION_STATE_OPS = [
+    "op_heavy_hitters",
+    "op_heavy_hitters_son",
+    "op_distinct_intersection_kmv",
+    "op_reservoir_sample",
+    "op_epoch_shuffle",
+    "op_curriculum_shards",
+    "op_agg_salted_twophase",
+    "op_agg_approx_quantile",
+]
+
+_PKEY = "spark.sql.shuffle.partitions"
+
+
+@pytest.mark.parametrize("name", PARTITION_STATE_OPS)
+def test_result_invariant_to_shuffle_partition_width(spark, name):
+    ambient = spark.conf.get(_PKEY)
+    base = _rows(spark, name)
+    assert base, f"{name}: empty result makes this sweep vacuous"
+    try:
+        spark.conf.set(_PKEY, "5")
+        narrow = _rows(spark, name)
+    finally:
+        spark.conf.set(_PKEY, ambient)
+    assert narrow == base, (
+        f"{name}: result changed with {_PKEY} (5 vs ambient {ambient})"
+        " — the driver hash gate would break at any other cluster size"
+    )
