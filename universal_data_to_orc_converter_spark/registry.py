@@ -92,74 +92,71 @@ def query(
 #: A separate lag guard (tests/test_staleness_budget.py) fails if the
 #: window ever falls MORE than one round behind the ledger, so the
 #: rotation still cannot be skipped.
-WINDOW_ROUND: int = 11
+WINDOW_ROUND: int = 12
 
 DRIVER_PRIORITY: tuple[str, ...] = (
     # headline flagship — always in the window
     "flagship_revenue_by_nation",
-    # (b) modified after their latest green row (defensive re-seats per
-    # TODO_r11 #1 + VERDICT r10 #2): op_dedup_jaccard_prefix picked up
-    # the r10 asymmetric-indexing-prefix join; op_dedup_ngram_jaccard
-    # picked up the r10 hot-bucket refusal guard (returned plan
-    # unchanged, seated defensively); op_dedup_embedding_cell picks up
-    # the r11 data-adaptive n_cells + row-chunked GEMM kernel (the r10
-    # verdict's one `weak`). Seating embedding_cell displaces one
-    # r6-stale name (op_bpe_pair_counts → r12), the swap the verdict
-    # explicitly allowed — documented in COVERAGE.md's r11 entry.
-    "op_dedup_jaccard_prefix",
-    "op_dedup_ngram_jaccard",
-    "op_dedup_embedding_cell",
-    # (c1) the 17 r5-stale MUST-seats (budget floor at r11 is r6; the
-    # overflow listed in COVERAGE.md's r10 entry).
-    "op_tpch_q6_forecast_revenue",
-    "op_tpch_q2_min_cost_supplier",
-    "op_tpch_q8_market_share",
-    "op_tpch_q9_product_profit",
-    "op_tpch_q11_important_stock",
-    "op_tpch_q15_top_supplier",
-    "op_tpch_q16_parts_supplier",
-    "op_tpch_q20_part_promotion",
-    "op_tpch_q21_waiting_supplier",
-    "op_tpch_q22_global_sales",
-    "op_cogroup_asof",
-    "op_regexp",
-    "op_posexplode_outer",
-    "op_win_time_range",
-    "op_stream_static_join",
-    "op_stream_sessionize",
-    "op_stream_update_counts",
-    # (c2) 29 of the 49 r6-stale names by registration order; the other
-    # 20 overflow to r12 where the floor rises to r7 and they MUST seat
-    # (r12 ≈ 1 + 20 + 29 of 48 r7-stale — see TODO_r12 window math).
-    "op_agg_grouping_id",
-    "op_skew_profile",
-    "op_winsorize",
-    "op_agg_bucketed_no_shuffle",
-    "op_rank_fusion",
-    "op_ab_test",
-    "op_trend_slope",
-    "op_event_transitions",
-    "op_stratified_sample",
-    "op_pagerank",
-    "op_graph_triangles",
-    "op_partition_pruned_join",
-    "op_federated_join",
-    "op_join_fuzzy_blocked",
-    "op_embedding_covariance",
-    "op_pca_project",
-    "op_kmeans",
-    "op_incremental_distinct_maintain",
-    "op_incremental_file_ingest",
-    "op_quality_audit",
-    "op_observed_metrics",
-    "op_manifest_audit",
-    "op_multimodal_meta",
-    "op_filter",
-    "op_surrogate_key",
-    "op_union_all",
-    "op_sort",
-    "op_subquery_scalar",
-    "op_doc_chunk",
+    # (b) the 19 ops the r11-restart robustness package (empty-corpus /
+    # single-row / nullified-input audits) modified AFTER the r11
+    # rotation was pinned — all below the r11 fold, so they MUST
+    # re-seat here (TODO_r12 #1; derived via rotate_window.py
+    # --modified). CORRECTNESS_r11 had zero red rows, so no (a) seats.
+    "op_compression_ratio",
+    "op_curriculum_shards",
+    "op_jdbc_roundtrip",
+    "op_kcenter_coreset",
+    "op_mapinarrow_norm",
+    "op_multimodal_audio",
+    "op_multimodal_decode",
+    "op_orc_partitioned_scan",
+    "op_semdedup",
+    "op_sim_ann_lsh",
+    "op_sim_ann_ivf",
+    "op_sim_ann_ivfpq",
+    "op_stream_cdc_upsert",
+    "op_stream_cdc_delete",
+    "op_stream_interval_join_full",
+    "op_stream_interval_join_outer",
+    "op_stream_interval_join_right",
+    "op_zorder_clustered_scan",
+    "op_zscore_anomaly",
+    # (c1) the 20 r6-stale MUST-seats (budget floor at r12 is r7; the
+    # overflow named in COVERAGE.md's r11 entry, op_bpe_pair_counts
+    # first — it was the seat the r11 embedding_cell swap displaced).
+    "op_bpe_pair_counts",
+    "op_ngram_lm_counts",
+    "op_duplicate_ngram_spans",
+    "op_bpe_train",
+    "op_bpe_apply",
+    "op_python_udtf",
+    "op_win_rolling_median",
+    "op_cast",
+    "op_variant_extract",
+    "op_python_datasource_writer",
+    "op_stream_python_sink",
+    "op_stream_python_source",
+    "op_time_weighted_avg",
+    "op_ewma",
+    "op_scd2_build",
+    "op_join_interval_overlap",
+    "op_session_dynamic_gap",
+    "op_stream_dedup_minhash",
+    "op_agg_groupby",
+    "op_heavy_hitters_son",
+    # (c2) 10 of the 48 r7-stale names by registration order; the other
+    # 38 overflow to r13 where the floor rises to r8 and they MUST seat
+    # (r13 ≈ 1 + 38 + remainder — the cascade closes there, TODO_r12).
+    "op_distinct_intersection_kmv",
+    "op_cohort_retention",
+    "op_corr_matrix",
+    "op_epoch_shuffle",
+    "op_length_bucketed_batching",
+    "op_curation_report",
+    "op_dedup_simhash",
+    "op_bucket_pruned_lookup",
+    "op_fixed_width_roundtrip",
+    "op_incremental_agg_maintain",
 )
 
 #: Names registered AFTER this round's DRIVER_PRIORITY was pinned that
@@ -168,11 +165,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: driver-verified in a prior round's CORRECTNESS file, or (3) listed
 #: here — tests/test_registry_order.py fails otherwise, so a
 #: post-freeze registration can never again be silently unverified
-#: (r4 accumulated 14 such names before this gate existed). Rounds 9,
-#: 10 and 11 registered zero new names (depth over breadth — capacity
-#: budget 258/295), so the set is empty; new r11 registrations would
-#: accumulate here and get first-in-line priority for the r12 rotation.
-BELOW_FOLD_R11: frozenset[str] = frozenset()
+#: (r4 accumulated 14 such names before this gate existed). Rounds 9
+#: through 12 registered zero new names (depth over breadth — capacity
+#: budget 258/295), so the set is empty; new r12 registrations would
+#: accumulate here and get first-in-line priority for the r13 rotation.
+BELOW_FOLD_R12: frozenset[str] = frozenset()
 
 
 def load_all_queries() -> dict[str, QuerySpec]:
