@@ -53,10 +53,42 @@ def test_flagship_prunes_lineitem_columns(spark):
 
 
 def test_flagship_broadcasts_dims(spark):
+    """Pins the r12 posture change (plans/hints.py): customer lost its
+    forced F.broadcast hint, but at fixture scale the parquet size
+    statistics must still plan BOTH dim joins as broadcast — i.e. the
+    un-hinting changed the 100 TB plan (sort-merge + AQE re-upgrade)
+    while leaving the local plan byte-identical."""
     df = q("flagship_revenue_by_nation", spark)
     assert count_broadcast_joins(df) >= 2, (
-        "customer/nation should broadcast, not shuffle"
+        "customer/nation should broadcast at fixture scale (stats-based "
+        "for customer, hinted for nation)"
     )
+
+
+def test_hint_broadcast_gates_on_posture(spark):
+    """plans.hints.hint_broadcast: constant-size build sides get the
+    literal hint; corpus-proportional ones get NO static hint (the
+    DataFrame passes through untouched, so the planner's only
+    broadcast signal is its size statistics / AQE)."""
+    from universal_data_to_orc_converter_spark.plans.hints import (
+        hint_broadcast,
+    )
+
+    big = spark.range(1000).withColumnRenamed("id", "k")
+    small = spark.range(5).withColumnRenamed("id", "k")
+    # growing dim: identity — no hint node can exist in the plan
+    assert hint_broadcast(small) is small
+    # constant dim: the literal hint survives into the physical plan
+    # even when stats-based broadcast is disabled
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = big.join(hint_broadcast(small, always=True), "k")
+        unhinted = big.join(hint_broadcast(small), "k")
+        assert count_broadcast_joins(hinted) == 1
+        assert count_broadcast_joins(unhinted) == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
 
 
 def test_semi_join_prunes_right_columns(spark):

@@ -16,10 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..plans.hints import hint_broadcast
 from ..exprs import dsum, sql_dsum
 from ..registry import query
 from ..sinks.orc import read_orc, write_orc
-from ..scratch import session_scratch
+from ..scratch import path_key, session_scratch
 
 #: per-process scratch roots, one per prefix — repeat invocations
 #: (the determinism test, bench laps) reuse the same directory instead
@@ -494,7 +495,7 @@ def op_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale factors must not serve the first fixture's files to the
     # second (review finding — silent wrong results in multi-sf
     # sessions, e.g. local sf0.1-then-sf1 perf laps)
-    root = _scratch(f"dpp_{abs(hash(os.path.abspath(sf_dir))):x}_")
+    root = _scratch(f"dpp_{path_key(sf_dir)}_")
     fact_dir = os.path.join(root, "events_by_day")
     dim_dir = os.path.join(root, "calendar")
     e = load(spark, sf_dir, "events").withColumn(
@@ -567,7 +568,7 @@ def op_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.csv import read_csv
     from ..sources.jdbc import DerbyConfig, read_table, write_table
 
-    root = _scratch(f"fed_{abs(hash(os.path.abspath(sf_dir))):x}_")
+    root = _scratch(f"fed_{path_key(sf_dir)}_")
     csv_dir = os.path.join(root, "customer_csv")
     derby = os.path.join(root, "derby")
 
@@ -582,7 +583,7 @@ def op_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_jdbc = read_table(spark, DerbyConfig(path=cfg.path), "nation")
     return (
         o.join(
-            F.broadcast(c_csv),
+            hint_broadcast(c_csv),
             o.o_custkey == c_csv.c_custkey,
         )
         .join(
@@ -755,8 +756,7 @@ def op_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> staged text part-files -> binaryFile whole-blob
     read -> parse + aggregate (must equal the source table)."""
     d = load(spark, sf_dir, "documents")
-    key = abs(hash(os.path.abspath(sf_dir)))
-    out = os.path.join(_scratch(f"binscan_{key:x}_"), "blobs")
+    out = os.path.join(_scratch(f"binscan_{path_key(sf_dir)}_"), "blobs")
     lines = d.select(
         F.concat_ws(
             ":",

@@ -4,8 +4,14 @@ The reference implements zero joins (its output is consumed by
 Presto/Spark, README.md:211-219, which is where joins happen). Here they
 are first-class, with the physical strategy chosen for 100 TB:
 
-* dimension tables (region/nation/supplier/part/customer) are
-  **broadcast** — no shuffle of the fact side;
+* constant-size dimensions (region = 5 rows, nation = 25 rows,
+  literal bounds) carry an unconditional broadcast hint — no shuffle
+  of the fact side at any scale;
+* corpus-proportional dimensions (customer/part/supplier grow
+  linearly with scale factor) carry NO static hint
+  (plans.hints.hint_broadcast): size statistics broadcast them at
+  fixture scale, and at 100 TB they fall to sort-merge with AQE's
+  runtime broadcast conversion deciding on observed bytes;
 * fact ⋈ fact equi-joins are sort-merge with AQE skew splitting;
 * the only nested-loop join is against a tiny literal bounds table.
 """
@@ -16,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..plans.hints import hint_broadcast
 from ..exprs import dsum, revenue, sql_dsum
 from ..registry import query
 
@@ -37,16 +44,22 @@ from ..registry import query
     """,
     headline=True,
     notes="Flagship: scan+filter+3 joins+agg+sort in one plan. "
-    "customer/nation broadcast; lineitem⋈orders sort-merge under AQE.",
+    "nation hinted broadcast; customer left to stats/AQE (broadcast "
+    "at fixture scale, sort-merge at 100 TB); lineitem⋈orders "
+    "sort-merge under AQE.",
     tags=("join", "agg", "flagship"),
 )
 def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by nation over a 2-year order window.
 
     Plan shape at scale: lineitem (100 TB) ⋈ orders (10 TB) shuffles on
-    orderkey once; customer and nation ride along as broadcasts, so no
-    further shuffle until the final 25-group aggregate (partial agg
-    map-side, exchange of 25 rows)."""
+    orderkey once. nation (25 rows, constant) is hinted broadcast;
+    customer grows with the corpus, so it carries no static hint — at
+    fixture scale the size statistics still broadcast it (plan pinned
+    in tests/test_plans.py::test_flagship_broadcasts_dims), while at
+    100 TB it joins sort-merge on custkey with AQE free to re-upgrade
+    on observed bytes. Final 25-group aggregate is partial map-side,
+    exchanging 25 rows."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -56,7 +69,7 @@ def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(hint_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(dsum(revenue(), "revenue"), F.count("*").alias("n_items"))
@@ -280,7 +293,7 @@ def op_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(hint_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
@@ -522,8 +535,9 @@ def op_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     notes="TPC-H Q3 shape (shipping priority): selective dim filter -> "
     "two joins -> group -> global top-10 by revenue. Total order via "
     "(revenue, o_orderdate, l_orderkey) tiebreak so both engines pick "
-    "identical rows. customer broadcasts; lineitem never shuffles "
-    "until the aggregate.",
+    "identical rows. customer (corpus-proportional) carries no static "
+    "hint — stats/AQE broadcast it at fixture scale; the filtered dim "
+    "stays the build side either way.",
     tags=("join", "agg", "composite"),
 )
 def op_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -537,7 +551,7 @@ def op_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(hint_broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(revenue(), "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -634,7 +648,7 @@ def op_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(big.withColumnRenamed("l_orderkey", "bk"),
                 F.col("l_orderkey") == F.col("bk"))
         .join(o, F.col("l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(hint_broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
                  "o_totalprice")
         .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
@@ -744,8 +758,8 @@ def op_tpch_q13_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY supp_nation, cust_nation, l_year
     """,
     notes="TPC-H Q7 shape (volume shipping between nation pairs): two "
-    "fact joins plus FOUR broadcast dims, including the same nation "
-    "table broadcast twice under different roles (supplier side vs "
+    "fact joins plus four dims: nation hinted broadcast TWICE under "
+    "different roles (supplier side vs "
     "customer side) — the self-referential dim pattern every star "
     "schema hits. The cross-nation filter is applied post-join on the "
     "two broadcast columns, costing nothing. Fact rows shuffle only "
@@ -768,8 +782,8 @@ def op_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(hint_broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(hint_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -799,7 +813,8 @@ def op_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     notes="TPC-H Q10 shape (returned-item revenue, top 20 customers): "
     "selective fact filter (returnflag='R' pushes to the lineitem "
-    "scan) -> fact-fact join -> two broadcast dims -> grouped rollup "
+    "scan) -> fact-fact join -> nation hinted broadcast + customer "
+    "left to stats/AQE -> grouped rollup "
     "-> global top-20 via TakeOrderedAndProject (never a full sort). "
     "c_custkey tiebreak gives both engines the same row set.",
     tags=("join", "agg", "composite"),
@@ -812,7 +827,7 @@ def op_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(hint_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
         .agg(dsum(revenue(), "revenue"))
@@ -874,7 +889,8 @@ def op_tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l.l_shipdate <  TIMESTAMP '1996-10-01'
     """,
     notes="TPC-H Q14 shape (promotion effect): a global conditional "
-    "revenue split over a fact-dim join — part broadcasts, the month "
+    "revenue split over a fact-dim join — part joins un-hinted (stats "
+    "broadcast it locally; sort-merge at 100 TB), the month "
     "predicate pushes to the lineitem scan, and both sums ride the "
     "fixed-point decimal convention so the answer is bit-exact. The "
     "promo/total RATIO is left to the consumer: dividing two "
@@ -893,7 +909,7 @@ def op_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_type") == "PROMO", revenue()
     ).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(hint_broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
             dsum(promo, "promo_revenue"),
             dsum(revenue(), "total_revenue"),
@@ -930,7 +946,7 @@ def op_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OR-of-ANDs brand/size/quantity revenue."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(hint_broadcast(p), li.l_partkey == p.p_partkey)
     c1 = (
         (F.col("p_brand") == "Brand#1")
         & F.col("p_size").between(1, 15)

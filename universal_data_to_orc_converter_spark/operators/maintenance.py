@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..plans.hints import hint_broadcast
 from ..exprs import _scaled
 from ..registry import query
 
@@ -476,7 +477,7 @@ def op_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         [], list(onescan.columns), "rule", "n_violations"
     )
     fk = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        o.join(hint_broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
         .agg(F.count("*").alias("n_violations"))
         .select(F.lit("o_custkey_fk_missing").alias("rule"), "n_violations")
     )

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..plans.hints import hint_broadcast
 from ..exprs import dsum, sql_dsum
 from ..registry import query
 
@@ -108,7 +109,8 @@ def op_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: the per-part aggregate is ~|part| rows (partial
     aggregation map-side); the join back to lineitem shuffles both
     sides on l_partkey ONCE and AQE flips it to broadcast when the
-    aggregate side fits. part (the dimension) broadcasts."""
+    aggregate side fits. part joins un-hinted: stats broadcast it at
+    fixture scale; at 100 TB it is sort-merge with AQE re-upgrade."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
     per_part = li.groupBy("l_partkey").agg(
@@ -122,7 +124,7 @@ def op_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(per_part, "l_partkey")
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(hint_broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_small"),

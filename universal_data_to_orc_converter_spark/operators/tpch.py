@@ -25,6 +25,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..plans.hints import hint_broadcast
 from ..exprs import dsum, revenue, sql_dsum
 from ..registry import query
 
@@ -72,9 +73,9 @@ def op_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(hint_broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(
-            F.broadcast(c),
+            hint_broadcast(c),
             (o.o_custkey == c.c_custkey)
             & (c.c_nationkey == s.s_nationkey),
         )
@@ -179,8 +180,8 @@ def op_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size") == 15
     )
     joined = (
-        offers.join(F.broadcast(eu), offers.l_suppkey == eu.s_suppkey)
-        .join(F.broadcast(p), offers.l_partkey == p.p_partkey)
+        offers.join(hint_broadcast(eu), offers.l_suppkey == eu.s_suppkey)
+        .join(hint_broadcast(p), offers.l_partkey == p.p_partkey)
     )
     # decorrelate: per-part min over the joined offers, keep the rows
     # that achieve it (rank over min — ties all kept, as in SQL)
@@ -228,7 +229,8 @@ def op_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact fixed-point numerator and denominator rather than the "
     "ratio — the driver hash then checks both operands bit-exactly, "
     "which is strictly stronger than comparing the rounded quotient. "
-    "All dims broadcast; lineitem joins orders on the one real "
+    "nation/region hinted broadcast, customer/supplier/part left to "
+    "stats/AQE (broadcast locally, sort-merge at 100 TB); lineitem joins orders on the one real "
     "shuffle, same as Q5/Q7.",
     tags=("join", "agg", "composite", "tpch"),
 )
@@ -248,12 +250,12 @@ def op_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     vols = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(hint_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
         .join(F.broadcast(r), F.col("cn.n_regionkey") == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(hint_broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey"))
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(hint_broadcast(p), li.l_partkey == p.p_partkey)
         .select(
             F.year("o_orderdate").cast("int").alias("o_year"),
             revenue().alias("volume"),
@@ -301,7 +303,8 @@ def op_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue-minus-quantity-scaled-cost structure and stays a "
     "deterministic function of fixture columns (identical doubles -> "
     "identical fixed-point sums on both engines). The LIKE-filtered "
-    "part dim broadcasts, pre-shrinking the fact scan's join fan-in.",
+    "part joins un-hinted (stats broadcast it locally; sort-merge at "
+    "100 TB), pre-shrinking the fact scan's join fan-in.",
     tags=("join", "agg", "composite", "tpch"),
 )
 def op_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -313,8 +316,8 @@ def op_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     profit = revenue() - 0.05 * F.col("p_retailprice") * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(hint_broadcast(p), li.l_partkey == p.p_partkey)
+        .join(hint_broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .select(
@@ -375,7 +378,7 @@ def op_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
     base = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(hint_broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("l_partkey", "l_extendedprice")
     )
@@ -434,7 +437,7 @@ def op_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_rev", F.max("total_revenue").over(W.partitionBy())
     ).filter(F.col("total_revenue") == F.col("max_rev"))
     return (
-        best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        best.join(hint_broadcast(s), best.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -483,8 +486,8 @@ def op_tpch_q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
     return (
-        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        ps.join(hint_broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(hint_broadcast(p), ps.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -543,7 +546,7 @@ def op_tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     part_total = F.sum("supp_qty").over(W.partitionBy("l_partkey"))
     dominant = (
-        shipped.join(F.broadcast(p), shipped.l_partkey == p.p_partkey)
+        shipped.join(hint_broadcast(p), shipped.l_partkey == p.p_partkey)
         .withColumn("part_qty", part_total)
         .filter(F.col("supp_qty") > 0.5 * F.col("part_qty"))
         .select("l_suppkey")
@@ -629,7 +632,7 @@ def op_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lines.filter(F.col("is_late"))
         .join(verdicts, "l_orderkey", "left_semi")
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(hint_broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

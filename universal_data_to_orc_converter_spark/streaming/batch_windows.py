@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..plans.hints import hint_broadcast
 from ..exprs import dsum, sql_dsum, sql_wide_to_double
 from ..registry import query
 
@@ -953,7 +954,7 @@ def op_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name"
     )
     enriched = stream.join(
-        F.broadcast(c), stream.user_id == c.c_custkey
+        hint_broadcast(c), stream.user_id == c.c_custkey
     ).join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
     agg = enriched.groupBy("n_name").agg(
         F.count("*").alias("n_events"),
