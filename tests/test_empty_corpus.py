@@ -20,6 +20,8 @@ from __future__ import annotations
 import pytest
 
 from universal_data_to_orc_converter_spark.catalog import TABLES
+
+from .conftest import SF_SMOKE
 from universal_data_to_orc_converter_spark.registry import load_all_queries
 
 QUERIES = load_all_queries()
@@ -58,7 +60,7 @@ FIXED_OPS = [
 def empty_sf(tmp_path_factory):
     import pyarrow.parquet as pq
 
-    src = "/root/testdata/sf0.001"
+    src = SF_SMOKE
     dst = tmp_path_factory.mktemp("sf_empty")
     for t in TABLES:
         tbl = pq.read_table(f"{src}/{t}.parquet")
@@ -93,7 +95,7 @@ BOUNDARY_OPS = [
 def one_row_sf(tmp_path_factory):
     import pyarrow.parquet as pq
 
-    src = "/root/testdata/sf0.001"
+    src = SF_SMOKE
     dst = tmp_path_factory.mktemp("sf_one")
     for t in TABLES:
         tbl = pq.read_table(f"{src}/{t}.parquet")
@@ -141,7 +143,7 @@ def dirty_sf(tmp_path_factory):
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    src = "/root/testdata/sf0.001"
+    src = SF_SMOKE
     dst = tmp_path_factory.mktemp("sf_dirty")
     null_cols = {"documents": "text", "embeddings": "embedding"}
     for t in TABLES:
@@ -165,3 +167,22 @@ def test_op_survives_nullified_corpus(spark, dirty_sf, name):
     out = QUERIES[name].fn(spark, dirty_sf)
     # the non-null two-thirds of the corpus must still produce results
     assert out.count() > 0
+
+
+def test_unit_vectors_drop_zero_norm(spark):
+    """Vector-op null contract, zero-vector clause (r11 ADVICE): an
+    all-zero embedding has no direction, so ``_unit_vectors`` excludes
+    it exactly like NULL. The brute-force/DuckDB semantics give it a
+    NULL cosine (0/0) and never rank it; letting it through would
+    score cosine 0 against everything and silently diverge the ANN
+    ranking on a dirty corpus. No-op on the clean fixtures."""
+    from universal_data_to_orc_converter_spark.operators.similarity import (
+        _unit_vectors,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [3.0, 4.0]), (1, [0.0, 0.0]), (2, None), (3, [0.0, 1.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = sorted(r["vec_id"] for r in _unit_vectors(df).collect())
+    assert got == [0, 3]

@@ -26,10 +26,12 @@ from . import textprep
 
 _N_QUERY_VECS = 3
 _TOP_K = 10
-#: the embeddings table's fixed dimensionality (same contract as
-#: linalg.DIM); used only for the never-evaluated-row coalesce
-#: fallback in _unit_vectors — see the totality note there
-_EMB_DIM = 64
+#: the embeddings table's fixed dimensionality — imported from linalg
+#: (the single source of truth) rather than re-stated as a literal, so
+#: a corpus dim change cannot silently desynchronize the coalesce
+#: fallback in _unit_vectors from the real contract (r11 ADVICE); used
+#: only for the never-evaluated-row fallback — see the totality note.
+from .linalg import DIM as _EMB_DIM  # noqa: E402
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -307,7 +309,22 @@ def _unit_vectors(em: DataFrame) -> DataFrame:
         )
     )
     norm = F.when(raw_norm == 0.0, F.lit(1.0)).otherwise(raw_norm)
-    em = em.filter(F.col("embedding").isNotNull())
+    # Zero-norm (all-zero) embeddings are excluded along with NULLs: a
+    # zero vector has no direction, so under the vector-op null
+    # contract it gets the same treatment as NULL — dropped here for
+    # every consumer. (The oracle/brute-force semantics yield NULL
+    # cosine for it via 0/0; keeping it would score cosine 0 and
+    # silently diverge the ranking on a dirty corpus — r11 ADVICE.
+    # The zero-norm FALLBACK above must stay regardless: codegen CSE
+    # can evaluate the divide chain on rows this filter later drops.)
+    sq_norm = F.aggregate(
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") * x.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    em = em.filter(F.col("embedding").isNotNull() & (sq_norm > 0.0))
     return em.select(
         "vec_id",
         textprep.let(

@@ -221,6 +221,7 @@ def op_zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write lineitem z-ordered by (l_orderkey, l_suppkey), then run a
     two-sided rectangle predicate against the clustered copy."""
     from .io import _scratch
+    from ..scratch import path_key
 
     li = load(spark, sf_dir, "lineitem")
     # scratch key includes the FIXTURE path: the _SUCCESS reuse guard
@@ -230,7 +231,7 @@ def op_zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # by the r11-restart empty-corpus regression suite, whose empty
     # fixture poisoned the sf0.01 oracle run in the same session)
     out = os.path.join(
-        _scratch(f"zorder_{abs(hash(os.path.abspath(sf_dir))):x}_"),
+        _scratch(f"zorder_{path_key(sf_dir)}_"),
         "lineitem_z",
     )
     if not os.path.exists(os.path.join(out, "_SUCCESS")):

@@ -22,10 +22,24 @@ same contract ``localCheckpoint`` ops already satisfy).
 from __future__ import annotations
 
 import atexit
+import hashlib
+import os
 import shutil
 import tempfile
 
 _REGISTERED: list[str] = []
+
+
+def path_key(path: str) -> str:
+    """Stable 8-hex digest of a path, for keying scratch-dir prefixes.
+
+    Python's ``hash()`` is PYTHONHASHSEED-salted per process — correct
+    only while scratch dirs stay process-scoped; if reuse ever crosses
+    processes the key silently changes every run (cache-busting), and
+    two paths can in principle collide within a process (r11 ADVICE).
+    sha1 of the absolute path is stable across processes and runs.
+    """
+    return hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:8]
 
 
 def session_scratch(prefix: str) -> str:
