@@ -103,6 +103,46 @@ def test_wizard_dump_flow_inprocess(spark, tmp_path):
     payload = json.loads(lines[-1])
     assert set(payload["tables"]) == {"a"}
     assert list(out.glob("a/*.orc"))
+    # per-table progress narration (the reference's sh:249 progress
+    # lines; README:106-110) — exact observed row count, no extra scan
+    assert any(l.startswith("Converting a (1/1)") for l in lines), lines
+    assert "a: 1 rows written (1/1 tables)" in lines, lines
+
+
+def test_write_with_progress_silent_without_report(spark, tmp_path):
+    """report=None must leave the write hook-free: no observe node in
+    the plan, no narration — byte-identical to a plain write."""
+    from universal_data_to_orc_converter_spark.progress import (
+        write_with_progress,
+    )
+
+    df = spark.range(10)
+    seen = []
+    write_with_progress(
+        spark, df, "t", 1, 1, None,
+        lambda d: seen.append(d.schema.jsonValue() if False else d),
+    )
+    assert seen[0] is df  # untouched frame — no observe() wrapper
+
+
+def test_write_with_progress_reports_rows(spark, tmp_path):
+    from universal_data_to_orc_converter_spark.progress import (
+        write_with_progress,
+    )
+
+    out = str(tmp_path / "rows_orc")
+    lines = []
+    write_with_progress(
+        spark,
+        spark.range(1234),
+        "users",
+        2,
+        3,
+        lines.append,
+        lambda d: d.write.mode("overwrite").orc(out),
+    )
+    assert lines[0] == "Converting users (2/3) ..."
+    assert lines[-1] == "users: 1,234 rows written (2/3 tables)"
 
 
 def test_wizard_missing_dump_errors(spark, tmp_path):

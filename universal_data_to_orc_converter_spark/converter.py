@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import glob as _glob
 import os
+from typing import Callable
 
 from pyspark.sql import SparkSession
 
@@ -29,23 +30,32 @@ def convert_csv(
     header: bool = True,
     infer_schema: bool = True,
     compression: str = "snappy",
+    report: Callable[[str], None] | None = None,
 ) -> dict[str, str]:
     """CSV file/dir → ORC. A directory input becomes one table per CSV
     file (the reference's file-per-table CSV layout, sh:464-465 — note
     it diverges from the dir-per-table layout of the other paths; we
-    keep dir-per-table uniformly)."""
+    keep dir-per-table uniformly). ``report`` narrates per-table
+    progress (the reference's sh:249 progress lines; see progress.py
+    for the distributed analog) — None keeps the write silent and the
+    plan hook-free."""
+    from .progress import write_with_progress
+
     written = {}
     if os.path.isdir(input_path):
         files = sorted(_glob.glob(os.path.join(input_path, "*.csv")))
     else:
         files = [input_path]
-    for f in files:
+    for i, f in enumerate(files, 1):
         name = os.path.splitext(os.path.basename(f))[0]
         df = read_csv(
             spark, f, delimiter=delimiter, header=header, infer_schema=infer_schema
         )
         out = os.path.join(output_dir, name)
-        write_orc(df, out, compression=compression)
+        write_with_progress(
+            spark, df, name, i, len(files), report,
+            lambda d, out=out: write_orc(d, out, compression=compression),
+        )
         written[name] = out
     return written
 
@@ -56,9 +66,12 @@ def convert_sql_dump(
     output_dir: str,
     compression: str = "snappy",
     tables: list[str] | None = None,
+    report: Callable[[str], None] | None = None,
 ) -> dict[str, str]:
     """SQL dump → typed ORC tables (see sources/sqldump.py)."""
-    return dump_to_orc(spark, dump_path, output_dir, compression, tables)
+    return dump_to_orc(
+        spark, dump_path, output_dir, compression, tables, report=report
+    )
 
 
 def convert_mysql(
@@ -69,6 +82,7 @@ def convert_mysql(
     compression: str = "snappy",
     partition_columns: dict[str, str] | None = None,
     num_partitions: int = 8,
+    report: Callable[[str], None] | None = None,
 ) -> dict[str, str]:
     """MySQL → ORC via range-partitioned JDBC (see sources/jdbc.py)."""
     return export_tables(
@@ -79,4 +93,5 @@ def convert_mysql(
         compression,
         partition_columns,
         num_partitions,
+        report=report,
     )

@@ -163,6 +163,7 @@ def export_tables(
     compression: str = "snappy",
     partition_columns: dict[str, str] | None = None,
     num_partitions: int = 8,
+    report=None,
 ) -> dict[str, str]:
     """The reference's EP2 end-to-end (mysql_to_orc_converter.py,
     sh:280-289): every table (or a subset) → ORC dir per table. Spark
@@ -173,10 +174,12 @@ def export_tables(
 
     from ..sinks.orc import write_orc
 
+    from ..progress import write_with_progress
+
     if tables is None:
         tables = [r[0] for r in list_tables(spark, cfg).collect()]
     written = {}
-    for t in tables:
+    for i, t in enumerate(tables, 1):
         pc = (partition_columns or {}).get(t)
         if pc:
             bounds = (
@@ -198,6 +201,9 @@ def export_tables(
         else:
             df = read_table(spark, cfg, t)
         out = os.path.join(output_dir, t)
-        write_orc(df, out, compression=compression)
+        write_with_progress(
+            spark, df, t, i, len(tables), report,
+            lambda d, out=out: write_orc(d, out, compression=compression),
+        )
         written[t] = out
     return written

@@ -395,16 +395,23 @@ def dump_to_orc(
     output_dir: str,
     compression: str = "snappy",
     tables: list[str] | None = None,
+    report=None,
 ) -> dict[str, str]:
     """The reference's EP3 end-to-end (sql_dump_to_orc_converter.py,
-    sh:403-415): dump file → typed tables → ORC directory per table."""
+    sh:403-415): dump file → typed tables → ORC directory per table.
+    ``report`` narrates per-table progress (progress.py)."""
     import os
 
+    from ..progress import write_with_progress
     from ..sinks.orc import write_orc
 
     written = {}
-    for name, df in parse_dump(spark, dump_path, tables).items():
+    parsed = parse_dump(spark, dump_path, tables)
+    for i, (name, df) in enumerate(parsed.items(), 1):
         table_dir = os.path.join(output_dir, name)
-        write_orc(df, table_dir, compression=compression)
+        write_with_progress(
+            spark, df, name, i, len(parsed), report,
+            lambda d, out=table_dir: write_orc(d, out, compression=compression),
+        )
         written[name] = table_dir
     return written

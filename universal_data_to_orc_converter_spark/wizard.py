@@ -132,12 +132,18 @@ def run_wizard(
             params["tables"],
             compression,
             num_partitions=workers,
+            report=say,
         )
     elif dtype == "2":
         from .converter import convert_sql_dump
 
         written = convert_sql_dump(
-            spark, params["input"], out_dir, compression, params["tables"]
+            spark,
+            params["input"],
+            out_dir,
+            compression,
+            params["tables"],
+            report=say,
         )
     else:
         from .converter import convert_csv
@@ -150,6 +156,7 @@ def run_wizard(
             header=params["header"],
             infer_schema=params["infer"],
             compression=compression,
+            report=say,
         )
     say(json.dumps({"tables": written}))
     return 0
