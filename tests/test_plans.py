@@ -65,6 +65,30 @@ def test_flagship_broadcasts_dims(spark):
     )
 
 
+def test_flagship_customer_falls_to_sort_merge_at_scale(spark):
+    """The 100 TB claim itself: disabling stats-based broadcast
+    emulates corpus-scale size statistics, and the flagship must then
+    plan customer as a sort-merge join (no lingering static hint)
+    while nation still broadcasts via its literal always=True hint."""
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q("flagship_revenue_by_nation", spark)
+        from universal_data_to_orc_converter_spark.plans.inspect import (
+            simple_plan,
+        )
+
+        plan = simple_plan(df)
+        assert count_broadcast_joins(df) == 1, (
+            "only nation's hinted broadcast should survive scale stats"
+        )
+        assert "SortMergeJoin" in plan, (
+            "customer must fall to sort-merge when stats say it's big"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+
+
 def test_hint_broadcast_gates_on_posture(spark):
     """plans.hints.hint_broadcast: constant-size build sides get the
     literal hint; corpus-proportional ones get NO static hint (the
