@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..plans.hints import hint_broadcast
 from ..registry import query
 from .textprep import tokens
 
@@ -523,9 +524,14 @@ def op_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def op_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-ranked vocabulary + positional token-id encoding.
-    The vocab (small) broadcasts; encoding is a map-side join — at
-    100 TB the corpus never shuffles, only its token stream joins
-    against the broadcast dictionary."""
+    The vocab is corpus-derived (Heaps'-law growth), so it carries NO
+    static broadcast hint — stats/AQE broadcast it at fixture scale
+    and fall to a shuffle join when the vocabulary is genuinely large;
+    the probe side here is 50 docs x 16 positions either way. The
+    global ROW_NUMBER rank is the honest id-assignment semantics and
+    the known residual: at extreme vocabularies the ranking window is
+    the bottleneck, and the scale path is the op_surrogate_key
+    partition-offset technique applied to the sorted counts."""
     from pyspark.sql import Window as W
 
     d = load(spark, sf_dir, "documents")
@@ -547,7 +553,7 @@ def op_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.slice("t", 1, 16)).alias("pos0", "tok"),
     )
     return (
-        prefix.join(F.broadcast(vocab), "tok")
+        prefix.join(hint_broadcast(vocab), "tok")
         .select(
             "doc_id",
             (F.col("pos0") + 1).cast("int").alias("pos"),
@@ -791,9 +797,12 @@ def op_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most distinctive terms per document by tf·N/df.
 
     Scale posture: tf is a map-side-combinable count over
-    (doc_id, term); df is a second small aggregate over terms that
-    joins back BROADCAST (vocabulary ≪ corpus); top-3 per doc runs as
-    a WindowGroupLimit below the exchange, so ≤3 rows per doc leave
+    (doc_id, term); df is a second aggregate over terms — vocabulary ≪
+    corpus but still corpus-derived (Heaps'-law growth), so it carries
+    no static broadcast hint: stats/AQE broadcast it at fixture scale
+    and shuffle-join it against the tiny 100-doc probe when the
+    vocabulary is genuinely large. Top-3 per doc runs as a
+    WindowGroupLimit below the exchange, so ≤3 rows per doc leave
     each task."""
     from pyspark.sql import Window as W
 
@@ -813,7 +822,7 @@ def op_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         tf.filter(F.col("doc_id") < 100)
-        .join(F.broadcast(df), "term")
+        .join(hint_broadcast(df), "term")
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select(
