@@ -932,9 +932,13 @@ def op_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """.format(sql_dsum("e.value", "sum_value")),
     notes="Stream-STATIC join (the enrichment pattern: an unbounded "
     "fact stream decorated with slowly-changing dimensions): the "
-    "events stream joins two batch tables — customer then nation — "
-    "which Spark re-plans as broadcasts against every micro-batch, "
-    "needing NO state store (unlike stream-stream joins, which "
+    "events stream joins two batch tables — customer then nation. "
+    "nation keeps its literal broadcast hint (25 rows, constant); "
+    "customer grows with the corpus so it carries no static hint — "
+    "at fixture scale stats still broadcast it per micro-batch, at "
+    "100 TB the per-batch join plans shuffle-side. Either way a "
+    "stream-static join needs NO state store (unlike stream-stream "
+    "joins, which "
     "buffer both sides under watermarks). Executed availableNow with "
     "a complete-mode grouped rollup; hash-checked against the static "
     "three-table join.",
