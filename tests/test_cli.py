@@ -27,6 +27,22 @@ def test_cli_csv_conversion(tmp_path):
     payload = json.loads(r.stdout.strip().splitlines()[-1])
     assert "users" in payload["tables"]
     assert list(out.glob("users/*.orc"))
+    # per-table progress narrates on STDERR (stdout stays one JSON
+    # line); exact Observation row total from the single write pass
+    assert "users: 2 rows written (1/1 tables)" in r.stderr, (
+        r.stderr[-2000:]
+    )
+
+
+def test_cli_quiet_suppresses_progress(tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "users.csv").write_text("id\n1\n")
+    out = tmp_path / "out"
+    r = run_cli("csv", str(src), str(out), "--quiet")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "rows written" not in r.stderr
+    assert "Converting" not in r.stderr
 
 
 def test_cli_dump_conversion(tmp_path):

@@ -39,12 +39,16 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--no-header", action="store_true")
     c.add_argument("--no-infer", action="store_true")
     c.add_argument("--compression", default="snappy")
+    c.add_argument("--quiet", action="store_true",
+                   help="suppress per-table progress lines (stderr)")
 
     d = sub.add_parser("dump", help="SQL dump file → ORC")
     d.add_argument("input")
     d.add_argument("output")
     d.add_argument("--tables", default=None, help="comma list (default all)")
     d.add_argument("--compression", default="snappy")
+    d.add_argument("--quiet", action="store_true",
+                   help="suppress per-table progress lines (stderr)")
 
     w = sub.add_parser(
         "wizard",
@@ -65,6 +69,8 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--user", required=True)
     m.add_argument("--tables", default=None)
     m.add_argument("--compression", default="snappy")
+    m.add_argument("--quiet", action="store_true",
+                   help="suppress per-table progress lines (stderr)")
 
     return p
 
@@ -88,6 +94,14 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def _dispatch(args, spark, tables) -> int:
+    # progress narration (reference sh:249 parity) goes to STDERR so
+    # stdout stays a single machine-parseable JSON line; --quiet
+    # (or report=None) suppresses it and leaves the plan hook-free
+    report = (
+        None
+        if getattr(args, "quiet", False)
+        else (lambda m: print(m, file=sys.stderr, flush=True))
+    )
     if args.cmd == "wizard":
         from .wizard import run_wizard
 
@@ -110,12 +124,14 @@ def _dispatch(args, spark, tables) -> int:
             header=not args.no_header,
             infer_schema=not args.no_infer,
             compression=args.compression,
+            report=report,
         )
     elif args.cmd == "dump":
         from .converter import convert_sql_dump
 
         written = convert_sql_dump(
-            spark, args.input, args.output, args.compression, tables
+            spark, args.input, args.output, args.compression, tables,
+            report=report,
         )
     else:  # mysql
         password = os.environ.get("MYSQL_PASSWORD")
@@ -133,7 +149,8 @@ def _dispatch(args, spark, tables) -> int:
             args.host, args.port, args.database, args.user, password
         )
         written = convert_mysql(
-            spark, cfg, args.output, tables, args.compression
+            spark, cfg, args.output, tables, args.compression,
+            report=report,
         )
 
     print(json.dumps({"tables": written}))
