@@ -1181,3 +1181,69 @@ def test_doc_winnow_matches_direct_hash_reference(spark, tmp_path):
         if _winnow_reference(d)
     }
     assert got == want
+
+
+def test_vocab_encode_bucket_rank_equals_global_rank(spark, tmp_path):
+    """The r12 bucket-offset vocabulary rank (op_surrogate_key
+    technique) must be bit-identical to a global ROW_NUMBER over
+    (n DESC, tok ASC) — exercised on a crafted Zipf-like corpus where
+    most terms tie at n=1, the case where single-column (n) cutpoints
+    would degenerate and only composite (n, tok) cuts split the mass
+    correctly across buckets."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from universal_data_to_orc_converter_spark.catalog import TABLES
+
+    # doc 0..49 so the op's doc_id < 50 probe sees them; vocabulary:
+    # 'the' x many, 'of' x few, and 60 singleton terms (the tie mass)
+    texts = []
+    for i in range(50):
+        body = ["the"] * 5 + (["of"] * 2 if i % 2 == 0 else [])
+        body += [f"w{i:03d}a", f"w{i:03d}b"]  # singletons, 100 of them
+        texts.append(" ".join(body))
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path / "zipf"
+    dst.mkdir()
+    n_docs = min(
+        len(texts), len(pq.read_table(f"{src}/documents.parquet"))
+    )
+    for t in TABLES:
+        tbl = pq.read_table(f"{src}/{t}.parquet")
+        if t == "documents":
+            n = n_docs
+            tbl = tbl.slice(0, n)
+            i = tbl.schema.get_field_index("text")
+            tbl = tbl.set_column(
+                i,
+                tbl.schema.field("text"),
+                pa.array(texts[:n], type=tbl.schema.field("text").type),
+            )
+        pq.write_table(tbl, str(dst / f"{t}.parquet"))
+
+    out = (
+        load_all_queries()["op_vocab_encode"]
+        .fn(spark, str(dst))
+        .collect()
+    )
+    # reference rank computed independently in Python
+    from collections import Counter
+
+    c: Counter = Counter()
+    for s in texts[:n_docs]:
+        c.update(w for w in s.lower().split(" ") if w)
+    expected_id = {
+        tok: i
+        for i, (tok, _) in enumerate(
+            sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        )
+    }
+    assert out, "crafted corpus must produce encoded rows"
+    for r in out:
+        doc = texts[r["doc_id"]].split(" ")
+        tok = doc[r["pos"] - 1]
+        assert r["token_id"] == expected_id[tok], (
+            tok,
+            r["token_id"],
+            expected_id[tok],
+        )

@@ -527,26 +527,84 @@ def op_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     The vocab is corpus-derived (Heaps'-law growth), so it carries NO
     static broadcast hint — stats/AQE broadcast it at fixture scale
     and fall to a shuffle join when the vocabulary is genuinely large;
-    the probe side here is 50 docs x 16 positions either way. The
-    global ROW_NUMBER rank is the honest id-assignment semantics and
-    the known residual: at extreme vocabularies the ranking window is
-    the bottleneck, and the scale path is the op_surrogate_key
-    partition-offset technique applied to the sorted counts."""
+    the probe side here is 50 docs x 16 positions either way.
+
+    The frequency rank itself uses the op_surrogate_key bucket-offset
+    technique rather than a global ROW_NUMBER (whose empty PARTITION
+    BY collapses the whole vocabulary onto one task): 15 composite
+    (n, tok) cutpoints from a seeded 1% sample split the total order
+    (n DESC, tok ASC) into 16 range buckets — composite cuts, because
+    Zipfian counts make n alone degenerate (half the vocab ties at
+    n=1 and would land in one bucket); per-bucket counts prefix-sum
+    on the driver (≤16 scalars, metadata); token_id = within-bucket
+    ROW_NUMBER + bucket offset − 1. Bit-identical to the global rank
+    because buckets respect the total order and (n, tok) is unique
+    per row. The only single-task window left is over the 1% sample,
+    which is boundary metadata — the same trade op_surrogate_key
+    documents for its percentile sample."""
     from pyspark.sql import Window as W
 
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
-    vocab = (
+    vocab_counts = (
         toks.select(F.explode("t").alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("n"))
-        .withColumn(
-            "token_id",
+    )
+    order = (F.col("n").desc(), F.col("tok").asc())
+    sample = vocab_counts.sample(fraction=0.01, seed=42)
+    n_sample = sample.count()
+    if n_sample == 0:  # tiny or empty vocab: sample everything
+        sample = vocab_counts
+        n_sample = sample.count()
+    step = max(1, n_sample // 16)
+    cut_rows = (
+        sample.withColumn("rn", F.row_number().over(W.orderBy(*order)))
+        .filter((F.col("rn") % step == 0) & (F.col("rn") < step * 16))
+        .select("n", "tok")
+        .collect()
+    )
+    cuts = sorted({(r["n"], r["tok"]) for r in cut_rows})
+    # pid = how many cutpoints this row sorts AFTER under
+    # (n DESC, tok ASC) — rows sharing a bucket are contiguous in the
+    # total order, so offset + within-bucket rank is the global rank
+    pid = sum(
+        (
             (
-                F.row_number().over(W.orderBy(F.col("n").desc(), "tok")) - 1
-            ).cast("bigint"),
+                (F.col("n") < F.lit(cn))
+                | ((F.col("n") == F.lit(cn)) & (F.col("tok") > F.lit(ct)))
+            ).cast("int")
+            for cn, ct in cuts
+        ),
+        F.lit(0),
+    )
+    with_pid = vocab_counts.select("tok", "n", pid.alias("pid"))
+    bucket_counts = {
+        r["pid"]: r["cnt"]
+        for r in with_pid.groupBy("pid")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(bucket_counts):
+        offsets[b] = acc
+        acc += bucket_counts[b]
+    offset_col = (
+        F.coalesce(
+            *[
+                F.when(F.col("pid") == b, F.lit(off))
+                for b, off in offsets.items()
+            ]
         )
-        .select("tok", "token_id")
+        if offsets
+        else F.lit(0)
+    )
+    w_bucket = W.partitionBy("pid").orderBy(*order)
+    vocab = with_pid.select(
+        "tok",
+        (
+            F.row_number().over(w_bucket) + offset_col.cast("bigint") - 1
+        ).cast("bigint").alias("token_id"),
     )
     prefix = toks.filter(F.col("doc_id") < 50).select(
         "doc_id",
