@@ -89,6 +89,31 @@ def test_flagship_customer_falls_to_sort_merge_at_scale(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
 
 
+def test_pack_sequences_has_no_single_partition_exchange(spark):
+    """The r12 bucket-offset running sum: packing must never plan the
+    global-window Exchange SinglePartition that puts every (doc_id,
+    n_tokens) pair on one task."""
+    from universal_data_to_orc_converter_spark.plans.inspect import (
+        simple_plan,
+    )
+
+    plan = simple_plan(q("op_pack_sequences", spark))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" in plan  # the per-bucket running sum remains
+
+
+def test_q15_max_is_broadcast_scalar_not_window(spark):
+    """Q15's global max must ride a broadcast 1-row aggregate, not a
+    single-partition window over the per-supplier revenue table."""
+    from universal_data_to_orc_converter_spark.plans.inspect import (
+        simple_plan,
+    )
+
+    plan = simple_plan(q("op_tpch_q15_top_supplier", spark))
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_hint_broadcast_gates_on_posture(spark):
     """plans.hints.hint_broadcast: constant-size build sides get the
     literal hint; corpus-proportional ones get NO static hint (the

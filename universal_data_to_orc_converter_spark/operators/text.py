@@ -647,22 +647,75 @@ def op_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order into 2048-token bins, each doc's bin and offset derived "
     "from the exclusive running token count — all integer window "
     "arithmetic, so both engines agree exactly. The packing that "
-    "turns a ragged corpus into fixed-length training sequences; at "
-    "scale the running sum is one range-partitioned window over "
-    "(doc_id, n_tokens) pairs, never the text.",
+    "turns a ragged corpus into fixed-length training sequences. The "
+    "running sum runs over 16 deterministic doc_id range buckets with "
+    "driver prefix-summed offsets (the op_surrogate_key technique) — "
+    "never a single-partition global window, and never the text.",
     tags=("text",),
 )
 def op_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign each document a training-bin id + offset by contiguous
-    greedy packing over the deterministic doc order."""
+    greedy packing over the deterministic doc order.
+
+    The running token count uses the op_surrogate_key bucket-offset
+    technique instead of a global ORDER BY window (whose empty
+    PARTITION BY plans Exchange SinglePartition — every (doc_id,
+    n_tokens) pair on one task): 15 doc_id cutpoints from a seeded 1%
+    sample split the order into 16 range buckets; per-bucket token
+    SUMS prefix-sum on the driver (≤16 scalars); each row's running
+    count = within-bucket running sum + its bucket's token offset.
+    Bit-identical to the global window because doc_id is unique and
+    buckets respect its total order."""
     from pyspark.sql import Window as W
 
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens")
     )
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    run = toks.withColumn("cum", F.sum("n_tokens").over(w))
+    fracs = [i / 16 for i in range(1, 16)]
+    sample = toks.sample(fraction=0.01, seed=42)
+    if sample.isEmpty():
+        sample = toks
+    cuts = sample.agg(
+        F.expr(
+            f"percentile(doc_id, array({','.join(map(str, fracs))}))"
+        ).alias("c")
+    ).first()["c"]
+    if cuts is None:  # empty corpus: percentile is NULL, one bucket
+        cuts = []
+    pid = sum(
+        ((F.col("doc_id") > F.lit(float(c))).cast("int") for c in cuts),
+        F.lit(0),
+    ).alias("pid")
+    with_pid = toks.select("doc_id", "n_tokens", pid)
+    bucket_sums = {
+        r["pid"]: r["tot"]
+        for r in with_pid.groupBy("pid")
+        .agg(F.sum("n_tokens").alias("tot"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(bucket_sums):
+        offsets[b] = acc
+        acc += bucket_sums[b] or 0
+    offset_col = (
+        F.coalesce(
+            *[
+                F.when(F.col("pid") == b, F.lit(off))
+                for b, off in offsets.items()
+            ]
+        )
+        if offsets
+        else F.lit(0)
+    )
+    w = (
+        W.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run = with_pid.withColumn(
+        "cum", F.sum("n_tokens").over(w) + offset_col.cast("bigint")
+    )
     start = F.col("cum") - F.col("n_tokens")
     bin_id = F.floor(start.cast("double") / 2048).cast("bigint")
     return run.select(

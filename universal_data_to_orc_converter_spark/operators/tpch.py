@@ -433,9 +433,14 @@ def op_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = li.groupBy("l_suppkey").agg(dsum(revenue(), "total_revenue"))
     s = load(spark, sf_dir, "supplier")
-    best = rev.withColumn(
-        "max_rev", F.max("total_revenue").over(W.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("max_rev"))
+    # global max as a broadcast 1-row aggregate, NOT a window over an
+    # empty PARTITION BY — that window plans Exchange SinglePartition
+    # and drags every per-supplier row onto one task, a needless
+    # single-reducer at scale when the comparison only needs one scalar
+    max_rev = rev.agg(F.max("total_revenue").alias("max_rev"))
+    best = rev.join(F.broadcast(max_rev)).filter(
+        F.col("total_revenue") == F.col("max_rev")
+    )
     return (
         best.join(hint_broadcast(s), best.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")

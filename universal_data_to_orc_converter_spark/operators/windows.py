@@ -147,7 +147,15 @@ def op_win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def op_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-based RANGE window frame (peers by value distance, where
-    ROWS frames count physical neighbors)."""
+    ROWS frames count physical neighbors).
+
+    Scale note: this op PINS the global RANGE-frame semantics, and a
+    global frame is inherently Exchange SinglePartition in Spark —
+    fine for a semantics gate, wrong as a 100 TB building block. The
+    scale formulation of 'count of rows within 10k below' is a range
+    self-join on value buckets (op_join_range_bucketized's shape) or
+    a two-pass bucket count + boundary correction; a real pipeline
+    should reach for those, and this docstring is the signpost."""
     o = load(spark, sf_dir, "orders")
     w = (
         W.orderBy("o_totalprice").rangeBetween(-10000, W.currentRow)
@@ -175,7 +183,15 @@ def op_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def op_win_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution-rank functions over a total order."""
+    """Distribution-rank functions over a total order.
+
+    Scale note: pins the global percent_rank/cume_dist/ntile
+    semantics, which Spark executes single-partition (empty PARTITION
+    BY). At scale each is derivable from a bucket-offset rank
+    (op_surrogate_key / op_vocab_encode technique) divided by the
+    global count: (rank-1)/(n-1), rank/n, 1+((rank-1)*k)/n — exact,
+    no single task. Kept as the literal window here because THAT is
+    the surface this gate verifies."""
     w = W.orderBy("s_acctbal", "s_suppkey")
     s = load(spark, sf_dir, "supplier")
     return s.select(
