@@ -41,18 +41,26 @@ def _poll_tasks(
     spark: SparkSession,
     say: Callable[[str], None],
     name: str,
+    group: str,
     stop: threading.Event,
 ) -> None:
+    # scoped to the write's own job group so concurrent table
+    # conversions (Spark schedules them freely — op_parallel_tables)
+    # never mix their task counts into each other's narration
     tracker = spark.sparkContext.statusTracker()
     last = -1
     while not stop.wait(_POLL_SEC):
         try:
             done = total = 0
-            for sid in tracker.getActiveStageIds():
-                info = tracker.getStageInfo(sid)
-                if info is not None:
-                    done += info.numCompletedTasks
-                    total += info.numTasks
+            for jid in tracker.getJobIdsForGroup(group):
+                job = tracker.getJobInfo(jid)
+                if job is None:
+                    continue
+                for sid in job.stageIds:
+                    info = tracker.getStageInfo(sid)
+                    if info is not None:
+                        done += info.numCompletedTasks
+                        total += info.numTasks
         except Exception:  # tracker races with job teardown — benign
             continue
         if total and done != last:
@@ -80,16 +88,20 @@ def write_with_progress(
     obs = Observation(f"convert_{name}_{index}")
     observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
     report(f"Converting {name} ({index}/{total_tables}) ...")
+    sc = spark.sparkContext
+    group = f"convert_{name}_{index}"
     stop = threading.Event()
     poller = threading.Thread(
         target=_poll_tasks,
-        args=(spark, report, name, stop),
+        args=(spark, report, name, group, stop),
         daemon=True,
     )
     poller.start()
+    sc.setJobGroup(group, f"convert {name} -> ORC")
     try:
         write(observed)
     finally:
+        sc.setJobGroup(None, None)  # job groups are thread-local
         stop.set()
         poller.join(timeout=5)
     rows = obs.get["rows"]
