@@ -546,10 +546,18 @@ def op_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    # materialize the counts ONCE: the bucket machinery below takes
+    # three metadata actions (sample count, cut rows, bucket counts)
+    # plus the final plan, and without a checkpoint each one re-runs
+    # tokenize+explode+groupBy over the corpus (measured 1.6->5.7 s at
+    # sf1). The checkpointed table is vocabulary-sized (Heaps'-law ≪
+    # corpus), the standard multi-pass trade this repo's localCheckpoint
+    # ops already make.
     vocab_counts = (
         toks.select(F.explode("t").alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
     )
     order = (F.col("n").desc(), F.col("tok").asc())
     sample = vocab_counts.sample(fraction=0.01, seed=42)
@@ -669,9 +677,13 @@ def op_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = load(spark, sf_dir, "documents")
+    # materialize (doc_id, n_tokens) ONCE — 16 bytes/doc, never the
+    # text — so the sample percentile, the bucket sums and the final
+    # plan don't each re-tokenize the corpus (the same multi-pass
+    # trade as op_vocab_encode's checkpoint; measured at sf1)
     toks = d.select(
         "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens")
-    )
+    ).localCheckpoint(eager=True)
     fracs = [i / 16 for i in range(1, 16)]
     sample = toks.sample(fraction=0.01, seed=42)
     if sample.isEmpty():
