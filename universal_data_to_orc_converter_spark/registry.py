@@ -92,71 +92,75 @@ def query(
 #: A separate lag guard (tests/test_staleness_budget.py) fails if the
 #: window ever falls MORE than one round behind the ledger, so the
 #: rotation still cannot be skipped.
-WINDOW_ROUND: int = 12
+WINDOW_ROUND: int = 13
 
 DRIVER_PRIORITY: tuple[str, ...] = (
     # headline flagship — always in the window
     "flagship_revenue_by_nation",
-    # (b) the 19 ops the r11-restart robustness package (empty-corpus /
-    # single-row / nullified-input audits) modified AFTER the r11
-    # rotation was pinned — all below the r11 fold, so they MUST
-    # re-seat here (TODO_r12 #1; derived via rotate_window.py
-    # --modified). CORRECTNESS_r11 had zero red rows, so no (a) seats.
-    "op_compression_ratio",
-    "op_curriculum_shards",
-    "op_jdbc_roundtrip",
-    "op_kcenter_coreset",
-    "op_mapinarrow_norm",
-    "op_multimodal_audio",
-    "op_multimodal_decode",
-    "op_orc_partitioned_scan",
-    "op_semdedup",
-    "op_sim_ann_lsh",
-    "op_sim_ann_ivf",
-    "op_sim_ann_ivfpq",
-    "op_stream_cdc_upsert",
-    "op_stream_cdc_delete",
-    "op_stream_interval_join_full",
-    "op_stream_interval_join_outer",
-    "op_stream_interval_join_right",
-    "op_zorder_clustered_scan",
-    "op_zscore_anomaly",
-    # (c1) the 20 r6-stale MUST-seats (budget floor at r12 is r7; the
-    # overflow named in COVERAGE.md's r11 entry, op_bpe_pair_counts
-    # first — it was the seat the r11 embedding_cell swap displaced).
-    "op_bpe_pair_counts",
-    "op_ngram_lm_counts",
-    "op_duplicate_ngram_spans",
-    "op_bpe_train",
-    "op_bpe_apply",
-    "op_python_udtf",
-    "op_win_rolling_median",
-    "op_cast",
-    "op_variant_extract",
-    "op_python_datasource_writer",
-    "op_stream_python_sink",
-    "op_stream_python_source",
-    "op_time_weighted_avg",
-    "op_ewma",
-    "op_scd2_build",
-    "op_join_interval_overlap",
-    "op_session_dynamic_gap",
-    "op_stream_dedup_minhash",
-    "op_agg_groupby",
-    "op_heavy_hitters_son",
-    # (c2) 10 of the 48 r7-stale names by registration order; the other
-    # 38 overflow to r13 where the floor rises to r8 and they MUST seat
-    # (r13 ≈ 1 + 38 + remainder — the cascade closes there, TODO_r12).
-    "op_distinct_intersection_kmv",
-    "op_cohort_retention",
-    "op_corr_matrix",
-    "op_epoch_shuffle",
-    "op_length_bucketed_batching",
-    "op_curation_report",
-    "op_dedup_simhash",
-    "op_bucket_pruned_lookup",
-    "op_fixed_width_roundtrip",
-    "op_incremental_agg_maintain",
+    # (b) the 4 ops modified in r12 AFTER the r12 rotation was pinned
+    # (TODO_r13 #1 / r12 verdict "missing" #3): two broadcast-posture
+    # un-hints (tfidf df table, vocab_encode vocabulary) and the two
+    # single-reducer reformulations (bucket-offset vocab rank,
+    # bucket-offset packing sum; q15's broadcast-scalar max). Their
+    # latest green driver rows predate the rework — highest-priority
+    # correctness debt on the tree. CORRECTNESS_r12 had zero red rows,
+    # so no (a) seats.
+    "op_tfidf_topterms",
+    "op_vocab_encode",
+    "op_pack_sequences",
+    "op_tpch_q15_top_supplier",
+    # (c1) the 38 r7-stale MUST-seats (budget floor at r13 is r8; the
+    # overflow named in the r12 rotation comment) by registration order.
+    # This is the round the staleness cascade closes: after this window
+    # lands, no registered query's latest driver row is older than r8.
+    "op_time_travel_read",
+    "op_dedup_embedding",
+    "op_recursive_cte",
+    "op_sql_pipe_syntax",
+    "op_text_stats",
+    "op_token_count",
+    "op_doc_fingerprint",
+    "op_token_topk",
+    "op_quality_filter",
+    "op_dataset_split",
+    "op_collocations",
+    "op_doc_self_repetition",
+    "op_doc_duplication_coverage",
+    "op_lm_doc_score",
+    "op_span_excise",
+    "op_lm_doc_score_heldout",
+    "op_udf_scalar",
+    "op_udtf_grouped_map",
+    "op_pivot",
+    "op_win_rank",
+    "op_win_lag_lead",
+    "op_win_frame",
+    "op_date_funcs",
+    "op_math_funcs",
+    "op_null_handling",
+    "op_json_funcs",
+    "op_array_funcs",
+    "op_stream_tumbling",
+    "op_stream_sliding",
+    "op_stream_session",
+    "op_stream_dedup_within_watermark",
+    "op_agg_percentile",
+    "op_agg_stats",
+    "op_agg_salted_twophase",
+    "op_attribution_last_touch",
+    "op_domain_mixture",
+    "op_shard_assign",
+    "op_reservoir_sample",
+    # (c2) 7 of the r8-stale names by registration order fill the
+    # remaining seats (the rest stay in the ledger for r14+ refresh —
+    # all already ≥ the r8 floor, so no MUST-seat overflow remains).
+    "op_importance_resample",
+    "op_dedup_exact",
+    "op_dedup_clusters",
+    "op_split_contamination",
+    "op_cluster_representative",
+    "op_connected_components_star",
+    "op_orc_roundtrip",
 )
 
 #: Names registered AFTER this round's DRIVER_PRIORITY was pinned that
@@ -166,10 +170,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: here — tests/test_registry_order.py fails otherwise, so a
 #: post-freeze registration can never again be silently unverified
 #: (r4 accumulated 14 such names before this gate existed). Rounds 9
-#: through 12 registered zero new names (depth over breadth — capacity
-#: budget 258/295), so the set is empty; new r12 registrations would
-#: accumulate here and get first-in-line priority for the r13 rotation.
-BELOW_FOLD_R12: frozenset[str] = frozenset()
+#: through 13 registered zero new names (depth over breadth — capacity
+#: budget 258/295), so the set is empty; new r13 registrations would
+#: accumulate here and get first-in-line priority for the r14 rotation.
+BELOW_FOLD_R13: frozenset[str] = frozenset()
 
 
 def load_all_queries() -> dict[str, QuerySpec]:
