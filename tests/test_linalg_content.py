@@ -7,6 +7,7 @@ approximate)."""
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from universal_data_to_orc_converter_spark.operators.linalg import (
     op_embedding_covariance,
@@ -135,24 +136,95 @@ def test_kmeans_arrow_assignment_equals_literal(spark):
         q.unpersist()
 
 
-def test_semdedup_adaptive_k_matches_oracle_at_fixture(spark):
-    """op_semdedup's adaptive default (k = max(8, n/64)) must resolve
-    to exactly K_CENTERS at the oracle fixture cardinality, or the
-    unrolled k=8 DuckDB CTE silently stops describing what the op
-    runs — the same regime-guard pattern as the HLL sparse-mode
-    tests."""
-    from universal_data_to_orc_converter_spark.catalog import load
+def test_semdedup_oracle_k_tracks_op():
+    """Regime guard, r13 form: op_semdedup's oracle no longer pins the
+    fixture-scale k=8 — it embeds _ADAPTIVE_K_SQL, whose GREATEST/
+    ``//`` spelling must compute exactly Python's
+    ``max(K_CENTERS, n // 64)`` at every corpus size, or the oracle
+    silently describes a different clustering than the op runs (the
+    pre-r13 version of this guard merely asserted the FIXTURE stayed
+    inside the k=8 regime, which left the sf0.1 audit permanently
+    red)."""
+    import duckdb
+
     from universal_data_to_orc_converter_spark.operators.linalg import (
+        _ADAPTIVE_K_SQL,
         K_CENTERS,
     )
-
-    from .conftest import SF_DIR
-
-    n = load(spark, SF_DIR, "embeddings").count()
-    assert max(K_CENTERS, n // 64) == K_CENTERS, (
-        f"fixture has {n} vectors; adaptive k would diverge from the "
-        f"k={K_CENTERS} oracle CTE — re-derive the oracle or pin _k"
+    from universal_data_to_orc_converter_spark.registry import (
+        load_all_queries,
     )
+
+    assert _ADAPTIVE_K_SQL in load_all_queries()["op_semdedup"].oracle
+
+    con = duckdb.connect()
+    for n in (0, 1, 7, 8, 500, 511, 512, 576, 5000, 50000):
+        got = con.sql(
+            "WITH q AS (SELECT * FROM range({n})) SELECT {k}".format(
+                n=n, k=_ADAPTIVE_K_SQL
+            )
+        ).fetchone()[0]
+        assert got == max(K_CENTERS, n // 64), (
+            f"n={n}: SQL k={got} != Python k={max(K_CENTERS, n // 64)}"
+        )
+
+
+def test_semdedup_oracle_matches_op_in_adaptive_k_regime(spark, tmp_path):
+    """The un-pinned oracle must hash-match the op in a regime where
+    the adaptive k EXCEEDS K_CENTERS (the case the pre-r13 oracle could
+    never check): 4 shifted copies of the fixture's 500 embeddings
+    give n=2000, k = max(8, 2000//64) = 31, so both the GREATEST seed
+    and the op's adaptive branch are exercised off the fixture
+    regime."""
+    import duckdb
+
+    from universal_data_to_orc_converter_spark.catalog import load
+    from universal_data_to_orc_converter_spark.registry import (
+        load_all_queries,
+    )
+
+    from .conftest import SF_DIR, assert_frames_match
+
+    em = load(spark, SF_DIR, "embeddings")
+    n = em.count()
+    copies = [
+        em.select(
+            (F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
+            # perturb one coordinate per copy so the copies aren't
+            # exact duplicates (dup counts stay nontrivial either way)
+            F.concat(
+                F.slice("embedding", 1, 63),
+                F.array(
+                    (F.element_at("embedding", 64) + F.lit(i * 0.01)).cast(
+                        "float"
+                    )
+                ),
+            ).alias("embedding"),
+            *[c for c in em.columns if c not in ("vec_id", "embedding")],
+        )
+        for i in range(4)
+    ]
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    out_dir = str(tmp_path / "emb")
+    big.coalesce(1).write.parquet(out_dir)
+
+    sf_dir = str(tmp_path)
+    import glob as _glob
+    import os as _os
+
+    part = _glob.glob(_os.path.join(out_dir, "part-*.parquet"))[0]
+    _os.rename(part, _os.path.join(sf_dir, "embeddings.parquet"))
+
+    spec = load_all_queries()["op_semdedup"]
+    sdf = spec.fn(spark, sf_dir)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{_os.path.join(sf_dir, 'embeddings.parquet')}'"
+    )
+    assert_frames_match(sdf, con.sql(spec.oracle), "op_semdedup_adaptive")
 
 
 def test_kmeans_fewer_rows_than_k_clamps_instead_of_crashing(spark):
