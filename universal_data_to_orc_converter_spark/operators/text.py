@@ -539,20 +539,39 @@ def op_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the driver (≤16 scalars, metadata); token_id = within-bucket
     ROW_NUMBER + bucket offset − 1. Bit-identical to the global rank
     because buckets respect the total order and (n, tok) is unique
-    per row. The only single-task window left is over the 1% sample,
-    which is boundary metadata — the same trade op_surrogate_key
-    documents for its percentile sample."""
+    per row.
+
+    The bucket machinery costs exactly TWO metadata actions beyond the
+    eager checkpoint (r12 shipped three — the r12-verdict latency
+    item): the 1% sample collects in one pass and yields both its size
+    and the 15 rank cutpoints via a driver-side sort (Python's
+    code-point string order is UTF-8 binary order, i.e. Spark's
+    default UTF8_BINARY collation, so the tiebreak is identical to the
+    former single-task row_number window this replaces); the bucket
+    counts are the second action. The sample is 1% of the VOCABULARY
+    (Heaps'-law ≪ corpus) — the same boundary-metadata trade
+    op_surrogate_key documents for its percentile sample."""
     from pyspark.sql import Window as W
 
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
     # materialize the counts ONCE: the bucket machinery below takes
-    # three metadata actions (sample count, cut rows, bucket counts)
-    # plus the final plan, and without a checkpoint each one re-runs
+    # two metadata actions (sample collect, bucket counts) plus the
+    # final plan, and without a checkpoint each one re-runs
     # tokenize+explode+groupBy over the corpus (measured 1.6->5.7 s at
     # sf1). The checkpointed table is vocabulary-sized (Heaps'-law ≪
     # corpus), the standard multi-pass trade this repo's localCheckpoint
-    # ops already make.
+    # ops already make. Failure mode at cluster scale (r12 advice):
+    # localCheckpoint truncates lineage into UNREPLICATED executor-local
+    # blocks, so losing an executor mid-query fails the op instead of
+    # recomputing; a cluster deployment that can't simply re-run should
+    # swap in reliable checkpoint() (needs spark.checkpoint.dir) or
+    # persist(StorageLevel.MEMORY_AND_DISK_2).
+    # EAGER, deliberately: eager=False looks like it would merge the
+    # materialization into the sample collect's job, but measured warm
+    # sf0.1 it RECOMPUTES the corpus aggregation per downstream action
+    # (1.5 s → 5.7 s) — the lazy local checkpoint doesn't reliably pin
+    # blocks from a partial-output action like sample().collect().
     vocab_counts = (
         toks.select(F.explode("t").alias("tok"))
         .groupBy("tok")
@@ -560,19 +579,20 @@ def op_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     order = (F.col("n").desc(), F.col("tok").asc())
-    sample = vocab_counts.sample(fraction=0.01, seed=42)
-    n_sample = sample.count()
-    if n_sample == 0:  # tiny or empty vocab: sample everything
-        sample = vocab_counts
-        n_sample = sample.count()
-    step = max(1, n_sample // 16)
-    cut_rows = (
-        sample.withColumn("rn", F.row_number().over(W.orderBy(*order)))
-        .filter((F.col("rn") % step == 0) & (F.col("rn") < step * 16))
+    sample_rows = (
+        vocab_counts.sample(fraction=0.01, seed=42)
         .select("n", "tok")
         .collect()
     )
-    cuts = sorted({(r["n"], r["tok"]) for r in cut_rows})
+    if not sample_rows:  # tiny or empty vocab: sample everything
+        sample_rows = vocab_counts.select("n", "tok").collect()
+    n_sample = len(sample_rows)
+    step = max(1, n_sample // 16)
+    ranked = sorted(sample_rows, key=lambda r: (-r["n"], r["tok"]))
+    cuts = sorted(
+        (ranked[rn - 1]["n"], ranked[rn - 1]["tok"])
+        for rn in range(step, min(step * 16, n_sample + 1), step)
+    )
     # pid = how many cutpoints this row sorts AFTER under
     # (n DESC, tok ASC) — rows sharing a bucket are contiguous in the
     # total order, so offset + within-bucket rank is the global rank
@@ -680,19 +700,23 @@ def op_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize (doc_id, n_tokens) ONCE — 16 bytes/doc, never the
     # text — so the sample percentile, the bucket sums and the final
     # plan don't each re-tokenize the corpus (the same multi-pass
-    # trade as op_vocab_encode's checkpoint; measured at sf1)
+    # trade as op_vocab_encode's checkpoint; measured at sf1; same
+    # executor-loss caveat — see the note there re: reliable
+    # checkpoint()/MEMORY_AND_DISK_2 for cluster deployments)
     toks = d.select(
         "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens")
     ).localCheckpoint(eager=True)
     fracs = [i / 16 for i in range(1, 16)]
-    sample = toks.sample(fraction=0.01, seed=42)
-    if sample.isEmpty():
-        sample = toks
-    cuts = sample.agg(
-        F.expr(
-            f"percentile(doc_id, array({','.join(map(str, fracs))}))"
-        ).alias("c")
-    ).first()["c"]
+    # ONE metadata action in the common path (the r12-verdict latency
+    # item): percentile over an EMPTY sample is NULL, so the empty
+    # probe doubles as the result — the former isEmpty() pre-check
+    # paid a whole extra job just to decide which frame to aggregate.
+    pctl = F.expr(
+        f"percentile(doc_id, array({','.join(map(str, fracs))}))"
+    ).alias("c")
+    cuts = toks.sample(fraction=0.01, seed=42).agg(pctl).first()["c"]
+    if cuts is None:  # tiny/empty sample: percentile the full table
+        cuts = toks.agg(pctl).first()["c"]
     if cuts is None:  # empty corpus: percentile is NULL, one bucket
         cuts = []
     pid = sum(
