@@ -161,6 +161,64 @@ def test_write_with_progress_reports_rows(spark, tmp_path):
     assert lines[-1] == "users: 1,234 rows written (2/3 tables)"
 
 
+def test_write_with_progress_restores_caller_job_group(spark, tmp_path):
+    """A caller that wraps multi-table conversions in its OWN job group
+    must get it back after each table — the pre-r13 finally clause
+    cleared the thread's group unconditionally (r12 advice)."""
+    from universal_data_to_orc_converter_spark.progress import (
+        write_with_progress,
+    )
+
+    sc = spark.sparkContext
+    sc.setJobGroup("caller_batch", "caller's own group")
+    try:
+        write_with_progress(
+            spark,
+            spark.range(5),
+            "t",
+            1,
+            1,
+            lambda s: None,
+            lambda d: d.write.mode("overwrite").orc(
+                str(tmp_path / "jg_orc")
+            ),
+        )
+        assert sc.getLocalProperty("spark.jobGroup.id") == "caller_batch"
+        assert (
+            sc.getLocalProperty("spark.job.description")
+            == "caller's own group"
+        )
+    finally:
+        sc.setJobGroup(None, None)
+    # and with no caller group, the hook still leaves the thread clean
+    write_with_progress(
+        spark,
+        spark.range(5),
+        "t2",
+        1,
+        1,
+        lambda s: None,
+        lambda d: d.write.mode("overwrite").orc(str(tmp_path / "jg2_orc")),
+    )
+    assert sc.getLocalProperty("spark.jobGroup.id") is None
+
+
+def test_write_with_progress_rejects_actionless_write(spark):
+    """A write callback that never runs an action would block forever
+    on Observation.get; the hook must raise instead (r12 advice)."""
+    import pytest
+
+    from universal_data_to_orc_converter_spark.progress import (
+        write_with_progress,
+    )
+
+    with pytest.raises(ValueError, match="no Spark action"):
+        write_with_progress(
+            spark, spark.range(5), "noop", 1, 1, lambda s: None,
+            lambda d: None,
+        )
+
+
 def test_wizard_missing_dump_errors(spark, tmp_path):
     import pytest
 

@@ -33,6 +33,22 @@ linearly-growing dims in the flagship + tpch/joins/maintenance/
 batch_windows families). The reference converts tables one at a time
 and never joins (data_to_orc_converter.sh:240-260 region), so there is
 no counterpart posture to cite — this is Spark-native design.
+
+**Canonical spellings (r12 advice — one grep audits the posture):**
+
+* constant-size build side → raw ``F.broadcast(x)`` at the call site.
+  Every ``F.broadcast(`` occurrence outside this module is therefore a
+  CLAIM that the side is O(1) in the corpus (centers, calendars, salt
+  grids, 1-row totals/bounds, nation/region); auditing the posture is
+  exactly ``grep -rn "F.broadcast(" --include="*.py" | grep -v hints``
+  (46 sites as of r13, each re-justified in the r12 crossJoin audit).
+* corpus-proportional build side → ``hint_broadcast(x)`` (no static
+  hint; stats + AQE decide).
+* ``hint_broadcast(x, always=True)`` exists so call sites that are
+  MIXED (a knob decides whether the side is bounded) can spell both
+  postures through one function; with both canonical spellings above
+  it is intentionally rare in production code — tests pin its
+  equivalence to ``F.broadcast``.
 """
 
 from __future__ import annotations

@@ -81,6 +81,13 @@ def write_with_progress(
 
     With ``report=None`` this is exactly ``write(df)`` — no observe
     node, no poller thread, byte-identical plan.
+
+    Contract: ``write`` MUST execute at least one action on the frame
+    it is handed — the row total comes from an ``Observation`` riding
+    that action, and ``Observation.get`` blocks until some action
+    materializes the observed plan. A ``write`` that never acts would
+    hang here; the guard below converts that programming error into an
+    immediate ValueError instead (r12 advice).
     """
     if report is None:
         write(df)
@@ -90,6 +97,12 @@ def write_with_progress(
     report(f"Converting {name} ({index}/{total_tables}) ...")
     sc = spark.sparkContext
     group = f"convert_{name}_{index}"
+    # save the CALLER's job group (thread-local) so a caller that wraps
+    # multi-table conversions in its own group gets it back, instead of
+    # the old unconditional clear wiping it after the first table
+    # (r12 advice)
+    prev_group = sc.getLocalProperty("spark.jobGroup.id")
+    prev_desc = sc.getLocalProperty("spark.job.description")
     stop = threading.Event()
     poller = threading.Thread(
         target=_poll_tasks,
@@ -98,11 +111,19 @@ def write_with_progress(
     )
     poller.start()
     sc.setJobGroup(group, f"convert {name} -> ORC")
+    ran_action = False
     try:
         write(observed)
+        tracker = sc.statusTracker()
+        ran_action = bool(tracker.getJobIdsForGroup(group))
     finally:
-        sc.setJobGroup(None, None)  # job groups are thread-local
+        sc.setJobGroup(prev_group, prev_desc)
         stop.set()
         poller.join(timeout=5)
+    if not ran_action:
+        raise ValueError(
+            f"write callback for table {name!r} ran no Spark action; "
+            "the observed row total would block forever"
+        )
     rows = obs.get["rows"]
     report(f"{name}: {rows:,} rows written ({index}/{total_tables} tables)")
