@@ -55,12 +55,21 @@ def test_empty_split_yields_empty_summary(spark):
     assert _mg_partials(df, 8).count() == 0
 
 
-def test_maintain_reclaims_scratch_store_and_result_survives(spark):
+def test_maintain_reclaims_scratch_store_and_result_survives(
+    spark, tmp_path, monkeypatch
+):
     """Regression: the parquet MG state store must be reclaimed before
     the op returns (it used to leak one mg_state_* dir per call), and
     the returned frame must still be collectable afterwards — i.e. the
     lazy dependency on the deleted directory was severed by an eager
-    checkpoint, not left to fail on first action."""
+    checkpoint, not left to fail on first action.
+
+    The scratch root is isolated to tmp_path (the op's mkdtemp honors
+    tempfile.tempdir, and it runs driver-side in this process): with
+    the shared /tmp, ANOTHER repo process running concurrently — e.g.
+    a scale audit alongside pytest — creates its own mg_state_* dir
+    between the before/after globs and fails the leak assert
+    spuriously (observed r13)."""
     import glob
     import os
     import tempfile
@@ -71,6 +80,7 @@ def test_maintain_reclaims_scratch_store_and_result_survives(spark):
 
     from .conftest import SF_SMOKE
 
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
     pattern = os.path.join(tempfile.gettempdir(), "mg_state_*")
     before = set(glob.glob(pattern))
     out = load_all_queries()["op_heavy_hitters_maintain"].fn(

@@ -305,17 +305,25 @@ def test_stream_interval_join_equals_batch(spark):
     assert as_sets(batch, cols) == as_sets(stream, cols)
 
 
-def test_heartbeat_join_cleans_staging_and_checkpoints(spark):
+def test_heartbeat_join_cleans_staging_and_checkpoints(
+    spark, tmp_path, monkeypatch
+):
     """The outer-join heartbeat machinery stages a corpus-sized copy of
     events.parquet plus a checkpoint dir per invocation; both must be
     reclaimed once the stream drains (r6 advice — three ops each leaked
     one staged corpus per call). The result must stay collectable AFTER
-    cleanup (memory sink is driver-resident, not file-backed)."""
+    cleanup (memory sink is driver-resident, not file-backed).
+
+    Scratch root isolated to tmp_path so a concurrent repo process
+    (e.g. a scale audit running alongside pytest) can't create its own
+    ssoj_*/ckpt_* dirs between the before/after globs (the same
+    spurious-failure mode observed r13 on the mg_state test)."""
     import glob
     import tempfile
 
     from universal_data_to_orc_converter_spark.registry import QUERIES
 
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
     tmp = tempfile.gettempdir()
 
     def live(pattern):
