@@ -46,6 +46,96 @@ from ..registry import query
 N_MERGES = 10
 
 
+def _bpe_ctes(n: int) -> str:
+    """DuckDB CTE chain replicating ``n`` BPE merge rounds — the same
+    unrolling trick as the kmeans/pagerank oracles, upgrading both BPE
+    ops from rows-only to full hash-checked (r13).
+
+    Round state is the word's symbol list encoded as a DOUBLE-SPACE-
+    joined string with a two-space sentinel on each end (symbols never
+    contain spaces — they are concatenations of ``string_split(t, ' ')``
+    word characters). The winning pair (a, b) is applied with plain
+    ``replace(s, ' a  b ', ' ab ')``, which is exactly the Spark fold's
+    leftmost-first non-overlapping merge:
+
+    * no false positives: spaces occur only in runs of exactly two, and
+      a single-space pattern margin can only align with the run's inner
+      space, so ``a``/``b`` always match COMPLETE symbols;
+    * consecutive occurrences both merge (``[a,b,a,b]`` → ``[ab,ab]``):
+      the single-space margins leave one space of each boundary run
+      unconsumed, so back-to-back matches don't overlap in the source;
+    * overlapping occurrences resolve leftmost (``[a,a,a]`` with (a,a)
+      → ``[aa,a]``), matching the fold's freshly-merged-symbol-never-
+      immediately-re-merges semantics.
+
+    Every CTE is MATERIALIZED: each round references the previous one
+    several times, and DuckDB's default CTE inlining makes the plan
+    tree grow ~4^n (measured: "Too many open files" at n=10 from
+    re-reading the parquet a million times).
+
+    An empty winner (vocab exhausted before round n) keeps the state
+    unchanged via the COUNT guard and contributes no output row —
+    mirroring the Spark loop's early ``break``. Caveat shared with the
+    Spark side: character splitting is per code point on both engines
+    (Java regex ``split("")`` / DuckDB ``string_split(t, '')``);
+    differential-tested at sf0.001/0.01/0.1.
+    """
+    parts = [
+        """
+        r0 AS MATERIALIZED (
+          SELECT CAST(c AS BIGINT) AS c,
+                 '  ' || array_to_string(
+                   list_filter(string_split(t, ''), x -> x <> ''), '  ')
+                 || '  ' AS s
+          FROM (
+            SELECT t, COUNT(*) AS c FROM (
+              SELECT unnest(string_split(text, ' ')) AS t FROM documents
+            ) WHERE length(t) >= 2 GROUP BY t
+          )
+        )"""
+    ]
+    for k in range(n):
+        parts.append(f"""
+        p{k} AS MATERIALIZED (
+          SELECT l[u.i] AS a, l[u.i+1] AS b,
+                 CAST(SUM(c) AS BIGINT) AS cnt
+          FROM (SELECT c,
+                       list_filter(string_split(s, '  '), x -> x <> '') AS l
+                FROM r{k}),
+               LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) u
+          GROUP BY 1, 2
+        ),
+        w{k} AS MATERIALIZED (
+          SELECT a, b, a || b AS ab, cnt
+          FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1
+        ),
+        r{k + 1} AS MATERIALIZED (
+          SELECT c,
+                 CASE WHEN (SELECT COUNT(*) FROM w{k}) = 1
+                      THEN replace(s,
+                             (SELECT ' ' || a || '  ' || b || ' ' FROM w{k}),
+                             (SELECT ' ' || ab || ' ' FROM w{k}))
+                      ELSE s END AS s
+          FROM r{k}
+        )""")
+    return "WITH " + ",".join(parts)
+
+
+_BPE_TRAIN_ORACLE = _bpe_ctes(N_MERGES) + "\n" + "\nUNION ALL\n".join(
+    f'SELECT CAST({k} AS INT) AS rank, a AS "left", b AS "right", '
+    f"ab AS merged, cnt AS pair_count FROM w{k}"
+    for k in range(N_MERGES)
+)
+
+_BPE_APPLY_ORACLE = _bpe_ctes(N_MERGES) + f"""
+        SELECT symbol, CAST(SUM(c) AS BIGINT) AS n_occur FROM (
+          SELECT c, unnest(list_filter(string_split(s, '  '),
+                                       x -> x <> '')) AS symbol
+          FROM r{N_MERGES}
+        ) GROUP BY symbol ORDER BY n_occur DESC, symbol LIMIT 20
+"""
+
+
 def bpe_train_merges(token_counts: DataFrame, n_merges: int) -> list[dict]:
     """Run ``n_merges`` BPE merge rounds over a ``(t, c)`` DISTINCT
     token-frequency table; return the learned merge list
@@ -136,20 +226,23 @@ def bpe_train_merges(token_counts: DataFrame, n_merges: int) -> list[dict]:
 
 @query(
     "op_bpe_train",
-    oracle=None,
+    oracle=_BPE_TRAIN_ORACLE,
     notes="Full distributed BPE training loop (module docstring): one "
     "corpus-scale pass reduces the corpus to DISTINCT token "
     "frequencies, then every merge round runs over the |vocab|-row "
     "symbol table — JVM transform/explode pair scoring, map-side-"
     "combined groupBy, JVM aggregate-fold merge application, 1-row "
-    "driver fetch per round. rows-only: k-round iterative training is "
-    "not expressible as one SQL statement (same escape hatch as "
-    "op_pagerank); content correctness is pinned EXACTLY instead — "
-    "tests/test_bpe_train.py trains the same corpus with a pure-"
-    "Python reference BPE (same count-DESC/pair-ASC tiebreak) and "
-    "asserts the full merge tables are identical, and a second test "
-    "asserts the learned merges chain (later merges consume earlier "
-    "merged symbols).",
+    "driver fetch per round. FULLY ORACLE-CHECKED as of r13 (was "
+    "rows-only): the 10 merge rounds unroll into MATERIALIZED DuckDB "
+    "CTEs — the op_pagerank/op_kmeans technique — with the fold's "
+    "leftmost non-overlapping merge replicated as a string replace "
+    "over a double-space-joined symbol encoding (equivalence argument "
+    "in _bpe_ctes). Deterministic by the count-DESC/pair-ASC "
+    "tiebreak; additionally tests/test_bpe_train.py replays the same "
+    "corpus through a pure-Python reference trainer and asserts the "
+    "merge tables are identical, and a second test asserts the "
+    "learned merges chain (later merges consume earlier merged "
+    "symbols).",
     tags=("text", "scale"),
 )
 def op_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,7 +282,7 @@ def merge_fold_expr(col, a: str, b: str, ab: str):
 
 @query(
     "op_bpe_apply",
-    oracle=None,
+    oracle=_BPE_APPLY_ORACLE,
     notes="BPE ENCODING with the merges op_bpe_train learns — the "
     "apply half of the tokenizer lifecycle, and a structurally "
     "different computation than training: training is inherently "
@@ -200,10 +293,13 @@ def merge_fold_expr(col, a: str, b: str, ab: str):
     "The op trains 10 merges, encodes the distinct-token vocabulary "
     "(corpus->vocab compression again: folds run over |vocab| rows, "
     "weighted by token frequency), and emits the top-20 subword "
-    "symbols by occurrence. rows-only (the merges come from the "
-    "iterative trainer); tests/test_bpe_train.py replays train+apply "
-    "through the pure-Python reference and asserts the symbol "
-    "frequency table matches EXACTLY.",
+    "symbols by occurrence. FULLY ORACLE-CHECKED as of r13 (was "
+    "rows-only): the encoded vocabulary is exactly the unrolled merge "
+    "chain's final-round state (r10 in _bpe_ctes), so the oracle "
+    "explodes that and top-20s it; tests/test_bpe_train.py "
+    "additionally replays train+apply through the pure-Python "
+    "reference and asserts the symbol frequency table matches "
+    "EXACTLY.",
     tags=("text", "scale"),
 )
 def op_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
