@@ -218,11 +218,56 @@ def op_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "op_doc_winnow",
-    oracle=None,
+    oracle=r"""
+        WITH norm AS (
+          SELECT doc_id,
+                 array_to_string(
+                   list_filter(regexp_split_to_array(lower(text), '\s+'),
+                               x -> x <> ''), ' ') AS t
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, u.i AS pos,
+                 unicode(t[u.i])     * CAST(923521 AS BIGINT)
+               + unicode(t[u.i + 1]) * 29791
+               + unicode(t[u.i + 2]) * 961
+               + unicode(t[u.i + 3]) * 31
+               + unicode(t[u.i + 4]) AS h
+          FROM norm,
+               LATERAL (SELECT unnest(generate_series(1, len(t) - 4)) AS i) u
+        ),
+        counts AS (
+          SELECT doc_id, COUNT(*) AS nh FROM grams GROUP BY doc_id
+        ),
+        wins AS (
+          SELECT doc_id, pos,
+                 MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m
+          FROM grams
+        )
+        SELECT doc_id, CAST(fingerprint AS BIGINT) AS fingerprint FROM (
+          SELECT DISTINCT w.doc_id, w.m AS fingerprint
+          FROM wins w JOIN counts c USING (doc_id)
+          WHERE c.nh >= 8 AND w.pos <= c.nh - 7
+          UNION
+          SELECT g.doc_id, MIN(g.h) AS fingerprint
+          FROM grams g JOIN counts c USING (doc_id)
+          WHERE c.nh < 8 GROUP BY g.doc_id
+        )
+    """,
     notes="Winnowing fingerprints (Schleimer et al., SIGMOD'03): "
     "rolling 5-gram character hashes, minimum per 8-hash window. "
     "Imperative inner loop ⇒ Arrow-batched mapInPandas (the sanctioned "
-    "slow path); deterministic, rows-only check.",
+    "slow path). FULLY ORACLE-CHECKED as of r13 (was rows-only) — even "
+    "the Arrow escape hatch gets cross-engine verification: a 5-gram's "
+    "base-31 polynomial value is at most max_codepoint*31^4 ≈ 1e12, "
+    "far below the 2^61-1 modulus, so the Python loop's rolling mod is "
+    "arithmetic-exact no-op and DuckDB recomputes each gram hash "
+    "DIRECTLY as int64 (unicode(ch) == ord(ch) per code point); "
+    "per-window minima via MIN OVER 8-row frames, short-doc (<8 "
+    "grams) min-of-all branch included. Normalization caveat: "
+    "Python's str.split() ≈ regexp \\s+ (differential-matched at all "
+    "three fixture scales; exotic Unicode whitespace could diverge).",
     tags=("text", "udf"),
 )
 def op_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:

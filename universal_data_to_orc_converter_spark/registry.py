@@ -151,23 +151,24 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "op_domain_mixture",
     "op_shard_assign",
     "op_reservoir_sample",
-    # (b2) 3 ops whose ORACLE was re-derived early r13 after their last
+    # (b2) 4 ops whose ORACLE was re-derived early r13 after their last
     # green driver row (Spark code unchanged; local three-scale
     # recheck green): op_semdedup's k un-pinned to the adaptive
-    # GREATEST form, and op_bpe_train/op_bpe_apply upgraded from
-    # rows-only to full unrolled-CTE oracles. Modified-spec seats
-    # outrank discretionary stale refresh, so they displace the last
-    # three (c2) fillers (which sit AT the r8 floor and wait for r14).
+    # GREATEST form; op_bpe_train/op_bpe_apply/op_doc_winnow upgraded
+    # from rows-only to full oracles (unrolled merge CTEs / direct
+    # polynomial gram hashes). Modified-spec seats outrank
+    # discretionary stale refresh, so they displace the last four (c2)
+    # fillers (which sit AT the r8 floor and wait first-in-line r14).
     "op_semdedup",
     "op_bpe_train",
     "op_bpe_apply",
-    # (c2) 4 of the r8-stale names by registration order fill the
+    "op_doc_winnow",
+    # (c2) 3 of the r8-stale names by registration order fill the
     # remaining seats (the rest stay in the ledger for r14+ refresh —
     # all already ≥ the r8 floor, so no MUST-seat overflow remains).
     "op_importance_resample",
     "op_dedup_exact",
     "op_dedup_clusters",
-    "op_split_contamination",
 )
 
 #: Names registered AFTER this round's DRIVER_PRIORITY was pinned that
