@@ -124,3 +124,78 @@ def test_bpe_merges_chain(spark):
     for r in rows:
         assert r["pair_count"] > 0
         assert r["merged"] == r["left"] + r["right"]
+
+
+def _run_bpe_specs_on_corpus(spark, tmp_path, texts):
+    """Run op_bpe_train + op_bpe_apply AND their DuckDB oracles on a
+    crafted documents corpus; return ((train_spark, train_duck),
+    (apply_spark, apply_duck)) as sorted tuple lists."""
+    import os
+
+    import duckdb
+
+    from universal_data_to_orc_converter_spark.registry import (
+        load_all_queries,
+    )
+
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "docs")
+    d.coalesce(1).write.parquet(out)
+    import glob as g
+
+    os.rename(
+        g.glob(os.path.join(out, "part-*.parquet"))[0],
+        str(tmp_path / "documents.parquet"),
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path / 'documents.parquet'}'"
+    )
+    specs = load_all_queries()
+    res = []
+    for name in ("op_bpe_train", "op_bpe_apply"):
+        sp = sorted(map(tuple, specs[name].fn(spark, str(tmp_path)).collect()))
+        dk = sorted(map(tuple, con.sql(specs[name].oracle).fetchall()))
+        res.append((sp, dk))
+    return res
+
+
+def test_bpe_oracle_matches_op_on_early_exhaustion(spark, tmp_path):
+    """The unrolled-CTE oracle's empty-winner guard (r13) must mirror
+    the Spark loop's early break when the vocabulary exhausts before
+    N_MERGES rounds — a branch no fixture corpus reaches. Corpus 'ab':
+    round 0 merges (a,b)->ab, round 1 has no adjacent pairs left, so
+    BOTH sides must emit exactly one merge row and the single symbol
+    'ab' from apply."""
+    (tr_sp, tr_dk), (ap_sp, ap_dk) = _run_bpe_specs_on_corpus(
+        spark, tmp_path, ["ab ab ab"]
+    )
+    assert tr_sp == tr_dk == [(0, "a", "b", "ab", 3)]
+    assert ap_sp == ap_dk == [("ab", 3)]
+
+
+def test_bpe_oracle_matches_op_on_empty_corpus(spark, tmp_path):
+    """Zero eligible tokens (all shorter than 2 chars): the Spark loop
+    breaks at round 0 and the oracle's every winner CTE is empty —
+    both sides must return zero rows, not error."""
+    (tr_sp, tr_dk), (ap_sp, ap_dk) = _run_bpe_specs_on_corpus(
+        spark, tmp_path, ["a b c", ""]
+    )
+    assert tr_sp == tr_dk == []
+    assert ap_sp == ap_dk == []
+
+
+def test_bpe_oracle_matches_op_on_mid_loop_exhaustion(spark, tmp_path):
+    """Exhaustion strictly BETWEEN rounds 1 and N_MERGES-1 (corpus
+    supports a few merges, then runs dry): the oracle must keep state
+    unchanged through the remaining empty-winner rounds and emit
+    exactly the merges the Spark loop learned."""
+    (tr_sp, tr_dk), (ap_sp, ap_dk) = _run_bpe_specs_on_corpus(
+        spark, tmp_path, ["abcd abcd", "abcd"]
+    )
+    assert tr_sp == tr_dk
+    assert ap_sp == ap_dk
+    assert 1 < len(tr_sp) < N_MERGES  # genuinely mid-loop
