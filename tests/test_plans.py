@@ -102,6 +102,22 @@ def test_pack_sequences_has_no_single_partition_exchange(spark):
     assert "Window" in plan  # the per-bucket running sum remains
 
 
+def test_vocab_encode_has_no_single_partition_exchange(spark):
+    """The r12 bucket-offset frequency rank: the vocabulary encode's
+    returned plan must never collapse the vocab onto one task (its
+    metadata-action plans are separate jobs; the r13 action merge
+    additionally removed the last single-task sample-rank window, so
+    the op now contains NO global-order window anywhere — census-
+    checked package-wide, pinned here for the returned plan)."""
+    from universal_data_to_orc_converter_spark.plans.inspect import (
+        simple_plan,
+    )
+
+    plan = simple_plan(q("op_vocab_encode", spark))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" in plan  # the per-bucket rank remains
+
+
 def test_q15_max_is_broadcast_scalar_not_window(spark):
     """Q15's global max must ride a broadcast 1-row aggregate, not a
     single-partition window over the per-supplier revenue table."""
