@@ -293,9 +293,11 @@ def test_approx_quantile_within_gk_bound(spark):
 
 def test_bm25_matches_pure_python_reference(spark):
     """Recompute every returned BM25 score in pure Python from the raw
-    corpus with the identical formula; Spark must agree to 1e-9. The
-    sum over (few) terms is the only non-associative step, so the
-    tolerance absorbs ordering."""
+    corpus with the identical formula and the identical per-term
+    fixed-point quantization (floor(x*1e6+0.5), summed as exact
+    integers — the r14 full-oracle convention); Spark must agree
+    bit-exactly on the quantized score and on the (score desc,
+    doc_id) top-20 ordering."""
     import math
     from collections import Counter
 
@@ -320,25 +322,26 @@ def test_bm25_matches_pure_python_reference(spark):
         for term in set(toks) & set(BM25_QUERY_TERMS)
     )
 
-    def score(toks):
+    def score_q(toks):
         tf = Counter(t for t in toks if t in BM25_QUERY_TERMS)
-        s = 0.0
+        s = 0
         for term, f in tf.items():
             idf = math.log((n - df[term] + 0.5) / (df[term] + 0.5) + 1.0)
-            s += idf * (f * (BM25_K1 + 1.0)) / (
+            term_score = idf * (f * (BM25_K1 + 1.0)) / (
                 f + BM25_K1 * (1.0 - BM25_B + BM25_B * len(toks) / avgdl)
             )
+            s += math.floor(term_score * 1000000.0 + 0.5)
         return s
 
     got = q("op_bm25", spark).collect()
     assert len(got) == 20
     expect = sorted(
-        ((score(t), -i) for i, t in docs.items() if score(t) > 0),
-        reverse=True,
+        ((score_q(t), i) for i, t in docs.items() if score_q(t) > 0),
+        key=lambda sq_i: (-sq_i[0], sq_i[1]),
     )[:20]
-    for row, (es, nid) in zip(got, expect):
-        assert row["doc_id"] == -nid
-        assert abs(row["score"] - es) < 1e-9, (row, es)
+    for row, (sq, did) in zip(got, expect):
+        assert row["doc_id"] == did
+        assert row["score"] == sq / 1000000.0, (row, sq)
 
 
 def test_span_corruption_reconstructs_original(spark):

@@ -1099,16 +1099,66 @@ BM25_QUERY_TERMS = ("data", "model", "training")
 
 @query(
     "op_bm25",
-    oracle=None,
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(
+                   string_split(lower(text), ' '), x -> x <> '')) AS tok
+          FROM documents
+        ),
+        dl AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS BIGINT) AS dl
+          FROM documents
+        ),
+        stats AS (
+          SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                 (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) FROM dl)
+                   AS avgdl
+        ),
+        tf AS (
+          SELECT doc_id, tok, COUNT(*) AS tf
+          FROM toks WHERE tok IN ('data', 'model', 'training')
+          GROUP BY doc_id, tok
+        ),
+        dfreq AS (
+          SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+        ),
+        terms AS (
+          SELECT tf.doc_id,
+                 CAST(FLOOR(
+                   ln((stats.n_docs - dfreq.df + 0.5)
+                      / (dfreq.df + 0.5) + 1.0)
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / stats.avgdl)))
+                   * 1000000 + 0.5) AS BIGINT) AS term_q
+          FROM tf
+          JOIN dfreq USING (tok)
+          JOIN dl USING (doc_id), stats
+        )
+        SELECT doc_id,
+               CAST(SUM(term_q) AS DOUBLE) / 1000000.0 AS score
+        FROM terms GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT 20
+    """,
     notes="BM25 retrieval scoring over the corpus for a fixed query. "
-    "All frequencies (tf, df, doc length, avgdl) are exact integer "
-    "aggregates; only the final idf/score arithmetic is floating "
-    "point, and it uses ln() whose last-ulp rounding is not "
-    "guaranteed identical across engines — hence rows-only for the "
-    "driver, with tests/test_quality.py recomputing every score in "
-    "pure Python (exact same formula) to 1e-9. Plan shape: one token "
-    "explode filtered to query terms (scan-stage map), tiny df/avgdl "
-    "aggregates broadcast back, top-20 via TakeOrdered.",
+    "FULLY ORACLE-CHECKED as of r14 (was rows-only): every input "
+    "frequency (tf, df, doc length, avgdl) is an exact integer "
+    "aggregate, avgdl is one identical double division of identical "
+    "exact integers on both engines, and each per-term score is "
+    "quantized through the repo's fixed-point convention "
+    "(FLOOR(x*1e6+0.5), exprs.py) BEFORE the per-document sum, so the "
+    "sum is exact integer arithmetic and the only cross-engine "
+    "divergence left is ln()'s last-ulp rounding — ~1e-16 relative, "
+    "which the 1e-6 quantization grid absorbs with ~1e-9 boundary "
+    "probability per row. The Spark and SQL expressions apply the "
+    "same IEEE ops in the same order (constants 2.2/1.2/0.25/0.75 "
+    "spelled as the Python-folded literals). Plan shape: one token "
+    "explode filtered to query terms (scan-stage map), tiny df "
+    "aggregate + 1-row avgdl broadcast back, dl semi-join-restricted "
+    "to matching docs before its shuffle join, top-20 via "
+    "TakeOrdered. tests/test_quality.py additionally recomputes every "
+    "returned score in pure Python.",
     tags=("text", "similarity"),
 )
 def op_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1118,7 +1168,7 @@ def op_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     )
     dl = d.select(
-        "doc_id", F.size(tokens(F.col("text"))).alias("dl")
+        "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("dl")
     )
     n_docs = d.count()
     avgdl_df = dl.agg(
@@ -1139,39 +1189,34 @@ def op_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the (few) documents that matched a query term, then shuffle-join
     # on doc_id; only df_ (|terms| rows) and avgdl (1 row) broadcast.
     dl_matched = dl.join(tf.select("doc_id").distinct(), "doc_id", "left_semi")
+    # Quantize PER TERM (before the sum): the per-document sum is then
+    # exact integer arithmetic, order-independent on both engines —
+    # the old sorted-struct deterministic fold is no longer needed.
+    term_score = (
+        idf
+        * (F.col("tf").cast("double") * (BM25_K1 + 1.0))
+        / (
+            F.col("tf").cast("double")
+            + BM25_K1
+            * (
+                1.0
+                - BM25_B
+                + BM25_B * (F.col("dl").cast("double") / F.col("avgdl"))
+            )
+        )
+    )
     scored = (
         tf.join(F.broadcast(df_), "tok")
         .join(dl_matched, "doc_id")
         .crossJoin(F.broadcast(avgdl_df))
         .select(
             "doc_id",
-            "tok",
-            (
-                idf
-                * (F.col("tf").cast("double") * (BM25_K1 + 1.0))
-                / (
-                    F.col("tf").cast("double")
-                    + BM25_K1
-                    * (
-                        1.0
-                        - BM25_B
-                        + BM25_B * (F.col("dl").cast("double") / F.col("avgdl"))
-                    )
-                )
-            ).alias("term_score"),
+            F.floor(term_score * 1000000.0 + F.lit(0.5))
+            .cast("bigint")
+            .alias("term_q"),
         )
         .groupBy("doc_id")
-        # Deterministic fold: a double SUM's merge order varies run to
-        # run (last-ulp drift); sorting the <=3 term structs first and
-        # folding sequentially makes the score bit-stable for the
-        # driver's run-twice determinism check.
-        .agg(
-            F.aggregate(
-                F.sort_array(F.collect_list(F.struct("tok", "term_score"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["term_score"],
-            ).alias("score")
-        )
+        .agg((F.sum("term_q").cast("double") / 1000000.0).alias("score"))
     )
     return scored.orderBy(F.desc("score"), "doc_id").limit(20)
 
