@@ -203,20 +203,69 @@ def test_write_with_progress_restores_caller_job_group(spark, tmp_path):
     assert sc.getLocalProperty("spark.jobGroup.id") is None
 
 
-def test_write_with_progress_rejects_actionless_write(spark):
+def test_write_with_progress_rejects_actionless_write(spark, monkeypatch):
     """A write callback that never runs an action would block forever
     on Observation.get; the hook must raise instead (r12 advice)."""
     import pytest
 
+    from universal_data_to_orc_converter_spark import progress
     from universal_data_to_orc_converter_spark.progress import (
         write_with_progress,
     )
 
+    monkeypatch.setattr(progress, "_OBS_TIMEOUT_SEC", 2.0)
     with pytest.raises(ValueError, match="no Spark action"):
         write_with_progress(
             spark, spark.range(5), "noop", 1, 1, lambda s: None,
             lambda d: None,
         )
+
+
+def test_write_with_progress_rejects_unrelated_frame_action(
+    spark, monkeypatch
+):
+    """A callback that runs an action on some OTHER frame — never
+    materializing the observed plan — slipped past the old job-group
+    guard and then hung on Observation.get (r13 advice); the
+    Observation-poll guard must raise."""
+    import pytest
+
+    from universal_data_to_orc_converter_spark import progress
+    from universal_data_to_orc_converter_spark.progress import (
+        write_with_progress,
+    )
+
+    monkeypatch.setattr(progress, "_OBS_TIMEOUT_SEC", 2.0)
+    with pytest.raises(ValueError, match="no Spark action"):
+        write_with_progress(
+            spark, spark.range(5), "wrongframe", 1, 1, lambda s: None,
+            lambda d: spark.range(3).count(),  # ignores d entirely
+        )
+
+
+def test_write_with_progress_allows_callback_own_job_group(
+    spark, tmp_path
+):
+    """A callback that sets its OWN job group internally lands its
+    jobs outside the hook's group — the old guard then raised a
+    spurious ValueError AFTER the data was written (r13 advice). The
+    Observation-poll guard must succeed and report the exact count."""
+    from universal_data_to_orc_converter_spark.progress import (
+        write_with_progress,
+    )
+
+    out = str(tmp_path / "own_group_orc")
+    lines = []
+
+    def write_in_own_group(d):
+        spark.sparkContext.setJobGroup("cb_private", "callback group")
+        d.write.mode("overwrite").orc(out)
+
+    write_with_progress(
+        spark, spark.range(77), "owng", 1, 1, lines.append,
+        write_in_own_group,
+    )
+    assert lines[-1] == "owng: 77 rows written (1/1 tables)"
 
 
 def test_wizard_missing_dump_errors(spark, tmp_path):

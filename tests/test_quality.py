@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from universal_data_to_orc_converter_spark.catalog import load
 from universal_data_to_orc_converter_spark.registry import load_all_queries
 
-from .conftest import SF_DIR
+from .conftest import SF_DIR, assert_frames_match
 
 SPECS = load_all_queries()
 
@@ -261,7 +261,7 @@ def test_approx_quantile_within_gk_bound(spark):
     element whose RANK sits within ±n/accuracy of the target rank —
     the Greenwald-Khanna guarantee, checked against the exact sorted
     values per group."""
-    from .conftest import SF_DIR
+    from .conftest import SF_DIR, assert_frames_match
 
     rows = {
         r["o_orderstatus"]: r
@@ -308,7 +308,7 @@ def test_bm25_matches_pure_python_reference(spark):
         BM25_QUERY_TERMS,
     )
 
-    from .conftest import SF_DIR
+    from .conftest import SF_DIR, assert_frames_match
 
     docs = {
         r["doc_id"]: [t for t in r["text"].lower().split() if t]
@@ -350,7 +350,7 @@ def test_span_corruption_reconstructs_original(spark):
     normalized token stream exactly, for every document."""
     from universal_data_to_orc_converter_spark.catalog import load
 
-    from .conftest import SF_DIR
+    from .conftest import SF_DIR, assert_frames_match
 
     originals = {
         r["doc_id"]: [t for t in r["text"].lower().split() if t]
@@ -440,7 +440,7 @@ def test_hll_maintain_equals_single_pass_and_exact(spark):
         load_all_queries,
     )
 
-    from .conftest import SF_DIR
+    from .conftest import SF_DIR, assert_frames_match
 
     maintained = sorted(
         map(
@@ -644,7 +644,7 @@ def test_maintained_rollup_hll_regime(spark):
         op_incremental_agg_maintain,
     )
 
-    from .conftest import SF_DIR
+    from .conftest import SF_DIR, assert_frames_match
 
     maintained = {
         (r["day"], r["event_type"]): r["approx_users"]
@@ -678,7 +678,7 @@ def test_lambda_serve_hll_regime(spark):
         op_lambda_serve,
     )
 
-    from .conftest import SF_DIR
+    from .conftest import SF_DIR, assert_frames_match
 
     served = {
         r["event_type"]: r["approx_users"]
@@ -1077,7 +1077,7 @@ def test_embedding_cell_op_wires_the_adaptive_derivation(
         load_all_queries,
     )
 
-    from .conftest import SF_DIR
+    from .conftest import SF_DIR, assert_frames_match
 
     seen = {}
     real_adapt = similarity._adaptive_n_cells
@@ -1184,6 +1184,88 @@ def test_doc_winnow_matches_direct_hash_reference(spark, tmp_path):
         if _winnow_reference(d)
     }
     assert got == want
+
+
+def test_winnow_oracle_whitespace_class_equals_python_isspace():
+    """The winnow oracle's explicit split class must match Python
+    str.isspace() EXACTLY (r14 ADVICE fix: RE2 '\\s' is ASCII-only and
+    misses NBSP/\\x1c-\\x1f/\\x85/Unicode spaces, so an NBSP corpus
+    made the audit falsely red). Asserted character-by-character over
+    the BMP plus astral samples, in DuckDB itself."""
+    import duckdb
+
+    cls = (
+        r"[\t-\r\x{1c}-\x{20}\x{85}\x{a0}\x{1680}"
+        r"\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}"
+        r"\x{205f}\x{3000}]"
+    )
+    con = duckdb.connect()
+    # one vectorized pass: every BMP code point (surrogates excluded —
+    # not encodable) + astral samples
+    cps = [c for c in range(0x10000) if not 0xD800 <= c <= 0xDFFF]
+    cps += [0x10000, 0x1F600, 0x10FFFF]
+    rel = con.sql(
+        "SELECT cp, regexp_matches(chr(cp), ?) FROM (SELECT unnest(?) cp)",
+        params=[cls, cps],
+    ).fetchall()
+    diff = [hex(cp) for cp, m in rel if m != chr(cp).isspace()]
+    con.close()
+    assert diff == [], f"split-class/isspace divergence at {diff[:10]}"
+
+
+def test_doc_winnow_oracle_on_unicode_whitespace_corpus(spark, tmp_path):
+    """Spark op vs DuckDB oracle on a corpus whose ONLY separators are
+    the characters RE2 '\\s' misses (NBSP, \\x0b, \\x85, \\x1c-\\x1f,
+    ogham/ideographic spaces) — the exact scenario the r13 oracle got
+    wrong. Both engines must normalize identically and hash-match."""
+    import duckdb
+    import pandas as pd
+
+    from universal_data_to_orc_converter_spark.registry import QUERIES
+
+    docs = [
+        "abc\xa0defgh",  # NBSP joined in RE2 \s, split in Python
+        "scraped\xa0text\xa0with\xa0nbsp everywhere here",
+        "vertical\x0btab\x0bseparated tokens go here",
+        "next\x85line and\x1cfile\x1dgroup\x1erecord\x1fseps",
+        "ogham\u1680space em\u2003space thin\u2009space",
+        "ideographic\u3000space narrow\u202fnbsp line\u2028sep",
+        "para\u2029sep and\u200ahair\u2006six-per-em spaces",
+        "\xa0\x0b\x85 only-separators-and-one-word \u3000\u2028",
+        "plain ascii control case for contrast",
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(len(docs))),
+            "text": docs,
+            "lang": ["en"] * len(docs),
+            "source": ["test"] * len(docs),
+            "n_chars": [len(d) for d in docs],
+        }
+    )
+    df = spark.createDataFrame(pdf).selectExpr(
+        "CAST(doc_id AS BIGINT) doc_id",
+        "text",
+        "lang",
+        "source",
+        "CAST(n_chars AS BIGINT) n_chars",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    spec = QUERIES["op_doc_winnow"]
+    assert_frames_match(
+        spec.fn(spark, str(tmp_path)),
+        con.sql(spec.oracle),
+        "op_doc_winnow/unicode-ws",
+    )
+    con.close()
 
 
 def test_vocab_encode_bucket_rank_equals_global_rank(spark, tmp_path):

@@ -222,7 +222,10 @@ def op_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH norm AS (
           SELECT doc_id,
                  array_to_string(
-                   list_filter(regexp_split_to_array(lower(text), '\s+'),
+                   list_filter(regexp_split_to_array(lower(text),
+                       '[\t-\r\x{1c}-\x{20}\x{85}\x{a0}\x{1680}' ||
+                       '\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}' ||
+                       '\x{205f}\x{3000}]+'),
                                x -> x <> ''), ' ') AS t
           FROM documents
         ),
@@ -265,9 +268,12 @@ def op_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arithmetic-exact no-op and DuckDB recomputes each gram hash "
     "DIRECTLY as int64 (unicode(ch) == ord(ch) per code point); "
     "per-window minima via MIN OVER 8-row frames, short-doc (<8 "
-    "grams) min-of-all branch included. Normalization caveat: "
-    "Python's str.split() ≈ regexp \\s+ (differential-matched at all "
-    "three fixture scales; exotic Unicode whitespace could diverge).",
+    "grams) min-of-all branch included. Normalization: the SQL split "
+    "class enumerates EXACTLY Python str.split()'s whitespace set "
+    "(str.isspace: \\t-\\r, \\x1c-\\x20, \\x85, \\xa0, U+1680, "
+    "U+2000-200A, U+2028/2029/202F/205F/3000 — RE2 \\s is ASCII-only "
+    "and misses NBSP etc., r14 ADVICE fix; class equality vs "
+    "isspace() asserted over the full BMP in tests).",
     tags=("text", "udf"),
 )
 def op_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -624,6 +630,12 @@ def op_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     order = (F.col("n").desc(), F.col("tok").asc())
+    # Driver memory note (r13 advice): this collects the whole 1%
+    # vocabulary sample — linear in |vocab| (not corpus). At a
+    # 100 TB-scale vocabulary where even 1% of Heaps-bounded vocab
+    # strains the driver, derive the 15 cutpoints with an
+    # approxQuantile-style distributed selection instead of
+    # collecting; here the sample is a few thousand (n, tok) rows.
     sample_rows = (
         vocab_counts.sample(fraction=0.01, seed=42)
         .select("n", "tok")

@@ -36,6 +36,32 @@ __all__ = ["write_with_progress"]
 #: seconds between statusTracker polls while a table writes
 _POLL_SEC = 0.5
 
+#: how long to wait for the Observation result AFTER the write callback
+#: returned. An action that materialized the observed plan resolves the
+#: Observation as soon as the listener bus drains (normally well under a
+#: second); the margin covers a congested bus. Tests shrink this.
+_OBS_TIMEOUT_SEC = 15.0
+
+
+def _observed_rows(obs: Observation, timeout: float):
+    """``obs.get["rows"]`` with a timeout, or ``None`` if the observed
+    plan was never materialized. ``Observation.get`` blocks forever in
+    that case, so it is polled from a daemon helper thread — the only
+    reliable way to distinguish "action ran, metrics coming" from "no
+    action ever touched this frame" (r13 advice: inferring from
+    job-group membership misfires both ways — an action on an
+    UNRELATED frame passes, and a callback that sets its own job group
+    internally fails spuriously)."""
+    box: dict = {}
+
+    def fetch() -> None:
+        box["rows"] = obs.get["rows"]
+
+    t = threading.Thread(target=fetch, daemon=True)
+    t.start()
+    t.join(timeout)
+    return box.get("rows")
+
 
 def _poll_tasks(
     spark: SparkSession,
@@ -85,9 +111,13 @@ def write_with_progress(
     Contract: ``write`` MUST execute at least one action on the frame
     it is handed — the row total comes from an ``Observation`` riding
     that action, and ``Observation.get`` blocks until some action
-    materializes the observed plan. A ``write`` that never acts would
-    hang here; the guard below converts that programming error into an
-    immediate ValueError instead (r12 advice).
+    materializes the observed plan. A ``write`` that never acts (or
+    acts only on some OTHER frame) would hang here; the guard polls
+    the Observation itself with a timeout and converts that
+    programming error into a ValueError instead (r12 advice; made
+    robust per r13 advice — the old job-group-membership inference
+    passed on unrelated-frame actions and failed spuriously on
+    callbacks that set their own job group).
     """
     if report is None:
         write(df)
@@ -111,19 +141,17 @@ def write_with_progress(
     )
     poller.start()
     sc.setJobGroup(group, f"convert {name} -> ORC")
-    ran_action = False
     try:
         write(observed)
-        tracker = sc.statusTracker()
-        ran_action = bool(tracker.getJobIdsForGroup(group))
     finally:
         sc.setJobGroup(prev_group, prev_desc)
         stop.set()
         poller.join(timeout=5)
-    if not ran_action:
+    rows = _observed_rows(obs, _OBS_TIMEOUT_SEC)
+    if rows is None:
         raise ValueError(
-            f"write callback for table {name!r} ran no Spark action; "
-            "the observed row total would block forever"
+            f"write callback for table {name!r} ran no Spark action on "
+            "the frame it was handed; the observed row total would "
+            "block forever"
         )
-    rows = obs.get["rows"]
     report(f"{name}: {rows:,} rows written ({index}/{total_tables} tables)")
