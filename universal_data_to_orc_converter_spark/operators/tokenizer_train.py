@@ -495,9 +495,147 @@ def unigram_train(word_counts: DataFrame, iters: int = UNIGRAM_ITERS):
     ]
 
 
+def _unigram_ctes(iters: int) -> str:
+    """DuckDB replay of ``unigram_train``'s full EM loop — upgrading
+    op_unigram_train from rows-only to a hash-checked oracle (r14),
+    the same unrolled-CTE technique as the BPE/kmeans/pagerank
+    oracles, plus a new trick: the VITERBI DP runs as a recursive CTE
+    whose state row carries the last UNIGRAM_MAX_LEN best[] values
+    (b0..b3), so the 4-deep lookback never references an earlier
+    recursion layer. One recursion step per character position; four
+    LEFT JOINs against the round's score table look up the candidate
+    pieces ending at the next position; the longest-piece tiebreak is
+    the CASE order (ln=4 checked first — Python's ``>=`` with ln
+    ascending keeps the LAST maximal ln). A second recursive CTE
+    walks back[] from each word's end to emit the segmentation pieces
+    (multiplicity preserved — ``SUM(c)`` over walk rows equals the
+    Counter's ``+= c`` per occurrence).
+
+    Exactness argument: every count (word, seed, usage) is an exact
+    integer aggregate; scores are ``round(ln(c/total)*1e6)`` where
+    c/total is one double division of exact integers on both engines,
+    so the only divergences are ln()'s last-ulp rounding and Python
+    round()'s half-even vs DuckDB ROUND's half-away — both reachable
+    only when ln(c/total)*1e6 lands within ~1e-9 of a rounding
+    boundary (differential-matched at sf0.001/0.01/0.1). The floored
+    single-char coverage rule (unused chars survive at count 1) is
+    the NOT IN branch of each vocab{k} CTE."""
+    NEG = -(1 << 60)
+    cand = {
+        ln: f"CASE WHEN s{ln}.score IS NOT NULL AND b{ln - 1} > {NEG} "
+        f"THEN b{ln - 1} + s{ln}.score ELSE {NEG} END"
+        for ln in range(1, UNIGRAM_MAX_LEN + 1)
+    }
+    best = "GREATEST(" + ", ".join(cand.values()) + ")"
+    back = (
+        f"CASE {best} "
+        + " ".join(
+            f"WHEN {cand[ln]} THEN {ln}"
+            for ln in range(UNIGRAM_MAX_LEN, 1, -1)
+        )
+        + " ELSE 1 END"
+    )
+    parts = [
+        f"""
+        words AS MATERIALIZED (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS c, length(w) AS L FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS w
+            FROM documents
+          ) WHERE length(w) >= 1 GROUP BY w
+        ),
+        seeds AS MATERIALIZED (
+          SELECT substr(w, u.i, v.ln) AS piece,
+                 CAST(SUM(c) AS BIGINT) AS cnt
+          FROM words,
+               LATERAL (SELECT unnest(generate_series(1, L)) AS i) u,
+               LATERAL (SELECT unnest(generate_series(1,
+                          {UNIGRAM_MAX_LEN})) AS ln) v
+          WHERE u.i + v.ln - 1 <= L
+          GROUP BY 1
+        ),
+        vocab0 AS MATERIALIZED (
+          SELECT piece, cnt FROM seeds WHERE length(piece) = 1
+          UNION ALL
+          SELECT piece, cnt FROM (
+            SELECT piece, cnt FROM seeds WHERE length(piece) > 1
+            ORDER BY cnt DESC, piece LIMIT {4 * UNIGRAM_VOCAB}
+          )
+        )"""
+    ]
+    for r in range(iters + 1):
+        parts.append(f"""
+        scores{r} AS MATERIALIZED (
+          SELECT piece,
+                 CAST(ROUND(ln(CAST(cnt AS DOUBLE) /
+                     (SELECT CAST(SUM(cnt) AS DOUBLE) FROM vocab{r}))
+                   * {UNIGRAM_SCALE}) AS BIGINT) AS score
+          FROM vocab{r} WHERE cnt > 0
+        )""")
+        if r == iters:
+            break
+        k = r + 1
+        joins = "\n".join(
+            f"            LEFT JOIN scores{r} s{ln} ON i + 1 >= {ln} "
+            f"AND s{ln}.piece = substr(w, i + 2 - {ln}, {ln})"
+            for ln in range(1, UNIGRAM_MAX_LEN + 1)
+        )
+        parts.append(f"""
+        seg{k} AS MATERIALIZED (
+          WITH RECURSIVE dp AS (
+            SELECT w, c, L, 0 AS i,
+                   CAST(0 AS BIGINT) AS b0, CAST({NEG} AS BIGINT) AS b1,
+                   CAST({NEG} AS BIGINT) AS b2, CAST({NEG} AS BIGINT) AS b3,
+                   0 AS back
+            FROM words
+            UNION ALL
+            SELECT w, c, L, i + 1, {best}, b0, b1, b2, {back}
+            FROM dp
+{joins}
+            WHERE i < L
+          ),
+          walk AS (
+            SELECT w, c, L AS i FROM words
+            UNION ALL
+            SELECT walk.w, walk.c, walk.i - dp.back
+            FROM walk JOIN dp ON dp.w = walk.w AND dp.i = walk.i
+            WHERE walk.i > 0
+          )
+          SELECT walk.w, walk.c,
+                 substr(walk.w, walk.i - dp.back + 1, dp.back) AS piece
+          FROM walk JOIN dp ON dp.w = walk.w AND dp.i = walk.i
+          WHERE walk.i > 0
+        ),
+        usage{k} AS MATERIALIZED (
+          SELECT piece, CAST(SUM(c) AS BIGINT) AS cnt
+          FROM seg{k} GROUP BY piece
+        ),
+        vocab{k} AS MATERIALIZED (
+          SELECT piece, cnt FROM usage{k} WHERE length(piece) = 1
+          UNION ALL
+          SELECT v.piece, CAST(1 AS BIGINT) AS cnt FROM vocab{r} v
+          WHERE length(v.piece) = 1
+            AND v.piece NOT IN (SELECT piece FROM usage{k}
+                                WHERE length(piece) = 1)
+          UNION ALL
+          SELECT piece, cnt FROM (
+            SELECT piece, cnt FROM usage{k} WHERE length(piece) > 1
+            ORDER BY cnt DESC, piece LIMIT {UNIGRAM_VOCAB}
+          )
+        )""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+        SELECT v.piece, v.cnt, s.score
+        FROM vocab{iters} v JOIN scores{iters} s USING (piece)
+        ORDER BY v.cnt DESC, v.piece
+    """
+    )
+
+
 @query(
     "op_unigram_train",
-    oracle=None,
+    oracle=_unigram_ctes(UNIGRAM_ITERS),
     notes="SentencePiece-style UNIGRAM-LM tokenizer training (Kudo "
     "2018) — completes the tokenizer family next to BPE: substring "
     "seeding, Viterbi E-step, score/prune M-step (unigram_train "
@@ -506,9 +644,12 @@ def unigram_train(word_counts: DataFrame, iters: int = UNIGRAM_ITERS):
     "Viterbi over that |words|-row table with broadcast integer "
     "scores, a distributed piece-usage aggregate, and O(vocab) "
     "driver state; the substring seed universe is pruned "
-    "DISTRIBUTED before any collect). rows-only: iterative + "
-    "log-scores (same escape hatch as op_bpe_train); exactness "
-    "pinned by tests/test_unigram_train.py replaying the identical "
+    "DISTRIBUTED before any collect). FULLY ORACLE-CHECKED as of "
+    "r14 (was rows-only): the whole EM loop — including the Viterbi "
+    "DP — replays in DuckDB via unrolled CTEs with a recursive-CTE "
+    "DP whose state carries the 4-deep best[] lookback "
+    "(_unigram_ctes docstring for the exactness argument); "
+    "tests/test_unigram_train.py additionally replays the identical "
     "algorithm in pure Python — full (piece, cnt, score) table "
     "equality, not approximate.",
     tags=("text", "scale"),
