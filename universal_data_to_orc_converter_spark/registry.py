@@ -92,83 +92,73 @@ def query(
 #: A separate lag guard (tests/test_staleness_budget.py) fails if the
 #: window ever falls MORE than one round behind the ledger, so the
 #: rotation still cannot be skipped.
-WINDOW_ROUND: int = 13
+WINDOW_ROUND: int = 14
 
 DRIVER_PRIORITY: tuple[str, ...] = (
     # headline flagship — always in the window
     "flagship_revenue_by_nation",
-    # (b) the 4 ops modified in r12 AFTER the r12 rotation was pinned
-    # (TODO_r13 #1 / r12 verdict "missing" #3): two broadcast-posture
-    # un-hints (tfidf df table, vocab_encode vocabulary) and the two
-    # single-reducer reformulations (bucket-offset vocab rank,
-    # bucket-offset packing sum; q15's broadcast-scalar max). Their
-    # latest green driver rows predate the rework — highest-priority
-    # correctness debt on the tree. CORRECTNESS_r12 had zero red rows,
-    # so no (a) seats.
-    "op_tfidf_topterms",
-    "op_vocab_encode",
-    "op_pack_sequences",
-    "op_tpch_q15_top_supplier",
-    # (c1) the 38 r7-stale MUST-seats (budget floor at r13 is r8; the
-    # overflow named in the r12 rotation comment) by registration order.
-    # This is the round the staleness cascade closes: after this window
-    # lands, no registered query's latest driver row is older than r8.
-    "op_time_travel_read",
-    "op_dedup_embedding",
-    "op_recursive_cte",
-    "op_sql_pipe_syntax",
-    "op_text_stats",
-    "op_token_count",
-    "op_doc_fingerprint",
-    "op_token_topk",
-    "op_quality_filter",
-    "op_dataset_split",
-    "op_collocations",
-    "op_doc_self_repetition",
-    "op_doc_duplication_coverage",
-    "op_lm_doc_score",
-    "op_span_excise",
-    "op_lm_doc_score_heldout",
-    "op_udf_scalar",
-    "op_udtf_grouped_map",
-    "op_pivot",
-    "op_win_rank",
-    "op_win_lag_lead",
-    "op_win_frame",
-    "op_date_funcs",
-    "op_math_funcs",
-    "op_null_handling",
-    "op_json_funcs",
-    "op_array_funcs",
-    "op_stream_tumbling",
-    "op_stream_sliding",
-    "op_stream_session",
-    "op_stream_dedup_within_watermark",
-    "op_agg_percentile",
-    "op_agg_stats",
-    "op_agg_salted_twophase",
-    "op_attribution_last_touch",
-    "op_domain_mixture",
-    "op_shard_assign",
-    "op_reservoir_sample",
-    # (b2) 4 ops whose ORACLE was re-derived early r13 after their last
-    # green driver row (Spark code unchanged; local three-scale
-    # recheck green): op_semdedup's k un-pinned to the adaptive
-    # GREATEST form; op_bpe_train/op_bpe_apply/op_doc_winnow upgraded
-    # from rows-only to full oracles (unrolled merge CTEs / direct
-    # polynomial gram hashes). Modified-spec seats outrank
-    # discretionary stale refresh, so they displace the last four (c2)
-    # fillers (which sit AT the r8 floor and wait first-in-line r14).
-    "op_semdedup",
-    "op_bpe_train",
-    "op_bpe_apply",
+    # (b) the 3 ops whose SPEC changed in r14 after their latest green
+    # row: op_bm25 upgraded rows-only -> full fixed-point oracle
+    # (per-term FLOOR(x*1e6+0.5) quantization), op_doc_winnow's oracle
+    # split class re-derived to match Python str.isspace() exactly
+    # (r13 advice: RE2 \s is ASCII-only), op_unigram_train upgraded
+    # rows-only -> full oracle (recursive-CTE Viterbi DP + unrolled EM
+    # rounds). All three differential-verified at sf0.001/0.01/0.1
+    # locally; the driver seats confirm on its own harness.
+    "op_bm25",
     "op_doc_winnow",
-    # (c2) 3 of the r8-stale names by registration order fill the
-    # remaining seats (the rest stay in the ledger for r14+ refresh —
-    # all already ≥ the r8 floor, so no MUST-seat overflow remains).
-    "op_importance_resample",
-    "op_dedup_exact",
-    "op_dedup_clusters",
+    "op_unigram_train",
+    # (c) CORRECTNESS_r13 had ZERO red rows and zero below-fold names,
+    # so the rest of the window is pure stalest-first refresh: the
+    # r8-stale names by registration order (floor rises to r9),
+    # starting with the four fillers the r13 modified-spec seats
+    # displaced.
+    "op_split_contamination",
+    "op_cluster_representative",
+    "op_connected_components_star",
+    "op_orc_roundtrip",
+    "op_cdc_merge",
+    "op_join_multiway",
+    "op_join_asof",
+    "op_join_bloom",
+    "op_join_bucketed",
+    "op_lambda_serve",
+    "op_multimodal_frames",
+    "op_filter_date",
+    "op_intersect",
+    "op_sim_topk",
+    "op_embedding_stats",
+    "op_text_quality",
+    "op_pii_redact",
+    "op_heavy_hitters",
+    "op_win_range_frame",
+    "op_win_rank_family",
+    "op_win_first_last",
+    "op_datediff",
+    "op_str_funcs2",
+    "op_cond_funcs",
+    "op_date_funcs2",
+    "op_json_agg",
+    "op_array_explode",
+    "op_time_rollup",
+    "op_funnel",
+    "op_agg_global",
+    "op_agg_approx_distinct",
+    "op_agg_having",
+    "op_agg_mode",
+    "op_agg_approx_quantile",
+    "op_histogram",
+    "op_table_stats",
+    "op_corpus_curate",
+    "op_pii_scrub",
+    "op_dedup_containment",
+    "op_jsonl_roundtrip",
+    "op_schema_evolution_scan",
+    "op_binaryfile_scan",
+    "op_join_broadcast",
+    "op_join_shuffle",
+    "op_join_anti",
+    "op_join_theta",
 )
 
 #: Names registered AFTER this round's DRIVER_PRIORITY was pinned that
@@ -178,10 +168,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: here — tests/test_registry_order.py fails otherwise, so a
 #: post-freeze registration can never again be silently unverified
 #: (r4 accumulated 14 such names before this gate existed). Rounds 9
-#: through 13 registered zero new names (depth over breadth — capacity
-#: budget 258/295), so the set is empty; new r13 registrations would
-#: accumulate here and get first-in-line priority for the r14 rotation.
-BELOW_FOLD_R13: frozenset[str] = frozenset()
+#: through 14 registered zero new names (depth over breadth — capacity
+#: budget 258/295), so the set is empty; new r14 registrations would
+#: accumulate here and get first-in-line priority for the r15 rotation.
+BELOW_FOLD_R14: frozenset[str] = frozenset()
 
 
 def load_all_queries() -> dict[str, QuerySpec]:
