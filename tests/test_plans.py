@@ -991,3 +991,21 @@ def test_lambda_spans_flags_truncated_spans():
     spans = lambda_spans(plan)
     assert [t for _, t in spans] == [False, True]
     assert expr_inside_lambda(plan, "aggregate(")
+
+
+def test_bm25_plans_takeordered_no_cartesian(spark):
+    """op_bm25 (r14 rework: per-term fixed-point quantization replaced
+    the sorted-struct fold): the top-20 must stay TakeOrderedAndProject
+    (per-task heaps, no global sort), the tiny df/avgdl sides must
+    broadcast, and nothing may plan a CartesianProduct — the only
+    nested-loop join allowed is the broadcast cross join of the 1-row
+    avgdl aggregate."""
+    from universal_data_to_orc_converter_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(q("op_bm25", spark))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    # the old deterministic-fold window/aggregate over sorted structs
+    # is gone — no sort_array-fed objHashAggregate should remain
+    assert "sort_array" not in plan, plan

@@ -1332,3 +1332,59 @@ def test_vocab_encode_bucket_rank_equals_global_rank(spark, tmp_path):
             r["token_id"],
             expected_id[tok],
         )
+
+
+def test_bm25_tie_boundary_deterministic_across_engines(spark, tmp_path):
+    """Quantized-score TIES at the top-20 boundary must slice
+    identically on both engines: with exact-duplicate documents the
+    quantized scores are exactly equal, so membership and order of the
+    top 20 depend entirely on the (score DESC, doc_id) tiebreak. A
+    crafted corpus of 30 docs — 25 exact duplicates scoring equal —
+    forces the boundary through the tie group; Spark and the DuckDB
+    oracle must agree on the ORDERED result, not just the multiset."""
+    import duckdb
+    import pandas as pd
+
+    from universal_data_to_orc_converter_spark.registry import QUERIES
+
+    docs = (
+        ["data model training corpus entry"] * 25      # exact tie group
+        + ["data data model model training training"]  # clear winner
+        + ["data only here"]                           # lower scorer
+        + ["nothing relevant at all", "filler words", "more filler"]
+    )
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(len(docs))),
+            "text": docs,
+            "lang": ["en"] * len(docs),
+            "source": ["test"] * len(docs),
+            "n_chars": [len(d) for d in docs],
+        }
+    )
+    spark.createDataFrame(pdf).selectExpr(
+        "CAST(doc_id AS BIGINT) doc_id", "text", "lang", "source",
+        "CAST(n_chars AS BIGINT) n_chars",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    spec = QUERIES["op_bm25"]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in spec.fn(spark, str(tmp_path)).collect()
+    ]
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    want = [(int(i), float(s)) for i, s in con.sql(spec.oracle).fetchall()]
+    con.close()
+
+    assert len(got) == 20
+    assert got == want  # ordered equality, not multiset
+    # the tie group must be doc_id-ascending within equal scores
+    tie_scores = [s for _, s in got]
+    tie_ids = [i for i, s in got if s == max(tie_scores, key=tie_scores.count)]
+    assert tie_ids == sorted(tie_ids)

@@ -157,3 +157,72 @@ def test_unigram_single_char_coverage_floor(spark):
     assert "z" in pieces or "ze" in pieces
     # and every input word is segmentable with the final vocab
     assert pieces, "training produced an empty vocabulary"
+
+
+def test_unigram_oracle_on_crafted_edge_corpus(spark, tmp_path):
+    """The r14 DuckDB oracle (recursive-CTE Viterbi + unrolled EM) vs
+    BOTH the Spark op and the pure-Python reference, on a corpus
+    crafted around the algorithm's edges: single-char words (L=1 DP),
+    a word that reuses one piece back-to-back (multiplicity in the
+    usage SUM), exact count TIES at prune boundaries (broken by piece
+    ASC on both engines), chars fully covered by multi-char pieces in
+    round 1 (the floor-1 coverage rule — the NOT IN branch of the
+    oracle's vocab CTEs), null and empty texts, and words at exactly
+    UNIGRAM_MAX_LEN."""
+    import duckdb
+    import pandas as pd
+
+    from universal_data_to_orc_converter_spark.registry import QUERIES
+
+    docs = [
+        "a b c a b",                # single-char words, repeated
+        "abab abab abab",           # piece reuse inside one word
+        "abcd abcd dcba",           # exactly MAX_LEN words + a tie-mate
+        "xyxy yxyx",                # tie candidates at equal counts
+        "zzzz zzzz zzzz zzzz",      # one char dominating via multi cover
+        "qq qq qq",                 # short multi
+        None,                       # null text -> no words
+        "",                         # empty text -> no words
+        "   ",                      # only separators -> empty words dropped
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(len(docs))),
+            "text": docs,
+            "lang": ["en"] * len(docs),
+            "source": ["test"] * len(docs),
+            "n_chars": [len(d or "") for d in docs],
+        }
+    )
+    spark.createDataFrame(pdf).selectExpr(
+        "CAST(doc_id AS BIGINT) doc_id", "text", "lang", "source",
+        "CAST(n_chars AS BIGINT) n_chars",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    spec = QUERIES["op_unigram_train"]
+    got_spark = [
+        (r["piece"], r["cnt"], r["score"])
+        for r in spec.fn(spark, str(tmp_path)).collect()
+    ]
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    got_oracle = [
+        (p, int(c), int(s)) for p, c, s in con.sql(spec.oracle).fetchall()
+    ]
+    con.close()
+
+    wc = {}
+    for d in docs:
+        for w in (d or "").lower().split(" "):
+            if len(w) >= 1:
+                wc[w] = wc.get(w, 0) + 1
+    want = _reference_unigram(wc)
+
+    assert got_spark == want
+    assert got_oracle == want
