@@ -47,6 +47,68 @@ def test_principal_axes_are_orthonormal(spark):
     assert abs(np.dot(axes[0], axes[1])) < 1e-4
 
 
+def _cells_from_matrix(m):
+    """Upper-triangular Row-alike cells for principal_axes from a
+    dense symmetric int matrix."""
+    from universal_data_to_orc_converter_spark.operators.linalg import DIM
+
+    return [
+        {"i": i, "j": j, "cov_num_fp": int(m[i][j])}
+        for i in range(DIM)
+        for j in range(i, DIM)
+    ]
+
+
+def test_principal_axes_recover_clear_gap_spectrum():
+    """On a spectrum with real eigengaps (1000, 500, then <=10) the
+    fixed-point power iteration must recover BOTH eigh axes almost
+    exactly — this pins that the r14 eigh->iteration rework is still
+    PCA, not merely a self-consistent oracle pair."""
+    from universal_data_to_orc_converter_spark.operators.linalg import DIM
+
+    rng = np.random.default_rng(7)
+    basis, _ = np.linalg.qr(rng.normal(size=(DIM, DIM)))
+    lam = np.array([1000.0, 500.0] + list(np.linspace(10, 1, DIM - 2)))
+    m = (basis * lam) @ basis.T * 1e12
+    axes = np.array(principal_axes(_cells_from_matrix(m), k=2)) / 1e6
+    _, vv = np.linalg.eigh(m)
+    assert abs(axes[0] @ vv[:, -1]) > 0.999
+    assert abs(axes[1] @ vv[:, -2]) > 0.999
+
+
+def test_principal_axes_rayleigh_near_optimal(spark):
+    """The fixture embedding corpus is nearly isotropic (adjacent
+    eigenvalue ratios ~0.99), where axis-alignment against eigh is the
+    wrong metric — ANY unit vector in the top eigenspace is an equally
+    good PCA axis. The honest fidelity claim is variance captured:
+    each returned axis's Rayleigh quotient must be >=97% of the
+    corresponding eigenvalue (measured 0.9996/0.9945 at sf0.01)."""
+    cells = op_embedding_covariance(spark, SF_DIR).collect()
+    from universal_data_to_orc_converter_spark.operators.linalg import DIM
+
+    m = np.zeros((DIM, DIM))
+    for r in cells:
+        m[r["i"], r["j"]] = m[r["j"], r["i"]] = r["cov_num_fp"]
+    axes = np.array(principal_axes(cells, k=2), dtype=np.float64) / 1e6
+    w = np.linalg.eigvalsh(m)
+    if w[-1] <= 0:
+        return  # degenerate corpus: nothing to capture
+    assert (axes[0] @ m @ axes[0]) / (axes[0] @ axes[0]) >= 0.97 * w[-1]
+    assert (axes[1] @ m @ axes[1]) / (axes[1] @ axes[1]) >= 0.97 * w[-2]
+
+
+def test_principal_axes_zero_matrix_canonical():
+    """Empty / single-vector corpora give an all-zero numerator matrix;
+    both engines must agree on the canonical e_0/e_1 fallback axes (the
+    oracle's CASE mx=0 branch)."""
+    from universal_data_to_orc_converter_spark.operators.linalg import DIM
+
+    axes = principal_axes([], k=2)
+    e0 = [1_000_000] + [0] * (DIM - 1)
+    e1 = [0, 1_000_000] + [0] * (DIM - 2)
+    assert axes == [e0, e1]
+
+
 def test_kmeans_empty_cluster_oracle_parity(spark, tmp_path):
     """An assignment round can empty a cluster (here: duplicate init
     vectors make every cid-1 candidate tiebreak to cid 0). The Spark

@@ -26,6 +26,8 @@ switch (same arithmetic, wider type).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -187,48 +189,313 @@ def op_embedding_covariance(
         agg.unpersist()
 
 
-def principal_axes(cells, k: int = 2) -> list[list[int]]:
-    """Driver-side eigensolve of the d x d covariance-numerator matrix
-    (a METADATA-sized object — d², not corpus-sized; the numerator
-    n·Σxy − Σx·Σy shares eigenvectors with the covariance). Returns
-    the top-k eigenvectors quantized to 1e6 fixed-point ints, sign-
-    normalized so the largest-magnitude component is positive (eigh's
-    sign is otherwise arbitrary). Standard PCA decomposition at scale:
-    the corpus-sized work produced the d x d matrix; the O(d³) solve
-    is driver math, exactly as MLlib's PCA does it."""
+#: Power-iteration fixed-point scale. 2^18 keeps every intermediate
+#: provably inside int64 (bounds at each step in principal_axes).
+_PI_B = 1 << 18
+#: Fixed iteration count — convergence factor (λ_{c+1}/λ_c)^96; on the
+#: near-isotropic fixture spectrum the axes still capture ≥98% of the
+#: optimal Rayleigh quotient (pinned in tests/test_linalg_content.py).
+_PI_ITERS = 96
+
+
+def _tdiv_vec(w, d):
+    """Elementwise truncate-toward-zero division (the shared Spark
+    ``div`` / DuckDB ``//`` semantic — see _tdiv) on an int64 array."""
     import numpy as np
 
-    m = np.zeros((DIM, DIM))
+    return np.sign(w) * (np.abs(w) // d)
+
+
+def principal_axes(cells, k: int = 2) -> list[list[int]]:
+    """Driver-side top-k axes of the d x d covariance-numerator matrix
+    (a METADATA-sized object — d², not corpus-sized; the numerator
+    n·Σxy − Σx·Σy shares eigenvectors with the covariance), via
+    DETERMINISTIC fixed-point power iteration with integer Gram-Schmidt
+    deflation. Returns unit axes quantized to 1e6 fixed-point ints,
+    sign-normalized so the largest-magnitude component is positive
+    (first index wins magnitude ties).
+
+    Why not np.linalg.eigh (the r5–r13 implementation): eigh's output
+    is LAPACK-build-dependent in the degenerate/near-degenerate case,
+    so the eigensolve was the one float step that kept op_pca_project
+    rows-only. The integer iteration is bit-reproducible on ANY
+    engine with int64 truncating division — DuckDB replays it as a
+    recursive CTE (op_pca_project's oracle below), the same unrolled-
+    replay technique as the r13 BPE / r14 unigram oracle upgrades.
+    The numerator matrix is PSD (n²·sample-covariance of integer
+    vectors), so the dominant eigenvalue is the top one — power
+    iteration needs no shifting.
+
+    Exactness/overflow argument for the k=2 contract (B = 2^18,
+    d = 64 = 2^6; int64 holds ±2^63; numpy int64 matmul is safe
+    because integer sums are exact and order-independent):
+      * Ms = M // max(1, maxabs(M)//B)        →  |Ms| ≤ 2B = 2^19
+      * pc1 never deflates, so the stored a1 is post-normalize only
+        →  |a1| ≤ 2B = 2^19
+      * normalize: vn = w // max(1, maxabs(w)//B)  →  |vn| ≤ 2^19
+      * deflation dots (both vectors ≤ 2^19):
+        |dva|,|daa| ≤ 2^6·2^19·2^19 = 2^44; dva·B ≤ 2^62  ✓
+      * coef = (dva·B)//daa ≤ ‖vn‖·B/‖a1‖ (Cauchy–Schwarz), so the
+        subtracted term (coef·a1_i)//B ≤ ‖vn‖ ≤ 2^3·2^19 = 2^22
+        →  post-deflation |v| ≤ 2^19 + 2^22 < 2^23
+      * next matvec: |w| ≤ 2^6·2^19·2^23 = 2^48  ✓
+      * norm2 = Σv² ≤ 2^6·2^46 = 2^52 < 2^53 — exactly representable
+        as a double, as is x·1e6 with |x| ≤ 2^23.
+    k > 2 would need a fresh bound (later raw axes are ≤ 2^23, not
+    2^19); the runtime assert below fails loudly long before any
+    wraparound if the contract is ever widened.
+    The final unit quantization is the one float step — x·1e6/√(Σx²)
+    with x ≤ 2^21 and Σx² ≤ 2^48 both exactly representable, and *, /,
+    sqrt, +0.5, floor all IEEE-correctly-rounded — so it is the SAME
+    bits on every IEEE-754 engine, Python and DuckDB included."""
+    import numpy as np
+
+    m = np.zeros((DIM, DIM), dtype=np.int64)
     for r in cells:
         m[r["i"], r["j"]] = m[r["j"], r["i"]] = r["cov_num_fp"]
-    _, v = np.linalg.eigh(m)
-    axes = v[:, ::-1][:, :k]
-    out = []
+    mx = int(np.abs(m).max()) if cells else 0
+    out: list[list[int]] = []
+    if mx == 0:
+        # zero matrix (empty or single-vector corpus): canonical basis
+        # axes e_c — the same rule the oracle's CASE mx=0 branch takes
+        for c in range(k):
+            e = [0] * DIM
+            e[c] = 1_000_000
+            out.append(e)
+        return out
+    ms = _tdiv_vec(m, max(1, mx // _PI_B))
+    raw_prev: list = []
     for c in range(k):
-        col = axes[:, c]
-        j = int(np.argmax(np.abs(col)))
-        if col[j] < 0:
-            col = -col
-        out.append([int(np.floor(x * 1_000_000 + 0.5)) for x in col])
+        v = np.full(DIM, _PI_B, dtype=np.int64)
+        for _ in range(_PI_ITERS):
+            w = ms @ v
+            mw = int(np.abs(w).max())
+            if mw == 0:
+                v = w
+                break
+            v = _tdiv_vec(w, max(1, mw // _PI_B))
+            for a in raw_prev:
+                daa = int(a @ a)
+                dva = int(v @ a)
+                coef = _tdiv(dva * _PI_B, max(1, daa))
+                v = v - _tdiv_vec(coef * a, _PI_B)
+            assert int(np.abs(v).max()) < 1 << 62
+        norm2 = int(v @ v)
+        if norm2 == 0:
+            v = np.zeros(DIM, dtype=np.int64)
+            v[c] = _PI_B
+            norm2 = _PI_B * _PI_B
+        raw_prev.append(v)
+        nrm = math.sqrt(float(norm2))
+        u = [math.floor(float(x) * 1000000.0 / nrm + 0.5) for x in v]
+        mabs = max(abs(x) for x in u)
+        j = next(i for i in range(DIM) if abs(u[i]) == mabs)
+        if u[j] < 0:
+            u = [-x for x in u]
+        out.append(u)
     return out
+
+
+def _let(value_expr: str, var: str, body: str) -> str:
+    """DuckDB let-binding: evaluate value_expr once, bind it as ``var``
+    inside ``body`` via the single-element-list lambda trick
+    (list_transform([v], var -> body)[1]). Needed because DuckDB 1.0
+    lambdas cannot capture columns across a LATERAL boundary, so the
+    power-iteration step below is one expression, not a lateral
+    chain."""
+    return f"list_transform([{value_expr}], {var} -> {body})[1]"
+
+
+def _pca_iter_cte(name: str, prev_axis_cte: str | None) -> str:
+    """One recursive power-iteration CTE over the scaled matrix CTE
+    ``msc`` — the SQL replica of one ``principal_axes`` component
+    loop. State row: (t, v bigint[64]). The deflation for pc2 joins
+    the finished pc1 raw axis (``prev_axis_cte``)."""
+    d, b, t = DIM, _PI_B, _PI_ITERS
+    matvec = (
+        f"list_transform(range(1,{d + 1}), i -> CAST(list_sum("
+        f"list_transform(range(1,{d + 1}), j -> ms[i][j]*v[j])) AS BIGINT))"
+    )
+    norm = _let(
+        matvec,
+        "w",
+        _let(
+            "list_max(list_transform(w, x -> abs(x)))",
+            "mw",
+            f"CASE WHEN mw = 0 THEN w ELSE "
+            f"list_transform(w, x -> x // GREATEST(1, mw // {b})) END",
+        ),
+    )
+    if prev_axis_cte is None:
+        vout, join = norm, ""
+    else:
+        coef = (
+            f"CAST(list_sum(list_transform(range(1,{d + 1}), "
+            f"p -> vn[p]*ax.av[p])) AS BIGINT) * {b} // GREATEST(1, "
+            f"CAST(list_sum(list_transform(ax.av, x -> x*x)) AS BIGINT))"
+        )
+        vout = _let(
+            norm,
+            "vn",
+            _let(
+                coef,
+                "coef",
+                f"list_transform(range(1,{d + 1}), i -> "
+                f"vn[i] - (coef * ax.av[i] // {b}))",
+            ),
+        )
+        join = f", (SELECT v AS av FROM {prev_axis_cte}) ax"
+    return f"""
+        {name} AS (
+          SELECT 0 AS t,
+                 list_transform(range({d}), x -> CAST({b} AS BIGINT)) AS v
+          UNION ALL
+          SELECT t + 1, {vout}
+          FROM {name}, msc{join}
+          WHERE t < {t} AND ms IS NOT NULL
+        )"""
+
+
+def _pca_axis_ctes(c: int, it: str, raw: str, unit: str) -> str:
+    """Raw-axis + unit-axis CTE pair for component ``c``: pick the
+    final iteration row, substitute the canonical e_c raw axis if the
+    iteration collapsed to zero (norm2 = 0), then unit-quantize to 1e6
+    and sign-normalize (largest-|.|-component positive, first index on
+    ties) — each step the literal SQL spelling of the principal_axes
+    lines it replays."""
+    d, b = DIM, _PI_B
+    e_raw = "[" + ",".join(
+        f"{b}::BIGINT" if i == c else "0::BIGINT" for i in range(d)
+    ) + "]"
+    e_unit = "[" + ",".join(
+        "1000000::BIGINT" if i == c else "0::BIGINT" for i in range(d)
+    ) + "]"
+    quant = (
+        "list_transform(r.v, x -> CAST(FLOOR("
+        "CAST(x AS DOUBLE) * 1000000.0 / "
+        "SQRT(CAST(CAST(list_sum(list_transform(r.v, y -> y*y)) "
+        "AS BIGINT) AS DOUBLE)) + 0.5) AS BIGINT))"
+    )
+    signfix = _let(
+        quant,
+        "u",
+        "CASE WHEN u[list_position(list_transform(u, x -> abs(x)), "
+        "list_max(list_transform(u, x -> abs(x))))] < 0 "
+        "THEN list_transform(u, x -> -x) ELSE u END",
+    )
+    return f"""
+        {raw} AS MATERIALIZED (
+          SELECT CASE WHEN n2 = 0 THEN {e_raw} ELSE v END AS v
+          FROM (SELECT v, CAST(list_sum(list_transform(v, x -> x*x))
+                            AS BIGINT) AS n2
+                FROM {it} ORDER BY t DESC LIMIT 1)
+        ),
+        {unit} AS MATERIALIZED (
+          SELECT CASE WHEN (SELECT mx FROM msc) = 0 THEN {e_unit}
+                 ELSE {signfix} END AS u
+          FROM {raw} r
+        )"""
+
+
+def _pca_oracle_sql() -> str:
+    """The full op_pca_project oracle: covariance numerators (the
+    op_embedding_covariance oracle verbatim) → matrix assembly →
+    2 recursive power-iteration CTEs → projection. MATERIALIZED on
+    every data-derived CTE is load-bearing: DuckDB inlines plain CTEs
+    into each recursive iteration, which re-evaluates the O(n·d²)
+    covariance ~192× (measured 21 min at sf0.01 vs 0.3 s
+    materialized)."""
+    d, b = DIM, _PI_B
+    proj = (
+        f"CAST(list_sum(list_transform(range(1,{d + 1}), i -> "
+        f"CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000 + 0.5) "
+        f"AS BIGINT) * x.{{ax}}[i])) AS BIGINT)"
+    )
+    return f"""
+        WITH RECURSIVE q AS MATERIALIZED (
+          SELECT list_transform(
+                   embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5)
+                             AS BIGINT)) AS qv
+          FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        pairs AS MATERIALIZED (
+          SELECT a.i AS i, b.j AS j, SUM(qv[a.i] * qv[b.j]) AS s
+          FROM q,
+               LATERAL (SELECT unnest(generate_series(1, {d})) AS i) a,
+               LATERAL (SELECT unnest(generate_series(1, {d})) AS j) b
+          WHERE b.j >= a.i
+          GROUP BY 1, 2
+        ),
+        sums AS MATERIALIZED (
+          SELECT u.i AS i, SUM(qv[u.i]) AS s1
+          FROM q,
+               LATERAL (SELECT unnest(generate_series(1, {d})) AS i) u
+          GROUP BY 1
+        ),
+        nn AS MATERIALIZED (SELECT COUNT(*) AS c FROM q),
+        cells AS MATERIALIZED (
+          SELECT p.i AS i, p.j AS j,
+                 CAST(n.c * p.s - sa.s1 * sb.s1 AS BIGINT) AS m
+          FROM pairs p
+          JOIN sums sa ON sa.i = p.i
+          JOIN sums sb ON sb.i = p.j
+          CROSS JOIN nn n
+        ),
+        sym AS MATERIALIZED (
+          SELECT i, j, m FROM cells
+          UNION ALL
+          SELECT j AS i, i AS j, m FROM cells WHERE i <> j
+        ),
+        mm AS MATERIALIZED (
+          SELECT CASE WHEN COUNT(*) = 0 THEN NULL
+                 ELSE list(r ORDER BY i) END AS m,
+                 CASE WHEN COUNT(*) = 0 THEN 0 ELSE MAX(rmax) END AS mx
+          FROM (SELECT i, list(m ORDER BY j) AS r, MAX(ABS(m)) AS rmax
+                FROM sym GROUP BY i)
+        ),
+        msc AS MATERIALIZED (
+          SELECT CASE WHEN mx = 0 THEN NULL ELSE
+            list_transform(m, r -> list_transform(
+              r, x -> x // GREATEST(1, mx // {b})))
+          END AS ms, mx FROM mm
+        ),{_pca_iter_cte("it1", None)},{_pca_axis_ctes(0, "it1", "a1raw", "a1unit")},{_pca_iter_cte("it2", "a1raw")},{_pca_axis_ctes(1, "it2", "a2raw", "a2unit")},
+        axes AS (
+          SELECT a1unit.u AS a1u, a2unit.u AS a2u FROM a1unit, a2unit
+        )
+        SELECT e.vec_id, e.label,
+               CASE WHEN e.embedding IS NULL THEN NULL
+                    ELSE {proj.format(ax="a1u")} END AS pc1_fp,
+               CASE WHEN e.embedding IS NULL THEN NULL
+                    ELSE {proj.format(ax="a2u")} END AS pc2_fp
+        FROM embeddings e CROSS JOIN axes x
+    """
 
 
 @query(
     "op_pca_project",
-    oracle=None,
+    oracle=_pca_oracle_sql(),
     notes="PCA projection — the capstone of the linalg module: the "
     "single-scan covariance op produces the d x d matrix, "
-    "principal_axes() eigensolves it ON THE DRIVER (d x d is "
-    "metadata; O(d^3) driver math is how MLlib's own PCA works), and "
-    "the projection onto the top-2 axes runs distributed as a JVM "
-    "zip_with/aggregate integer dot product — quantized vector "
-    "(1e3) x quantized axis (1e6), exact bigint arithmetic, no "
-    "Python per row, no shuffle at all in the projection stage (a "
-    "pure map). rows-only: the eigensolve is float (same escape "
-    "hatch as the sketch ops); content is pinned EXACTLY in "
-    "tests/test_linalg_content.py — a numpy replica using the SAME "
-    "principal_axes helper must reproduce every projected value "
-    "bit-for-bit, plus an orthogonality check on the axes.",
+    "principal_axes() reduces it ON THE DRIVER (d x d is metadata; "
+    "O(d^2) driver math per iteration is how MLlib's own PCA treats "
+    "the Gramian), and the projection onto the top-2 axes runs "
+    "distributed as a JVM zip_with/aggregate integer dot product — "
+    "quantized vector (1e3) x quantized axis (1e6), exact bigint "
+    "arithmetic, no Python per row, no shuffle at all in the "
+    "projection stage (a pure map). FULL oracle since r14 (was "
+    "rows-only r5-r13 while the eigensolve was LAPACK eigh): the "
+    "driver math is now deterministic fixed-point power iteration "
+    "with integer deflation, which the oracle replays as two "
+    "recursive CTEs over the covariance-numerator matrix — the "
+    "unrolled-replay technique of the BPE/unigram upgrades. The one "
+    "float step (unit quantization x*1e6/sqrt(sum x^2)) uses only "
+    "IEEE-correctly-rounded ops on <=2^53 integers, so it is "
+    "bit-identical across engines; everything else is int64 with "
+    "truncate-toward-zero division (Spark div / DuckDB // / _tdiv). "
+    "Axis quality vs eigh is pinned in tests/test_linalg_content.py "
+    "(Rayleigh quotient >= 0.97 of optimal on the fixture; exact "
+    "axis recovery on a clear-gap spectrum).",
     tags=("similarity", "scale"),
 )
 def op_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:

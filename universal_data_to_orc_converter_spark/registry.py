@@ -97,17 +97,23 @@ WINDOW_ROUND: int = 14
 DRIVER_PRIORITY: tuple[str, ...] = (
     # headline flagship — always in the window
     "flagship_revenue_by_nation",
-    # (b) the 3 ops whose SPEC changed in r14 after their latest green
+    # (b) the 4 ops whose SPEC changed in r14 after their latest green
     # row: op_bm25 upgraded rows-only -> full fixed-point oracle
     # (per-term FLOOR(x*1e6+0.5) quantization), op_doc_winnow's oracle
     # split class re-derived to match Python str.isspace() exactly
     # (r13 advice: RE2 \s is ASCII-only), op_unigram_train upgraded
     # rows-only -> full oracle (recursive-CTE Viterbi DP + unrolled EM
-    # rounds). All three differential-verified at sf0.001/0.01/0.1
-    # locally; the driver seats confirm on its own harness.
+    # rounds), op_pca_project upgraded rows-only -> full oracle
+    # (driver eigensolve reworked from LAPACK eigh to deterministic
+    # fixed-point power iteration, replayed in SQL as two recursive
+    # CTEs; its seat displaces the least-stale tail name op_join_theta
+    # (r9) to first-in-line for r15). All four differential-verified
+    # at sf0.001/0.01/0.1 locally; the driver seats confirm on its
+    # own harness.
     "op_bm25",
     "op_doc_winnow",
     "op_unigram_train",
+    "op_pca_project",
     # (c) CORRECTNESS_r13 had ZERO red rows and zero below-fold names,
     # so the rest of the window is pure stalest-first refresh: the
     # r8-stale names by registration order (floor rises to r9),
@@ -158,7 +164,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "op_join_broadcast",
     "op_join_shuffle",
     "op_join_anti",
-    "op_join_theta",
+    # op_join_theta (r9) was the 50th seat until the late-r14
+    # op_pca_project spec change outranked it (modified-spec ops MUST
+    # seat per the rotation policy); it is first-in-line for r15.
 )
 
 #: Names registered AFTER this round's DRIVER_PRIORITY was pinned that
