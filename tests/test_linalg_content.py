@@ -109,6 +109,90 @@ def test_principal_axes_zero_matrix_canonical():
     assert axes == [e0, e1]
 
 
+def test_pca_oracle_parity_on_crafted_corpora(spark, tmp_path):
+    """Cross-engine pins for the r14 power-iteration oracle's edge
+    branches on NON-fixture data (the fixture differentials only ever
+    exercise the generic path): (a) an anti-correlated corpus whose
+    dominant axis has its largest-magnitude component NEGATIVE, so the
+    sign-normalization negate branch fires on both engines; (b) a
+    duplicate-vector corpus where n·Σxy − Σx·Σy is identically zero,
+    so both engines must take the canonical e_0/e_1 fallback; (c) NULL
+    embeddings interleaved, which must project to NULL on both sides."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from universal_data_to_orc_converter_spark.operators.linalg import (
+        DIM,
+        op_pca_project,
+    )
+    from universal_data_to_orc_converter_spark.registry import QUERIES
+
+    from .conftest import assert_frames_match
+
+    def corpus(rows):
+        d = tmp_path / f"c{corpus.n}"
+        corpus.n += 1
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(len(rows)), pa.int64()),
+                "embedding": pa.array(rows, pa.list_(pa.float32())),
+                "label": pa.array([0] * len(rows), pa.int32()),
+            }
+        )
+        pq.write_table(tbl, str(d / "embeddings.parquet"))
+        return d
+
+    corpus.n = 0
+
+    def pad(head):
+        return [list(head) + [0.0] * (DIM - len(head))]
+
+    # (a) rank-1 loadings l = (3,-2,-2): dominant eigvec ∝ l, but the
+    # all-ones start overlaps l NEGATIVELY (3-2-2-... = -1), so the
+    # iteration converges to -l = (-3,2,2)/√17 whose largest-magnitude
+    # component is negative → the sign-normalization negate branch
+    # must fire on BOTH engines (asserted below: a1[0] comes out +)
+    neg = sum(
+        (
+            pad([3.0 * x, -2.0 * x, -2.0 * x])
+            for x in (-3.0, -1.0, 0.0, 2.0, 5.0, 9.0)
+        ),
+        [],
+    )
+    # (b) five identical vectors → zero numerator matrix
+    dup = [[1.5] * DIM] * 5
+    # (c) NULLs interleaved with the anti-correlated corpus
+    nul = [r if i % 2 else None for i, r in enumerate(neg)]
+
+    for name, rows in (("negate", neg), ("dup-zero", dup), ("nulls", nul)):
+        d = corpus(rows)
+        got = op_pca_project(spark, str(d))
+        con = duckdb.connect()
+        try:
+            con.sql(
+                "CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{d}/embeddings.parquet'"
+            )
+            assert_frames_match(
+                got,
+                con.sql(QUERIES["op_pca_project"].oracle),
+                f"op_pca_project[{name}]",
+            )
+        finally:
+            con.close()
+
+    # the negate corpus really does exercise the sign branch: without
+    # the flip the axis would be (-3,2,2)/√17 (the side the iteration
+    # converges to), so a POSITIVE largest component proves the branch
+    # ran — and it must equal 3/√17 · 1e6 on the rank-1 spectrum
+    cells = op_embedding_covariance(spark, str(tmp_path / "c0")).collect()
+    a1 = principal_axes(cells, k=2)[0]
+    assert max(a1, key=abs) == a1[0] and a1[0] > 0
+    assert abs(a1[0] - 727607) <= 2  # 3/√17 · 1e6
+
+
 def test_kmeans_empty_cluster_oracle_parity(spark, tmp_path):
     """An assignment round can empty a cluster (here: duplicate init
     vectors make every cid-1 candidate tiebreak to cid 0). The Spark

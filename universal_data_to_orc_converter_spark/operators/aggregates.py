@@ -1016,7 +1016,8 @@ KMV_K = 2048
     "merge — union IS the KMV merge operator), and pairwise common-"
     "user counts come from intersecting the sketches driver-side "
     "(|types|^2/2 array intersections over k-length arrays — "
-    "metadata math, like the PCA eigensolve). EXACTNESS REGIME: with "
+    "metadata math, like the PCA power iteration). EXACTNESS REGIME: "
+    "with "
     "k=2048 >= the fixture's distinct users per type, the sketch IS "
     "the full hashed set, so intersections are exact and the SQL "
     "oracle pins them (the same documented-regime contract as the "
