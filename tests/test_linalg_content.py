@@ -109,6 +109,45 @@ def test_principal_axes_zero_matrix_canonical():
     assert axes == [e0, e1]
 
 
+def test_principal_axes_bounded_at_extreme_magnitudes():
+    """Empirically pins the int64 overflow-bound argument in the
+    principal_axes docstring: symmetric matrices with entries up to
+    ±2^62 — far beyond any corpus numerator (sf0.1 is ~2^43) — must
+    run the full iteration without tripping the 2^62 runtime assert
+    (which would surface any wraparound long before it corrupts a
+    result) and return 1e6-quantized near-unit axes. Matrices are
+    intentionally NOT restricted to PSD: the bound argument is
+    magnitude-only, so it must hold even for sign-alternating
+    dominant eigenvalues the op itself never feeds."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from universal_data_to_orc_converter_spark.operators.linalg import DIM
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        seed=st.integers(0, 2**32 - 1),
+        scale=st.sampled_from([1, 2**20, 2**40, 2**61, 2**62 - 1]),
+    )
+    def run(seed, scale):
+        rng = np.random.default_rng(seed)
+        up = rng.integers(-scale, scale, size=(DIM, DIM), dtype=np.int64)
+        m = np.triu(up) + np.triu(up, 1).T  # symmetric, no +/2 overflow
+        cells = [
+            {"i": i, "j": j, "cov_num_fp": int(m[i, j])}
+            for i in range(DIM)
+            for j in range(i, DIM)
+        ]
+        axes = principal_axes(cells, k=2)
+        for a in axes:
+            assert len(a) == DIM
+            assert max(abs(x) for x in a) <= 1_000_001
+            n2 = sum((x / 1e6) ** 2 for x in a)
+            assert abs(n2 - 1.0) < 1e-3, n2
+
+    run()
+
+
 def test_pca_oracle_parity_on_crafted_corpora(spark, tmp_path):
     """Cross-engine pins for the r14 power-iteration oracle's edge
     branches on NON-fixture data (the fixture differentials only ever
