@@ -30,9 +30,15 @@ import sys
 
 import duckdb
 
-SRC = "/root/testdata/sf0.1"
+#: Usage: make_sf1.py [dst] [src] [replicas] — chaining the script on
+#: its own output builds a scaling LADDER: the default builds /tmp/sf1
+#: (10x) from sf0.1; `make_sf1.py /tmp/sf10 /tmp/sf1` builds the 100x
+#: rung (dimension tables stay fixture-sized on every rung, exactly
+#: like TPC-H's non-scaling dims; document replicas re-shuffle with
+#: fresh per-rung seeds so no rung introduces near-duplicates).
+SRC = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 DST = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
-REPLICAS = 10
+REPLICAS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
