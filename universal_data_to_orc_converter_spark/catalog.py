@@ -15,6 +15,33 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+#: Metadata-only schema cache, keyed by (path, mtime). ``read.parquet``
+#: with schema inference costs ~100 ms of driver-side footer reading
+#: per call; with an explicit schema it is ~23 ms (r15 measurement).
+#: A real deployment gets this from the catalog (Hive metastore /
+#: Iceberg manifest) — the moral equivalent of Spark's own per-session
+#: file-listing cache (spark.sql.hive.filesourcePartitionFileCacheSize).
+#: Strictly metadata: every query still computes from the parquet
+#: bytes; the mtime key invalidates the entry if a fixture path is
+#: rewritten (tests rewrite tmp fixtures in place).
+_SCHEMA_CACHE: dict[tuple[str, float], StructType] = {}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with the footer-inference result memoized
+    per (path, mtime). First read infers and seeds the cache."""
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        return spark.read.parquet(path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 TABLES = (
     "region",
@@ -56,7 +83,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
+        df = _read_parquet(spark, table_path(sf_dir, name))
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
@@ -66,7 +93,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # pinned to UTC, so the cast is value-preserving.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
-    return spark.read.parquet(table_path(sf_dir, name))
+    return _read_parquet(spark, table_path(sf_dir, name))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
