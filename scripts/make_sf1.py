@@ -18,7 +18,8 @@ plausible larger instance, not 10 identical copies:
   so exact-dup collapse does not occur.
 * region/nation/customer/supplier/part: copied unchanged (dimensions).
 
-Deterministic: seeded with the replica index only.
+Deterministic: seeded with (rung, replica) — the rung index is derived
+from the destination path so chained rungs never repeat a shuffle.
 """
 
 from __future__ import annotations
@@ -38,6 +39,20 @@ import duckdb
 #: fresh per-rung seeds so no rung introduces near-duplicates).
 SRC = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 DST = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+
+# Rung-specific seed base (r15 ADVICE): with a seed of (1234 + r) on
+# every rung, chaining the script on its own output reproduced rung-1's
+# replica-r blocks exactly (replica r of the verbatim block-0 is the
+# same shuffle on both rungs), so ~9% of a chained 100x fixture's
+# documents/embeddings were exact duplicates under different ids.
+# Mixing a DST-derived rung index into the seed makes every rung's
+# shuffles and jitter coordinates distinct. Ladders generated before
+# this fix carried those duplicates; at-scale dedup/minhash/semdedup
+# numbers quoted from them (PERF.md r14) should be read with that
+# caveat or re-measured on a regenerated ladder.
+import zlib
+
+SEED_BASE = zlib.crc32(os.path.abspath(DST).encode())
 REPLICAS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
 os.makedirs(DST, exist_ok=True)
@@ -74,7 +89,7 @@ docs = con.sql(f"SELECT doc_id, text, lang, source, n_chars FROM '{SRC}/document
 max_doc = max(d[0] for d in docs) + 1
 out = []
 for r in range(REPLICAS):
-    rng = random.Random(1234 + r)
+    rng = random.Random((SEED_BASE, 1234 + r))
     for doc_id, text, lang, source, n_chars in docs:
         if r == 0:
             t2 = text
@@ -96,7 +111,8 @@ for r in range(REPLICAS):
     for vec_id, emb, label in embs:
         v = list(emb)
         if r:
-            v[r % len(v)] = float(v[r % len(v)]) + 0.01 * r
+            j = (SEED_BASE + r) % len(v)
+            v[j] = float(v[j]) + 0.01 * r
         eout.append((vec_id + r * max_vec, v, label))
 con.sql("CREATE TABLE emb_out (vec_id BIGINT, embedding FLOAT[], label INTEGER)")
 con.executemany("INSERT INTO emb_out VALUES (?,?,?)", eout)

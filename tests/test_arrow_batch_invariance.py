@@ -26,8 +26,10 @@ site, mapped to the registered op that exercises it):
                  op_multimodal_meta/decode/audio, op_unigram_train,
                  op_kmeans + op_semdedup (kmeans_assignments),
                  op_sim_ann_ivf/op_sim_ann_ivfpq (encode + ADC scan)
-  applyInPandas — op_udtf_grouped_map, op_cogroup_asof,
-                 op_dedup_embedding_cell (per-cell GEMM)
+  applyInArrow — op_udtf_grouped_map, op_cogroup_asof (r15: moved off
+                 applyInPandas; groups still arrive whole, so the
+                 batch-width sweep still applies to their upstream)
+  applyInPandas — op_dedup_embedding_cell (per-cell GEMM)
   pandas_udf   — op_udf_scalar, op_udaf (vectorized batch width is the
                  same knob; cross-row state would read boundaries)
 Excluded, with reasons: streaming kernels (dedup_stream,
@@ -112,7 +114,10 @@ def test_sweep_covers_every_arrow_call_site():
         if py.parts[-2] == "streaming":
             continue  # excluded class, see module docstring
         for i, line in enumerate(py.read_text().splitlines(), 1):
-            if re.search(r"\.(mapInPandas|applyInPandas)\(", line):
+            if re.search(
+                r"\.(mapInPandas|applyInPandas|mapInArrow|applyInArrow)\(",
+                line,
+            ):
                 sites.append(f"{py.name}:{i}")
     # one count per file; update BOTH this dict and ARROW_OPS (or the
     # exclusion notes) when a kernel is added or removed
@@ -126,7 +131,8 @@ def test_sweep_covers_every_arrow_call_site():
         "similarity.py": 3,        # cell GEMM, PQ encode, ADC scan
         "text.py": 2,              # winnow, heavy-hitters
         "tokenizer_train.py": 2,   # unigram substr counts, EM e-step
-        "udfs.py": 2,              # grouped map, cogroup as-of
+        "udfs.py": 3,              # grouped map + cogroup as-of
+                                   # (applyInArrow), mapInArrow norm
     }
     got: dict[str, int] = {}
     for s in sites:

@@ -245,7 +245,8 @@ def principal_axes(cells, k: int = 2) -> list[list[int]]:
     2^19); the runtime assert below fails loudly long before any
     wraparound if the contract is ever widened.
     The final unit quantization is the one float step — x·1e6/√(Σx²)
-    with x ≤ 2^21 and Σx² ≤ 2^48 both exactly representable, and *, /,
+    with x ≤ 2^23 (the post-deflation bound above) and Σx² ≤ 2^52 both
+    exactly representable, and *, /,
     sqrt, +0.5, floor all IEEE-correctly-rounded — so it is the SAME
     bits on every IEEE-754 engine, Python and DuckDB included."""
     import numpy as np
@@ -546,11 +547,18 @@ def _qv():
     )
 
 
-#: Past this many centers the literal-expression assignment's codegen
-#: (k structs of zip_with/aggregate per row) collapses; switch to the
+#: Past this many centers the assignment defaults to the
 #: Arrow-vectorized path (numpy int64 matmul per batch — the same
-#: exact integers, MLlib's BLAS shape).
-_ARROW_ASSIGN_MIN_K = 32
+#: exact integers, MLlib's BLAS shape) instead of the
+#: literal-expression form (k structs of zip_with/aggregate per row).
+#: r15 A/B (warm end-to-end, one assignment over the 2k-vector
+#: fixture): literal 6.7 s at k=8 / 20.8 s at k=31 vs Arrow 1.3 s /
+#: 1.4 s — the literal path's cost is DRIVER-side (k·d F.lit py4j
+#: calls + analysis + a codegen unit that grows with k), so the Arrow
+#: kernel wins at every k and the threshold is now 0. The literal
+#: implementation stays as the differential witness
+#: (tests/test_linalg_content.py pins literal ≡ arrow on the fixture).
+_ARROW_ASSIGN_MIN_K = 0
 
 
 def kmeans_assignments(

