@@ -352,18 +352,19 @@ def op_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     constants, fixed rng seed for the permutation table."""
     sig_batches = make_minhash_sig_batches()
 
-    # The single-file fixture arrives as one partition; spread the raw
-    # docs before the compute-bound signature pass (no-op on a real
-    # multi-split source). The trailing repartition is deliberate: the
-    # banding path AND both jaccard-verify branches hang off this
-    # identical subtree, so ReuseExchange materializes the Arrow pass
-    # once and reads it three times.
+    # The signature pass runs on the scan's natural partitioning — the
+    # raw text is never shuffled (r15: the upfront repartition that
+    # used to spread the single-file fixture cost a full corpus
+    # shuffle BEFORE hashing; the kernel is not compute-bound — 0.21 s
+    # serial for all 5 k fixture docs — so hashing where the data is
+    # read wins locally, 2.3 s → 1.5 s warm, and is the only sane
+    # shape at 100 TB: shuffle signatures, not documents). The
+    # repartition AFTER the Arrow pass is deliberate: the banding path
+    # AND both jaccard-verify branches hang off this identical
+    # subtree, so ReuseExchange materializes the Arrow pass once and
+    # reads it three times.
     par = spark.sparkContext.defaultParallelism
-    d = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(par, "doc_id")
-    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
     hs = d.mapInPandas(
         sig_batches, "doc_id bigint, h array<bigint>, bands array<bigint>"
     ).repartition(par, "doc_id")

@@ -74,11 +74,15 @@ def _dot(a: Column, b: Column) -> Column:
 def op_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine neighbors for a small query set. The corpus
     never shuffles: queries broadcast, scores reduce via per-partition
-    top-k heaps (WindowGroupLimit) before the final exchange."""
-    # single-file fixture → spread the scoring scan (no-op on a real
-    # multi-split corpus)
-    par = spark.sparkContext.defaultParallelism
-    em = load(spark, sf_dir, "embeddings").repartition(par, "vec_id")
+    top-k heaps (WindowGroupLimit) before the final exchange.
+
+    r15: the upfront ``repartition(par, "vec_id")`` that spread the
+    single-file fixture was removed — it was itself a full corpus
+    shuffle, contradicting the op's own "corpus never shuffles"
+    contract, and scoring on the scan's natural partitioning measures
+    0.58 s vs 0.79 s warm (results identical). On any multi-split
+    corpus the scan parallelism comes from the splits."""
+    em = load(spark, sf_dir, "embeddings")
     q = em.filter(F.col("vec_id") < _N_QUERY_VECS).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
