@@ -172,6 +172,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from ..exprs import dsum, sql_dsum  # noqa: E402
 from ..registry import query  # noqa: E402
+from ..streaming.runner import stream_partitions  # noqa: E402
 from ..scratch import session_scratch  # noqa: E402
 
 
@@ -338,13 +339,14 @@ def op_stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
-    q = (
-        stream.writeStream.format("eventdump")
-        .option("path", out)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    with stream_partitions(spark):
+        q = (
+            stream.writeStream.format("eventdump")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination(180)
 
     back = (

@@ -103,13 +103,14 @@ def run_replay_until_drained(
 
     spark = result_stream.sparkSession
     name = f"replay_{uuid.uuid4().hex[:8]}"
-    q = (
-        result_stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", session_scratch("ckpt_rp_"))
-        .start()
-    )
+    with stream_partitions(spark):
+        q = (
+            result_stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", session_scratch("ckpt_rp_"))
+            .start()
+        )
     deadline = time.time() + timeout_sec
     try:
         while time.time() < deadline:
@@ -146,6 +147,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from ..exprs import dsum, sql_dsum  # noqa: E402
 from ..registry import query  # noqa: E402
 from ..scratch import session_scratch  # noqa: E402
+from ..streaming.runner import stream_partitions  # noqa: E402
 
 
 @query(

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..scratch import session_scratch
+from .runner import stream_partitions
 
 N_BUCKETS = 16
 
@@ -154,14 +155,17 @@ def op_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(src_dir).schema
     ).option("maxFilesPerTrigger", "1").parquet(src_dir)
 
-    q = (
-        stream.writeStream.foreachBatch(
-            lambda batch_df, _id: cdc_upsert_batch(spark, batch_df, target_dir)
+    with stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch_df, _id: cdc_upsert_batch(
+                    spark, batch_df, target_dir
+                )
+            )
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
         )
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
     q.awaitTermination(180)
 
     return spark.read.parquet(target_dir).select(
@@ -223,16 +227,17 @@ def op_stream_cdc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).option("maxFilesPerTrigger", "1").parquet(src_dir)
 
     cols = CDC_COLS + ("is_delete",)
-    q = (
-        stream.writeStream.foreachBatch(
-            lambda batch_df, _id: cdc_upsert_batch(
-                spark, batch_df, target_dir, cols=cols
+    with stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch_df, _id: cdc_upsert_batch(
+                    spark, batch_df, target_dir, cols=cols
+                )
             )
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
         )
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
     q.awaitTermination(180)
 
     return (
@@ -292,13 +297,14 @@ def op_stream_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out_dir)
         )
 
-    q = (
-        counts.writeStream.outputMode("update")
-        .foreachBatch(emit)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    with stream_partitions(spark):
+        q = (
+            counts.writeStream.outputMode("update")
+            .foreachBatch(emit)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination(180)
 
     versions = spark.read.parquet(out_dir)

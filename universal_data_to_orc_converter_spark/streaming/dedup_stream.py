@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import make_minhash_sig_batches
 from ..registry import query
 from ..scratch import session_scratch
+from .runner import stream_partitions
 
 _SIG_SCHEMA = "doc_id bigint, h array<bigint>, bands array<bigint>"
 
@@ -172,16 +173,17 @@ def op_stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
-    q = (
-        stream.writeStream.foreachBatch(
-            lambda bdf, bid: dedup_batch(
-                spark, bdf, sig_store, pair_store, bid
+    with stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, bid: dedup_batch(
+                    spark, bdf, sig_store, pair_store, bid
+                )
             )
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
         )
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
     q.awaitTermination(300)
 
     if not (os.path.isdir(pair_store) and _has_parquet(pair_store)):

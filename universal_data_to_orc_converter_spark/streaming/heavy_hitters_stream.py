@@ -43,6 +43,7 @@ from ..operators.maintenance import (
 )
 from ..registry import query
 from ..scratch import session_scratch
+from .runner import stream_partitions
 
 
 def _drain_foreachbatch(spark, staged, work, batch_fn, op_name):
@@ -58,12 +59,13 @@ def _drain_foreachbatch(spark, staged, work, batch_fn, op_name):
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
-    q = (
-        stream.writeStream.foreachBatch(batch_fn)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    with stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
     if not q.awaitTermination(300):
         q.stop()
         raise TimeoutError(f"{op_name}: stream did not drain in 300s")

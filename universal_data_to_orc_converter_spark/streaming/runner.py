@@ -11,14 +11,49 @@ once, with progress tracked in a checkpoint instead of the reference's
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..scratch import session_scratch
+
+#: Shuffle/state-store partition count captured by a streaming query at
+#: start. Structured Streaming creates one state-store instance (and
+#: its checkpoint/commit files) PER partition PER stateful operator PER
+#: micro-batch; a stream-stream join keeps four stores per partition.
+#: With the batch default of 32 partitions over the KB-sized fixture
+#: state, that machinery dominated every availableNow op (r15
+#: measurement, op_stream_interval_join_outer warm: 15.5 s at 32 →
+#: 3.9 s at 8, results identical — partition-count invariance is
+#: sweep-proven for the whole registry). State partitions should track
+#: STATE SIZE, not cluster width; cluster deploys with large keyed
+#: state should raise SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS (the value
+#: is pinned into the checkpoint at first start, as Spark requires).
+STREAM_SHUFFLE_PARTITIONS = os.environ.get(
+    "SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "8"
+)
+
+
+@contextmanager
+def stream_partitions(spark: SparkSession):
+    """Scope the session's shuffle-partition conf to the streaming
+    value around a stream start; the query captures it at start, so
+    restoring immediately afterwards is safe. (Batch queries planned
+    concurrently by another driver thread could observe the narrow
+    value — harmless: the registry is partition-count invariant,
+    proven by scripts/partition_invariance_audit.py.)"""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, STREAM_SHUFFLE_PARTITIONS)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,14 +103,15 @@ def run_available_now(
     name = f"sink_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
     try:
-        q = (
-            result.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
+        with stream_partitions(spark):
+            q = (
+                result.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
         if not q.awaitTermination(timeout_sec):
             # timed out with the query STILL RUNNING: stop it before
             # the finally deletes its checkpoint (and before callers
@@ -108,17 +144,18 @@ def stream_to_orc(
     timeout_sec: int = 120,
 ) -> None:
     """Append-mode streaming ORC sink with exactly-once commits."""
-    q = (
-        result.writeStream.format("orc")
-        .option("path", path)
-        .option("compression", compression)
-        .option(
-            "checkpointLocation",
-            checkpoint or session_scratch("ckpt_orc_"),
+    with stream_partitions(result.sparkSession):
+        q = (
+            result.writeStream.format("orc")
+            .option("path", path)
+            .option("compression", compression)
+            .option(
+                "checkpointLocation",
+                checkpoint or session_scratch("ckpt_orc_"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
     q.awaitTermination(timeout_sec)
 
 
@@ -146,13 +183,14 @@ def stream_to_orc_foreach_batch(
             .orc(path)
         )
 
-    q = (
-        result.writeStream.foreachBatch(write_batch)
-        .option(
-            "checkpointLocation",
-            checkpoint or session_scratch("ckpt_fb_"),
+    with stream_partitions(result.sparkSession):
+        q = (
+            result.writeStream.foreachBatch(write_batch)
+            .option(
+                "checkpointLocation",
+                checkpoint or session_scratch("ckpt_fb_"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
     q.awaitTermination(timeout_sec)
