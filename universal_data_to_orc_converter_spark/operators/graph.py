@@ -344,7 +344,15 @@ def _star_contraction(
             small_n = withm.filter(F.col("v") <= F.col("u")).select(
                 F.col("v").alias("u"), F.col("m").alias("v")
             )
-            self_e = withm.select("u", F.col("m").alias("v")).distinct()
+            # u's self-edge (u, m) comes straight from the per-node
+            # min frame — m already holds exactly one row per u, so
+            # the former withm.select(u, m).distinct() spelling paid
+            # a full (u, m) exchange per round to deduplicate rows
+            # that m never duplicated (r15; the trailing
+            # out.distinct() still dedups self_e against small_n)
+            self_e = m.select(
+                "u", F.least(F.col("u"), F.col("mn")).alias("v")
+            )
             out = small_n.unionByName(self_e)
         return out.filter(F.col("u") != F.col("v")).distinct()
 
