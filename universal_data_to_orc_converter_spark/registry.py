@@ -92,81 +92,70 @@ def query(
 #: A separate lag guard (tests/test_staleness_budget.py) fails if the
 #: window ever falls MORE than one round behind the ledger, so the
 #: rotation still cannot be skipped.
-WINDOW_ROUND: int = 14
+WINDOW_ROUND: int = 15
 
 DRIVER_PRIORITY: tuple[str, ...] = (
     # headline flagship — always in the window
     "flagship_revenue_by_nation",
-    # (b) the 4 ops whose SPEC changed in r14 after their latest green
-    # row: op_bm25 upgraded rows-only -> full fixed-point oracle
-    # (per-term FLOOR(x*1e6+0.5) quantization), op_doc_winnow's oracle
-    # split class re-derived to match Python str.isspace() exactly
-    # (r13 advice: RE2 \s is ASCII-only), op_unigram_train upgraded
-    # rows-only -> full oracle (recursive-CTE Viterbi DP + unrolled EM
-    # rounds), op_pca_project upgraded rows-only -> full oracle
-    # (driver eigensolve reworked from LAPACK eigh to deterministic
-    # fixed-point power iteration, replayed in SQL as two recursive
-    # CTEs; its seat displaces the least-stale tail name op_join_theta
-    # (r9) to first-in-line for r15). All four differential-verified
-    # at sf0.001/0.01/0.1 locally; the driver seats confirm on its
-    # own harness.
-    "op_bm25",
-    "op_doc_winnow",
-    "op_unigram_train",
-    "op_pca_project",
-    # (c) CORRECTNESS_r13 had ZERO red rows and zero below-fold names,
-    # so the rest of the window is pure stalest-first refresh: the
-    # r8-stale names by registration order (floor rises to r9),
-    # starting with the four fillers the r13 modified-spec seats
-    # displaced.
-    "op_split_contamination",
-    "op_cluster_representative",
-    "op_connected_components_star",
-    "op_orc_roundtrip",
-    "op_cdc_merge",
-    "op_join_multiway",
-    "op_join_asof",
-    "op_join_bloom",
-    "op_join_bucketed",
-    "op_lambda_serve",
-    "op_multimodal_frames",
-    "op_filter_date",
-    "op_intersect",
-    "op_sim_topk",
-    "op_embedding_stats",
-    "op_text_quality",
-    "op_pii_redact",
-    "op_heavy_hitters",
-    "op_win_range_frame",
-    "op_win_rank_family",
-    "op_win_first_last",
-    "op_datediff",
-    "op_str_funcs2",
-    "op_cond_funcs",
-    "op_date_funcs2",
-    "op_json_agg",
-    "op_array_explode",
-    "op_time_rollup",
-    "op_funnel",
-    "op_agg_global",
-    "op_agg_approx_distinct",
-    "op_agg_having",
-    "op_agg_mode",
-    "op_agg_approx_quantile",
-    "op_histogram",
-    "op_table_stats",
-    "op_corpus_curate",
-    "op_pii_scrub",
-    "op_dedup_containment",
-    "op_jsonl_roundtrip",
-    "op_schema_evolution_scan",
-    "op_binaryfile_scan",
-    "op_join_broadcast",
-    "op_join_shuffle",
-    "op_join_anti",
-    # op_join_theta (r9) was the 50th seat until the late-r14
-    # op_pca_project spec change outranked it (modified-spec ops MUST
-    # seat per the rotation policy); it is first-in-line for r15.
+    # Inherited-state catch-up (r16): the r15 optimization round did not
+    # rotate the window (it carried the r14 pin), so the ledger is one
+    # rotation ahead and two stale cohorts (24 r9 names, 43 r10 names)
+    # are queued. One 50-seat window cannot refresh both cohorts, so the
+    # pin advances one round (15 — lag 1, the maximum the gate allows)
+    # and the seats go stalest-first: all 24 r9 names plus the first 25
+    # r10 names in registration order (rotate_window.py proposal,
+    # CORRECTNESS_r15 had zero red rows and the below-fold queue is
+    # empty). The 18 remaining r10 names are within next rotation's
+    # capacity (look-ahead gate: 18 <= 50).
+    "op_join_theta",
+    "op_join_salted",
+    "op_tpch_q3_shipping_priority",
+    "op_tpch_q18_large_orders",
+    "op_latest_by_key",
+    "op_tpch_q13_order_counts",
+    "op_tpch_q7_nation_volume",
+    "op_tpch_q10_returned_items",
+    "op_join_asof_nearest",
+    "op_quantile_histogram_maintain",
+    "op_heavy_hitters_maintain",
+    "op_project",
+    "op_filter_compound",
+    "op_unpivot",
+    "op_sql_passthrough",
+    "op_union_mixed_schema",
+    "op_topk",
+    "op_text_normalize",
+    "op_pandas_api",
+    "op_arrow_interchange",
+    "op_retention_cohorts",
+    "op_time_gapfill",
+    "op_stream_heavy_hitters",
+    "op_stream_quantiles",
+    "op_row_count",
+    "op_agg_count_distinct",
+    "op_agg_rollup",
+    "op_agg_cube",
+    "op_agg_gsets",
+    "op_agg_conditional",
+    "op_agg_listagg",
+    "op_agg_bitwise",
+    "op_grouped_sample",
+    "op_dedup_minhash_lsh",
+    "op_dedup_url_canonical",
+    "op_jsonl_corrupt_scan",
+    "op_compact_small_files",
+    "op_xml_roundtrip",
+    "op_join_outer",
+    "op_join_semi",
+    "op_join_range_bucketized",
+    "op_join_nullsafe",
+    "op_tpch_q4_order_priority",
+    "op_tpch_q14_promo_share",
+    "op_tpch_q19_disjunctive",
+    "op_snapshot_diff",
+    "op_select_star",
+    "op_union_distinct",
+    "op_except",
 )
 
 #: Names registered AFTER this round's DRIVER_PRIORITY was pinned that
