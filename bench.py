@@ -151,6 +151,11 @@ def main() -> None:
         "laps": laps,
         "pass_load1": pass_loads,
         "sf": sf,
+        # In-band proof that $SPARK_GRAFT_CPUS took effect (r15 verdict:
+        # the driver's suspect_cpus_ignored heuristic had to reverse-
+        # engineer this from session.py; now it is a printed fact).
+        "cpus": spark.sparkContext.defaultParallelism,
+        "master": spark.sparkContext.master,
         "orc_vs_csv_size_ratio": round(measure_compression(spark), 4),
         "load1": load1,
         "uptime_sec": uptime_sec,

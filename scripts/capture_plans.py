@@ -1,9 +1,10 @@
 """Capture .explain('formatted') for the headline queries (guide §1).
 
 Usage: python scripts/capture_plans.py <suffix> [name ...]
-Writes plans/r15/<query>_<suffix>.txt for each headline query (or the
-explicitly named ones)."""
+Writes plans/$PLANS_DIR/<query>_<suffix>.txt for each headline query
+(or the explicitly named ones); PLANS_DIR defaults to r16."""
 import io
+import os
 import sys
 from contextlib import redirect_stdout
 
@@ -25,6 +26,7 @@ HEADLINE = [
 def main():
     suffix = sys.argv[1]
     names = sys.argv[2:] or HEADLINE
+    plans_dir = os.environ.get("PLANS_DIR", "r16")
     spark = get_spark("capture-plans")
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all_queries()
@@ -33,9 +35,9 @@ def main():
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
-        with open(f"plans/r15/{name}_{suffix}.txt", "w") as f:
+        with open(f"plans/{plans_dir}/{name}_{suffix}.txt", "w") as f:
             f.write(buf.getvalue())
-        print(f"wrote plans/r15/{name}_{suffix}.txt")
+        print(f"wrote plans/{plans_dir}/{name}_{suffix}.txt")
     spark.stop()
 
 if __name__ == "__main__":

@@ -26,6 +26,9 @@ site, mapped to the registered op that exercises it):
                  op_multimodal_meta/decode/audio, op_unigram_train,
                  op_kmeans + op_semdedup (kmeans_assignments),
                  op_sim_ann_ivf/op_sim_ann_ivfpq (encode + ADC scan)
+  mapInArrow   — op_sim_topk (r16: cosine scoring vs the collected
+                 query block; left-to-right accumulation per row, so
+                 batch width is invisible by construction)
   applyInArrow — op_udtf_grouped_map, op_cogroup_asof (r15: moved off
                  applyInPandas; groups still arrive whole, so the
                  batch-width sweep still applies to their upstream)
@@ -66,6 +69,7 @@ ARROW_OPS = [
     "op_semdedup",
     "op_sim_ann_ivf",
     "op_sim_ann_ivfpq",
+    "op_sim_topk",
     "op_udtf_grouped_map",
     "op_cogroup_asof",
     "op_dedup_embedding_cell",
@@ -128,7 +132,8 @@ def test_sweep_covers_every_arrow_call_site():
         "maintenance.py": 1,       # MG partials (excluded, mergeable)
         "multimodal.py": 2,        # decode digest, audio digest
         "sampling.py": 1,          # curriculum shard ranker
-        "similarity.py": 3,        # cell GEMM, PQ encode, ADC scan
+        "similarity.py": 4,        # cell GEMM, PQ encode, ADC scan,
+                                   # sim_topk scoring (mapInArrow, r16)
         "text.py": 2,              # winnow, heavy-hitters
         "tokenizer_train.py": 2,   # unigram substr counts, EM e-step
         "udfs.py": 3,              # grouped map + cogroup as-of

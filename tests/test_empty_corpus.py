@@ -134,6 +134,7 @@ DIRTY_OPS = [
     "op_sim_ann_ivf",
     "op_sim_ann_ivfpq",
     "op_sim_ann_lsh",
+    "op_sim_topk",
 ]
 
 
@@ -167,6 +168,61 @@ def test_op_survives_nullified_corpus(spark, dirty_sf, name):
     out = QUERIES[name].fn(spark, dirty_sf)
     # the non-null two-thirds of the corpus must still produce results
     assert out.count() > 0
+
+
+def test_sim_topk_arrow_kernel_matches_hof_on_dirty_corpus(
+    spark, dirty_sf
+):
+    """r16 moved op_sim_topk's scoring into a mapInArrow kernel whose
+    contract is BIT-identity with the former zip_with/aggregate form
+    (left-to-right float64 accumulation). The clean fixtures exercise
+    only the kernel's uniform fast path; a nullified corpus (every 3rd
+    embedding NULL) drives the null/ragged fallback. Compare against
+    the JVM higher-order-function reference, doubles by bits."""
+    import struct
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from universal_data_to_orc_converter_spark.catalog import load
+    from universal_data_to_orc_converter_spark.operators.similarity import (
+        _N_QUERY_VECS,
+        _TOP_K,
+        _dot,
+    )
+
+    em = load(spark, dirty_sf, "embeddings")
+    q = em.filter(F.col("vec_id") < _N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = em.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    cosine = _dot(F.col("embedding"), F.col("q_emb")) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), "vec_id")
+    ref = (
+        pairs.select("q_id", "vec_id", cosine.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("q_id", "vec_id", "cosine")
+    )
+
+    def canon(rows):
+        return sorted(
+            (
+                r[0],
+                r[1],
+                None if r[2] is None else struct.pack("<d", r[2]).hex(),
+            )
+            for r in rows
+        )
+
+    got = canon(QUERIES["op_sim_topk"].fn(spark, dirty_sf).collect())
+    want = canon(ref.collect())
+    assert got == want
 
 
 def test_unit_vectors_drop_zero_norm(spark):

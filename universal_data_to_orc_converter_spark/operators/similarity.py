@@ -76,22 +76,29 @@ def op_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffles: queries broadcast, scores reduce via per-partition
     top-k heaps (WindowGroupLimit) before the final exchange.
 
-    r15: the upfront ``repartition(par, "vec_id")`` that spread the
-    single-file fixture was removed — it was itself a full corpus
-    shuffle, contradicting the op's own "corpus never shuffles"
-    contract, and scoring on the scan's natural partitioning measures
-    0.58 s vs 0.79 s warm (results identical). On any multi-split
-    corpus the scan parallelism comes from the splits."""
+    r15 removed the upfront ``repartition(par, "vec_id")`` (a full
+    corpus shuffle contradicting the op's own contract); r16 replaces
+    the interpreted higher-order-function dot products with ONE
+    Arrow-batched numpy pass against the collected query block (guide
+    §4.2): the query side is ``_N_QUERY_VECS`` rows of bounded driver
+    metadata — the same broadcast-small-side pattern as the ANN
+    family's centers — and each corpus vector crosses the Python
+    boundary exactly once. The kernel accumulates every dot product
+    left-to-right in index order over float64 (vectorized across rows,
+    scalar order per row), so every cosine is BIT-IDENTICAL to the
+    previous zip_with/aggregate form and to DuckDB's
+    list_dot_product oracle — verified by a full collect-compare and
+    the unchanged oracle hash."""
     em = load(spark, sf_dir, "embeddings")
-    q = em.filter(F.col("vec_id") < _N_QUERY_VECS).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    q_rows = (
+        em.filter(F.col("vec_id") < _N_QUERY_VECS)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+        .collect()
     )
-    pairs = em.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))
-    cosine = _dot(F.col("embedding"), F.col("q_emb")) / (
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-        * F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+    scored = em.select("vec_id", "embedding").mapInArrow(
+        _make_topk_score_batches(q_rows),
+        "q_id bigint, vec_id bigint, cosine double",
     )
-    scored = pairs.select("q_id", "vec_id", cosine.alias("cosine"))
     from pyspark.sql import Window as W
 
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), "vec_id")
@@ -100,6 +107,144 @@ def op_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TOP_K)
         .select("q_id", "vec_id", "cosine")
     )
+
+
+def _make_topk_score_batches(q_rows):
+    """Build the op_sim_topk scoring kernel: cosine of every (corpus
+    row, query) pair, queries closed over as driver metadata.
+
+    Exactness contract (the reason this is NOT a plain ``E @ Q.T``):
+    the oracle and the former JVM form both accumulate Σ aᵢ·bᵢ
+    LEFT-TO-RIGHT in index order over float64 (_dot's docstring), and
+    BLAS matmuls use pairwise/blocked summation that can differ in the
+    last ulp. The kernel therefore runs one vectorized
+    ``acc += E[:, i] * q[i]`` loop per dim — the identical IEEE op
+    sequence per row, vectorized across rows — for the pair dots, the
+    corpus norms, and the (scalar) query norms. Division/sqrt/multiply
+    are single correctly-rounded IEEE ops on both engines.
+
+    Null/ragged handling mirrors zip_with/aggregate semantics: a NULL
+    embedding, a NULL query vector, or a dimension mismatch (zip_with
+    null-pads the shorter side) yields NULL cosine; a zero-norm row
+    divides to ±inf/nan identically in numpy and the JVM."""
+    import numpy as np
+
+    qs = [
+        (r["q_id"], None if r["q_emb"] is None
+         else np.asarray(r["q_emb"], dtype=np.float64))
+        for r in q_rows
+    ]
+    qnorms = []
+    for _, qv in qs:
+        if qv is None:
+            qnorms.append(None)
+            continue
+        acc = 0.0
+        for x in qv:
+            acc += float(x) * float(x)
+        qnorms.append(np.sqrt(acc))
+
+    def score_batches(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0 or not qs:
+                continue
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            col = batch.column("embedding")
+            lens = col.value_lengths().to_numpy(zero_copy_only=False)
+            uniform = (
+                col.null_count == 0
+                and n > 0
+                and (lens == lens[0]).all()
+            )
+            out_q, out_v, out_c = [], [], []
+            if uniform:
+                d = int(lens[0])
+                E = (
+                    col.flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.float64)
+                    .reshape(n, d)
+                )
+                # corpus norms: left-to-right accumulation per row
+                en_acc = np.zeros(n, dtype=np.float64)
+                for i in range(d):
+                    en_acc += E[:, i] * E[:, i]
+                enorm = np.sqrt(en_acc)
+                for (qid, qv), qn in zip(qs, qnorms):
+                    keep = ids != qid
+                    if qv is None or len(qv) != d:
+                        # zip_with null-pads mismatched dims -> NULL
+                        cos = np.full(n, np.nan)
+                        mask = np.zeros(n, dtype=bool)
+                    else:
+                        acc = np.zeros(n, dtype=np.float64)
+                        for i in range(d):
+                            acc += E[:, i] * qv[i]
+                        with np.errstate(
+                            divide="ignore", invalid="ignore"
+                        ):
+                            cos = acc / (enorm * qn)
+                        mask = np.ones(n, dtype=bool)
+                    out_q.append(np.full(keep.sum(), qid, dtype=np.int64))
+                    out_v.append(ids[keep])
+                    out_c.append(
+                        pa.array(cos[keep], type=pa.float64(),
+                                 mask=~mask[keep])
+                    )
+            else:
+                # ragged/null fallback: scalar left-to-right per row
+                rows = col.to_pylist()
+                for (qid, qv), qn in zip(qs, qnorms):
+                    vids, coss, valid = [], [], []
+                    for rid, emb in zip(ids, rows):
+                        if rid == qid:
+                            continue
+                        vids.append(rid)
+                        if (
+                            emb is None
+                            or qv is None
+                            or len(emb) != len(qv)
+                        ):
+                            coss.append(0.0)
+                            valid.append(False)
+                            continue
+                        # emb values arrive as exact float32→double
+                        # widenings, the same promotion the JVM cast does
+                        dot = 0.0
+                        nrm = 0.0
+                        for i in range(len(qv)):
+                            x = float(emb[i])
+                            dot += x * float(qv[i])
+                            nrm += x * x
+                        with np.errstate(
+                            divide="ignore", invalid="ignore"
+                        ):
+                            coss.append(
+                                dot / (np.sqrt(nrm) * qn)
+                            )
+                        valid.append(True)
+                    out_q.append(np.full(len(vids), qid, dtype=np.int64))
+                    out_v.append(np.asarray(vids, dtype=np.int64))
+                    out_c.append(
+                        pa.array(
+                            np.asarray(coss, dtype=np.float64),
+                            type=pa.float64(),
+                            mask=~np.asarray(valid, dtype=bool),
+                        )
+                    )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q), type=pa.int64()),
+                    pa.array(np.concatenate(out_v), type=pa.int64()),
+                    pa.concat_arrays(out_c),
+                ],
+                names=["q_id", "vec_id", "cosine"],
+            )
+
+    return score_batches
 
 
 @query(
