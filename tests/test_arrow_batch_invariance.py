@@ -28,6 +28,9 @@ site, mapped to the registered op that exercises it):
                  op_sim_ann_ivf/op_sim_ann_ivfpq (encode + ADC scan)
   mapInArrow   — op_sim_topk (r16: cosine scoring vs the collected
                  query block; left-to-right accumulation per row, so
+                 batch width is invisible by construction),
+                 op_embedding_covariance (r16: per-batch int64 Q^T Q
+                 partials; integer sums re-associate exactly, so
                  batch width is invisible by construction)
   applyInArrow — op_udtf_grouped_map, op_cogroup_asof (r15: moved off
                  applyInPandas; groups still arrive whole, so the
@@ -70,6 +73,7 @@ ARROW_OPS = [
     "op_sim_ann_ivf",
     "op_sim_ann_ivfpq",
     "op_sim_topk",
+    "op_embedding_covariance",
     "op_udtf_grouped_map",
     "op_cogroup_asof",
     "op_dedup_embedding_cell",
@@ -128,7 +132,8 @@ def test_sweep_covers_every_arrow_call_site():
     known = {
         "aggregates.py": 2,        # SON phase A, KMV partials
         "dedup.py": 2,             # minhash signatures, simhash
-        "linalg.py": 1,            # kmeans_assignments (kmeans/semdedup)
+        "linalg.py": 2,            # kmeans_assignments (kmeans/semdedup),
+                                   # covariance partials (mapInArrow, r16)
         "maintenance.py": 1,       # MG partials (excluded, mergeable)
         "multimodal.py": 2,        # decode digest, audio digest
         "sampling.py": 1,          # curriculum shard ranker

@@ -38,6 +38,57 @@ def test_pca_projection_matches_numpy_replica(spark, oracle):
         assert got[vec_id] == (label, p1, p2), f"vec {vec_id} diverges"
 
 
+def test_cov_partial_kernel_fallback_matches_fast_path():
+    """r16 moved the covariance partials into a mapInArrow kernel; the
+    uniform fast path (one int64 Q^T Q per batch) and the ragged/null
+    fallback (element_at semantics per row) must agree wherever both
+    apply, and the fallback must reproduce element_at's
+    missing-coordinate behavior on out-of-contract rows."""
+    import pyarrow as pa
+
+    from universal_data_to_orc_converter_spark.operators.linalg import (
+        DIM,
+        _cov_partial_batches,
+    )
+
+    rng = np.random.default_rng(7)
+    uniform = rng.normal(size=(5, DIM)).astype(np.float32).tolist()
+
+    def cells(rows):
+        batch = pa.RecordBatch.from_arrays(
+            [pa.array(rows, type=pa.list_(pa.float32()))],
+            names=["embedding"],
+        )
+        out = {}
+        for b in _cov_partial_batches(iter([batch])):
+            for i, j, p in zip(*(b.column(c).to_pylist()
+                                 for c in ("i", "j", "p"))):
+                out[(i, j)] = out.get((i, j), 0) + p
+        return out
+
+    # fast path == fallback on the same uniform rows (force the
+    # fallback by appending, then removing, a short row's contribution)
+    fast = cells(uniform)
+    short = uniform[0][: DIM // 2]
+    mixed = cells(uniform + [short])
+    qs = np.floor(
+        np.asarray(short, dtype=np.float64) * 1000.0 + 0.5
+    ).astype(np.int64)
+    # subtract the short row's expected element_at-style contribution
+    assert mixed[(-1, -1)] == fast[(-1, -1)] + 1
+    for i in range(DIM):
+        exp = int(qs[i]) if i < len(short) else 0
+        assert mixed[(i, -1)] == fast[(i, -1)] + exp
+    for i in range(DIM):
+        for j in range(i, DIM):
+            exp = (
+                int(qs[i]) * int(qs[j])
+                if j < len(short)
+                else 0
+            )
+            assert mixed[(i, j)] == fast[(i, j)] + exp
+
+
 def test_principal_axes_are_orthonormal(spark):
     cells = op_embedding_covariance(spark, SF_DIR).collect()
     axes = np.array(principal_axes(cells, k=2), dtype=np.float64) / 1e6

@@ -17,11 +17,13 @@ quantize each coordinate to 1e3 fixed-point first (floor(x·1e3+0.5) —
 the identical FP op), so every product is an exact integer and the
 accumulated co-moment is order-independent. The emitted statistic is
 the covariance NUMERATOR n·Σxy − Σx·Σy — pure integer arithmetic, no
-division, no epsilon. Accumulators are decimal(18,0)-fed (long-backed
-per row, 128-bit-wide sums — the exprs.py convention), with ~1e18 of
-headroom at fixture scale; a 1e11-row corpus would move the final
-n·Σxy product into decimal(38,0) territory, which is the documented
-switch (same arithmetic, wider type).
+division, no epsilon. Accumulators are BIGINT end-to-end (r16: the
+Arrow partial kernel emits int64 per-batch cells and the exchange sums
+longs — ±9.2e18 of headroom, more than the decimal(18,0) the per-row
+form carried); the final n·Σxy combine is widened to decimal(28,0) in
+build(), and a 1e11-row corpus would move the batch partials into
+decimal(38,0) territory too — that remains the documented switch (same
+arithmetic, wider type).
 """
 
 from __future__ import annotations
@@ -35,6 +37,79 @@ from ..catalog import load
 from ..registry import query
 
 DIM = 64
+
+
+def _cov_partial_batches(batches):
+    """Per-batch covariance partials for op_embedding_covariance: each
+    Arrow batch reduces to its own count/per-dim-sum/upper-triangle
+    co-moment cells — ``(i, j, p)`` rows with the SAME sentinel layout
+    as the former per-row JVM expansion (i=j=-1 count, j=-1 dim sums,
+    i<=j pair cells) — so the downstream ``groupBy(i, j).sum`` plan
+    (map-side partial aggregate, one exchange) is unchanged while the
+    per-row work becomes one exact int64 ``Qᵀ @ Q`` per batch instead
+    of a 2145-cell interpreted higher-order-function explode per ROW
+    (guide §4.2; r15 measured the old shape at 3.1 s of the pca
+    pipeline's 4.6 s).
+
+    Exactness: quantization is ``floor(x·1000 + 0.5)`` on the exact
+    float32→double widening — the identical IEEE op sequence as the
+    JVM/_qv/DuckDB forms — and everything after is int64 (products
+    exact, sums order-independent). Per-row contract unchanged from
+    the decimal-fed original: |qv| must stay far inside int64 (true
+    for any real embedding; a 1e11-row corpus moves the FINAL n·Σxy
+    combine into decimal, which build() already does). Rows whose
+    array length differs from DIM reproduce element_at semantics
+    (coordinates beyond the row's length contribute nothing; the row
+    still counts)."""
+    import numpy as np
+    import pyarrow as pa
+
+    iu, ju = np.triu_indices(DIM)
+    ii = np.concatenate(([-1], np.arange(DIM), iu)).astype(np.int32)
+    jj = np.concatenate(([-1], np.full(DIM, -1), ju)).astype(np.int32)
+    for batch in batches:
+        n = batch.num_rows
+        if n == 0:
+            continue
+        col = batch.column("embedding")
+        lens = col.value_lengths().to_numpy(zero_copy_only=False)
+        if col.null_count == 0 and (lens == DIM).all():
+            x = (
+                col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(n, DIM)
+            )
+            q = np.floor(x * 1000.0 + 0.5).astype(np.int64)
+            pmat = q.T @ q
+            s = q.sum(axis=0)
+            cnt = n
+        else:
+            # ragged/null fallback (out-of-contract corpora; the op's
+            # isNotNull filter already dropped NULL rows): element_at
+            # semantics — missing coordinates contribute no cells
+            pmat = np.zeros((DIM, DIM), dtype=np.int64)
+            s = np.zeros(DIM, dtype=np.int64)
+            cnt = 0
+            for emb in col.to_pylist():
+                if emb is None:
+                    continue
+                cnt += 1
+                d = min(len(emb), DIM)
+                qv = np.floor(
+                    np.asarray(emb[:d], dtype=np.float64) * 1000.0 + 0.5
+                ).astype(np.int64)
+                pmat[:d, :d] += np.outer(qv, qv)
+                s[:d] += qv
+        pp = np.concatenate(([cnt], s, pmat[iu, ju])).astype(np.int64)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ii, type=pa.int32()),
+                pa.array(jj, type=pa.int32()),
+                pa.array(pp, type=pa.int64()),
+            ],
+            names=["i", "j", "p"],
+        )
 
 
 @query(
@@ -73,12 +148,12 @@ DIM = 64
     "(n*sum(x_i*x_j) - sum(x_i)*sum(x_j), exact 1e3-fixed-point "
     "integers) of the 64-dim embedding corpus — the PCA/whitening "
     "input, computed the RowMatrix-Gramian way in ONE corpus scan "
-    "with ONE exchange (plan-asserted): each vector expands JVM-side "
-    "to its d(d+1)/2 upper-triangle products PLUS d per-dim-sum "
-    "sentinel cells (j=-1) and one row-count sentinel (i=j=-1) — all "
-    "three statistics share the same nested-transform/explode/"
-    "groupBy(i,j), so map-side combine reduces every partition to "
-    "<=2145 rows before the shuffle, whether the corpus is 500 "
+    "with ONE exchange (plan-asserted): each Arrow batch reduces to "
+    "its d(d+1)/2 upper-triangle co-moments (one exact int64 Q^T Q "
+    "matmul) PLUS d per-dim-sum sentinel cells (j=-1) and one "
+    "row-count sentinel (i=j=-1) — all three statistics share the "
+    "same groupBy(i,j), so map-side combine reduces every partition "
+    "to <=2145 rows before the shuffle, whether the corpus is 500 "
     "vectors or 10^11. The 65 sentinel aggregates (n and the 64 "
     "sums) are pulled to the driver — metadata, not data — and "
     "applied to the 2080 pair cells as a literal map, so no join and "
@@ -103,42 +178,9 @@ def op_embedding_covariance(
     em = load(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    q = em.select(_qv().alias("qv"))
-
-    def cell(i, j, p):
-        return F.struct(
-            i.cast("int").alias("i"),
-            j.cast("int").alias("j"),
-            p.cast("decimal(18,0)").alias("p"),
-        )
-
-    idx = F.sequence(F.lit(0), F.lit(DIM - 1))
-    tri = F.flatten(
-        F.transform(
-            idx,
-            lambda i: F.transform(
-                F.sequence(i, F.lit(DIM - 1)),
-                lambda j: cell(
-                    i,
-                    j,
-                    F.element_at(F.col("qv"), (i + 1).cast("int"))
-                    * F.element_at(F.col("qv"), (j + 1).cast("int")),
-                ),
-            ),
-        )
-    )
-    dim_sums = F.transform(
-        idx,
-        lambda i: cell(
-            i, F.lit(-1), F.element_at(F.col("qv"), (i + 1).cast("int"))
-        ),
-    )
-    count_cell = F.array(cell(F.lit(-1), F.lit(-1), F.lit(1)))
     agg = (
-        q.select(
-            F.explode(F.concat(count_cell, dim_sums, tri)).alias("t")
-        )
-        .select("t.i", "t.j", "t.p")
+        em.select("embedding")
+        .mapInArrow(_cov_partial_batches, "i int, j int, p bigint")
         .groupBy("i", "j")
         .agg(F.sum("p").alias("s"))
         .persist()
@@ -169,7 +211,12 @@ def op_embedding_covariance(
             "i",
             "j",
             (
-                F.lit(n) * F.col("s")
+                # the exchange carries narrow BIGINT partials (r16);
+                # the final n*Σxy − Σx*Σy combine is widened back to
+                # decimal so the headroom of the old decimal-fed path
+                # is preserved verbatim
+                F.lit(n).cast("decimal(28,0)")
+                * F.col("s").cast("decimal(28,0)")
                 - sum_map[F.col("i")].cast("decimal(28,0)")
                 * sum_map[F.col("j")].cast("decimal(28,0)")
             )
