@@ -329,10 +329,21 @@ def _star_contraction(
         )
 
     def star(e: DataFrame, large: bool) -> DataFrame:
+        from pyspark.sql import Window as W
+
         s = sym(e)
-        m = s.groupBy("u").agg(F.min("v").alias("mn"))
-        withm = s.join(m, "u").withColumn(
-            "m", F.least(F.col("u"), F.col("mn"))
+        # per-node neighborhood minimum as a WINDOW over the symmetric
+        # edge frame (r16): the former groupBy(u).min + join-back
+        # spelling shuffled the edge frame TWICE per star pass (the agg
+        # exchange and the join's probe-side exchange); the window
+        # attaches min(v) to every row with ONE exchange on u. With
+        # AQE each exchange materializes as its own job, so a 10-round
+        # contraction drops ~20 jobs. Output sets are identical: m is
+        # the same per-u value, and the small-star self-edges (u, m) —
+        # duplicated here once per neighbor — collapse in the trailing
+        # distinct() that both branches already need.
+        withm = s.withColumn(
+            "m", F.least(F.col("u"), F.min("v").over(W.partitionBy("u")))
         )
         if large:
             # neighbors larger than u link to u's minimum
@@ -344,15 +355,7 @@ def _star_contraction(
             small_n = withm.filter(F.col("v") <= F.col("u")).select(
                 F.col("v").alias("u"), F.col("m").alias("v")
             )
-            # u's self-edge (u, m) comes straight from the per-node
-            # min frame — m already holds exactly one row per u, so
-            # the former withm.select(u, m).distinct() spelling paid
-            # a full (u, m) exchange per round to deduplicate rows
-            # that m never duplicated (r15; the trailing
-            # out.distinct() still dedups self_e against small_n)
-            self_e = m.select(
-                "u", F.least(F.col("u"), F.col("mn")).alias("v")
-            )
+            self_e = withm.select("u", F.col("m").alias("v"))
             out = small_n.unionByName(self_e)
         return out.filter(F.col("u") != F.col("v")).distinct()
 
@@ -368,7 +371,13 @@ def _star_contraction(
     prev = None
     for rnd in range(max_rounds):
         edges = star(edges, large=True)
-        edges = star(edges, large=False).localCheckpoint(eager=True)
+        # LAZY local checkpoint: the checksum aggregate is the round's
+        # ONLY action — it materializes the checkpoint partitions as a
+        # side effect of the same job (r16; the eager form ran a
+        # materialization job AND a checksum job per round, ~10 extra
+        # jobs over the edge frame per invocation). Lineage truncation
+        # is identical, so per-round planning stays O(1).
+        edges = star(edges, large=False).localCheckpoint(eager=False)
         cur = checksum(edges)
         if cur == prev:
             break
