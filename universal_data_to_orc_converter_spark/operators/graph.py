@@ -217,7 +217,19 @@ def op_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "scale"),
 )
 def op_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count triangles per supplier via degree-oriented wedge join."""
+    """Count triangles per supplier via degree-oriented wedge join.
+
+    r16: the co-occurrence join generates each UNORDERED supplier pair
+    once (``src < dst`` pushed below the aggregate) instead of both
+    directions — half the join output, half the aggregated stream. The
+    per-pair count is unchanged (cnt(a,b) = Σ_orders n_a·n_b is
+    symmetric), and the median threshold is unchanged because the
+    directed multiset duplicated every count exactly twice and
+    percentile interpolation is invariant under uniform duplication
+    (dup[i] = x[i//2] ⇒ the p=0.5 interpolation endpoints are the same
+    order statistics in both multisets — the equivalence obligation
+    sketched in r15's checklist). The oracle keeps its directed
+    enumeration; the driver hash proves the identity."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     a = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("src")
@@ -227,16 +239,14 @@ def op_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairc = (
         a.join(b, "ok")
-        .filter(F.col("src") != F.col("dst"))
+        .filter(F.col("src") < F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count("*").alias("cnt"))
         .persist()
     )
     thresh = pairc.agg(F.expr("percentile(cnt, 0.5)")).first()[0]
     und = (
-        pairc.filter(
-            (F.col("cnt") >= thresh) & (F.col("src") < F.col("dst"))
-        )
+        pairc.filter(F.col("cnt") >= thresh)
         .select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .persist()
     )
