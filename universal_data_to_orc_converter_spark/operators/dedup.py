@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, table_path
 from ..registry import query
 from .textprep import shingles, tokens
 
@@ -101,6 +101,68 @@ _JACCARD_ORACLE = f"""
     """
 
 
+def _size_bytes(conf_val: str) -> int:
+    """Parse a Spark byte-size conf string ('1m', '128m', '134217728')."""
+    s = conf_val.strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    if s and s[-1] == "b":
+        s = s[:-1]
+    if s and s[-1] in units:
+        return int(s[:-1]) * units[s[-1]]
+    return int(s)
+
+
+def _spread_if_narrow(
+    d: DataFrame, path: str, key: str = "doc_id"
+) -> DataFrame:
+    """Spread a NARROW scan before compute-heavy shingling, and only
+    then. The exact-pair ops' downstream (tokenize → 3-gram shingles →
+    explode → rank/join) is JVM-expression-heavy, so its parallelism
+    matters; the local fixtures are sub-split single-row-group parquet
+    files whose scan runs as one task, and guide §2.5's input-skew
+    remedy applies ('one huge unsplittable file: repartition
+    immediately after the read'). A multi-split corpus — any real
+    100 TB table — already scans wider than the session's parallelism,
+    and for it this is a NO-OP: the full-corpus shuffle the r15 round
+    removed from the minhash/sim_topk map passes never happens here
+    either (the r16 A/B that motivated the condition: removing the
+    spread unconditionally measured 1.10 → 2.66 s on ngram_jaccard at
+    sf0.1, because the fixture scan serializes the shingle pipeline).
+
+    The width probe is pure driver metadata: local file sizes of the
+    table path against maxPartitionBytes — a strict over-estimate of
+    scan splits (row groups can only be coarser), so a corpus judged
+    narrow here truly is. A path that cannot be enumerated (remote
+    URI) assumes WIDE, the scale-safe default. (Two rejected probes:
+    df.rdd.getNumPartitions() costs ~1 s of py4j/toRdd per fresh
+    DataFrame; df.inputFiles() ~0.15 s of file-index planning. A stat
+    walk is ~0.1 ms.)"""
+    import os
+
+    spark = d.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        max_split = _size_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+        if os.path.isfile(path):
+            sizes = [os.path.getsize(path)]
+        else:
+            sizes = [
+                e.stat().st_size
+                for e in os.scandir(path)
+                if e.is_file() and not e.name.startswith((".", "_"))
+            ]
+        if not sizes:
+            return d
+    except (OSError, ValueError):
+        return d
+    splits = sum(max(1, -(-s // max_split)) for s in sizes)
+    if splits < par:
+        return d.repartition(par, key)
+    return d
+
+
 @query(
     "op_dedup_ngram_jaccard",
     oracle=_JACCARD_ORACLE,
@@ -125,8 +187,9 @@ def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     where the Σ bucket² regime is outright quadratic — the documented
     r9 `weak`: nothing used to STOP a user pointing this op at a
     skewed corpus where op_dedup_jaccard_prefix is the right tier."""
-    par = spark.sparkContext.defaultParallelism
-    d = load(spark, sf_dir, "documents").repartition(par, "doc_id")
+    d = _spread_if_narrow(
+        load(spark, sf_dir, "documents"), table_path(sf_dir, "documents")
+    )
     return exact_jaccard_pairs(d, corpus_key=sf_dir)
 
 
@@ -478,12 +541,12 @@ def op_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).view(np.int64)
             yield pd.DataFrame(out)
 
-    par = spark.sparkContext.defaultParallelism
-    d = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(par, "doc_id")
-    )
+    # r16: signatures are computed on the scan's natural partitioning —
+    # the raw text never shuffles, same §2.4 transform r15 proved on
+    # the minhash kernel (A/B at sf0.1: tie within noise locally; at
+    # scale the saved full-corpus exchange dominates). The orderBy
+    # range-exchanges only the 6-column signature rows.
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInPandas(
         sig_batches,
         "doc_id bigint, simhash bigint, chunk0 bigint, chunk1 bigint, "
@@ -976,8 +1039,9 @@ def op_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     set is ~contained in doc_super's."""
     t_num, t_den = 9, 10  # the threshold's exact rational form
     t = t_num / t_den  # derived, so the bounds can never disagree
-    par = spark.sparkContext.defaultParallelism
-    d = load(spark, sf_dir, "documents").repartition(par, "doc_id")
+    d = _spread_if_narrow(
+        load(spark, sf_dir, "documents"), table_path(sf_dir, "documents")
+    )
     sh = d.select(
         "doc_id", shingles(tokens(F.col("text"))).alias("s")
     ).withColumn("size", F.size("s"))
@@ -1342,8 +1406,9 @@ def op_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical rows to op_dedup_ngram_jaccard, sub-inverted-index
     candidate cost."""
     t = _JACCARD_T
-    par = spark.sparkContext.defaultParallelism
-    d = load(spark, sf_dir, "documents").repartition(par, "doc_id")
+    d = _spread_if_narrow(
+        load(spark, sf_dir, "documents"), table_path(sf_dir, "documents")
+    )
     sh = d.select(
         "doc_id", shingles(tokens(F.col("text"))).alias("s")
     ).withColumn("size", F.size("s"))
