@@ -40,20 +40,34 @@ class _ReplayReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict):
         self.path = options["path"]
         self.n = int(options.get("rows_per_batch", "4000"))
+        self._tbl = None
 
     def initialOffset(self) -> dict:
         return {"row": 0}
 
     def _table(self):
-        import pyarrow.parquet as pq
+        # memoized per reader instance (r16): the Simple reader's
+        # prefetch loop runs ON THE DRIVER and used to re-read the
+        # whole parquet file once per micro-batch. A Simple reader
+        # funnels every row through driver memory by design (see the
+        # module docstring — its job is API parity; the partitioned
+        # reader below is the scale shape), so holding the table
+        # handle is the same memory class as reading it.
+        if self._tbl is None:
+            import pyarrow.parquet as pq
 
-        return pq.read_table(self.path, columns=list(_COLS))
+            self._tbl = pq.read_table(self.path, columns=list(_COLS))
+        return self._tbl
 
     @staticmethod
     def _rows(sliced):
-        return iter(
-            list(zip(*(sliced.column(c).to_pylist() for c in _COLS)))
-        )
+        # yield Arrow record batches, not pickled tuples (r16): the
+        # Python DataSource API accepts either, and the Arrow path
+        # skips the per-row to_pylist/pickle round (guide §4.1 — the
+        # columns cross the boundary as buffers)
+        if sliced.num_rows == 0:
+            return iter([])
+        return iter(sliced.combine_chunks().to_batches())
 
     def read(self, start: dict):
         t = self._table()
@@ -132,7 +146,11 @@ def run_replay_until_drained(
                     # the batch that consumed the final slice has
                     # committed; the complete-mode table is full
                     break
-            time.sleep(0.3)
+            # 50 ms poll (r16; was 300 ms): the granularity bounds how
+            # long a DRAINED stream sits unnoticed — with ~3 slices
+            # per replay the coarse poll added up to a second of pure
+            # waiting. Progress polling is driver-local and free.
+            time.sleep(0.05)
         else:
             raise TimeoutError("replay did not drain in time")
     finally:
@@ -161,8 +179,8 @@ from ..streaming.runner import stream_partitions  # noqa: E402
     """,
     notes="Structured Streaming over a PYTHON data source: the "
     "events_replay source (module docstring above) replays the events "
-    "fixture in corpus-scaled offset slices (max(4000, n/8) rows; 3 "
-    "micro-batches at sf0.01, ~8 beyond) under the default micro-batch "
+    "fixture in corpus-scaled offset slices (max(4000, ceil(n/2)) "
+    "rows; 2 micro-batches from sf0.01 up) under the default "
     "trigger; a complete-mode grouped aggregate is served once the "
     "offsets drain and must hash-match the batch oracle. This is the "
     "streaming half of the Spark-4 Python DataSource API (the sqldump "
@@ -186,11 +204,15 @@ def op_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.parquet as pq
 
     total = pq.ParquetFile(path).metadata.num_rows
-    # slice size scales with the corpus so the replay is always a
-    # handful of micro-batches (3 at sf0.01, ~8 beyond) — per-batch
-    # scheduling overhead stays amortized at any SF, and the result is
-    # batch-boundary-independent anyway (complete mode)
-    per_batch = max(4000, total // 8)
+    # slice size scales with the corpus so the replay is always two
+    # micro-batches from sf0.01 up (r16 — was ~8: each micro-batch
+    # costs a full plan + state-store commit round over KB-scale
+    # state, ~1.1 s warm, so fewer, larger slices win and the result
+    # is batch-boundary-independent anyway, complete mode). Two
+    # batches keep the offset/commit path the op exists to exercise
+    # exercised; ceiling division, because a floor leaves a 1-row
+    # trailing slice costing a full micro-batch round (measured).
+    per_batch = max(4000, -(-total // 2))
     stream = (
         spark.readStream.format("events_replay")
         .option("path", path)
