@@ -24,21 +24,29 @@ from pyspark.sql.types import StructType
 #: Iceberg manifest) — the moral equivalent of Spark's own per-session
 #: file-listing cache (spark.sql.hive.filesourcePartitionFileCacheSize).
 #: Strictly metadata: every query still computes from the parquet
-#: bytes; the mtime key invalidates the entry if a fixture path is
-#: rewritten (tests rewrite tmp fixtures in place).
-_SCHEMA_CACHE: dict[tuple[str, float], StructType] = {}
+#: bytes; the (mtime_ns, size) key invalidates the entry if a fixture
+#: path is rewritten (tests rewrite tmp fixtures in place; r16 ADVICE:
+#: second-granularity mtime could serve a stale schema to a same-second
+#: rewrite, so the key is nanosecond mtime + file size). Bounded: the
+#: oldest entry is evicted past _SCHEMA_CACHE_MAX (a long-lived session
+#: over many tmp fixture dirs must not grow without bound).
+_SCHEMA_CACHE: dict[tuple[str, int, int], StructType] = {}
+_SCHEMA_CACHE_MAX = 512
 
 
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """``spark.read.parquet`` with the footer-inference result memoized
-    per (path, mtime). First read infers and seeds the cache."""
+    per (path, mtime_ns, size). First read infers and seeds the cache."""
     try:
-        key = (path, os.path.getmtime(path))
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
     except OSError:
         return spark.read.parquet(path)
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         df = spark.read.parquet(path)
+        if len(_SCHEMA_CACHE) >= _SCHEMA_CACHE_MAX:
+            _SCHEMA_CACHE.pop(next(iter(_SCHEMA_CACHE)))
         _SCHEMA_CACHE[key] = df.schema
         return df
     return spark.read.schema(schema).parquet(path)

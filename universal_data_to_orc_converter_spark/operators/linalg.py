@@ -1137,10 +1137,12 @@ _KC_DIST = """CAST(list_sum(list_transform(
     "each ONE corpus map (min-distance vs k literal centers, whole-"
     "stage codegen) + a top-1 TakeOrderedAndProject; the only "
     "driver-side data is the k selected vectors. At large k the "
-    "assignment switches to the same Arrow matmul kernel as "
-    "kmeans_assignments would (k<=32 here keeps literals); a 100 TB "
-    "run batches rounds by over-selecting per pass, which changes "
-    "the approximation constant, not the plan shape.",
+    "assignment would switch to an Arrow matmul kernel like "
+    "kmeans_assignments' (whose Arrow path is now the default at "
+    "every k — r15; kcenter's own LEAST-chain keeps literals at its "
+    "small fixed k); a 100 TB run batches rounds by over-selecting "
+    "per pass, which changes the approximation constant, not the "
+    "plan shape.",
     tags=("similarity", "sampling", "scale"),
 )
 def op_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:

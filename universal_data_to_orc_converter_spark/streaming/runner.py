@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import threading
 import uuid
 from contextlib import contextmanager
 
@@ -39,21 +40,40 @@ STREAM_SHUFFLE_PARTITIONS = os.environ.get(
 )
 
 
+#: Guards stream_partitions' set/restore of the session-global conf:
+#: without it, two nested/overlapping stream starts could capture the
+#: temporary streaming value as `prev` and pin the session there for
+#: later batch queries (r15 ADVICE — the lost-restore race; the
+#: read-side race was already documented as harmless).
+_STREAM_PART_LOCK = threading.RLock()
+_STREAM_PART_DEPTH = 0
+
+
 @contextmanager
 def stream_partitions(spark: SparkSession):
     """Scope the session's shuffle-partition conf to the streaming
     value around a stream start; the query captures it at start, so
-    restoring immediately afterwards is safe. (Batch queries planned
-    concurrently by another driver thread could observe the narrow
-    value — harmless: the registry is partition-count invariant,
-    proven by scripts/partition_invariance_audit.py.)"""
+    restoring immediately afterwards is safe. Reentrant and
+    thread-serialized: nested uses restore the TRUE original value
+    once, and concurrent starts cannot interleave set/restore. (Batch
+    queries planned concurrently by another driver thread can still
+    observe the narrow value — harmless: the registry is
+    partition-count invariant, proven by
+    scripts/partition_invariance_audit.py.)"""
+    global _STREAM_PART_DEPTH
     key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, STREAM_SHUFFLE_PARTITIONS)
-    try:
-        yield
-    finally:
-        spark.conf.set(key, prev)
+    with _STREAM_PART_LOCK:
+        outermost = _STREAM_PART_DEPTH == 0
+        if outermost:
+            prev = spark.conf.get(key)
+            spark.conf.set(key, STREAM_SHUFFLE_PARTITIONS)
+        _STREAM_PART_DEPTH += 1
+        try:
+            yield
+        finally:
+            _STREAM_PART_DEPTH -= 1
+            if outermost:
+                spark.conf.set(key, prev)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
