@@ -624,11 +624,18 @@ def op_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     join + one aggregate, and rounds needed = graph diameter (near-dup
     clusters are tiny, so 2-4 in practice, capped at 20)."""
     pairs = _exact_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # materialize the pair graph ONCE (r16): every propagation round
+    # joins `edges`, and without a materialization point each round
+    # re-ran the entire shingle/inverted-index/verify pipeline that
+    # produced the pairs (~1 s × rounds at sf0.1). The pair graph is
+    # post-LSH-tier TINY (hundreds of rows), so an eager local
+    # checkpoint is one cheap job and truncates the lineage the loop
+    # would otherwise replay.
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
-    )
+    ).localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
