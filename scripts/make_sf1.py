@@ -55,6 +55,16 @@ import zlib
 SEED_BASE = zlib.crc32(os.path.abspath(DST).encode())
 REPLICAS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
+#: Parquet row-group sizing (r16): the driver's fixtures are
+#: single-row-group files, so every scan stage is ONE task at any core
+#: count — that floors every local measurement and hides core scaling
+#: (r15 verdict item). The ladder's tables are written with explicit
+#: row groups sized so each table splits into >= 16 groups (floor 2048
+#: rows so groups stay vectorization-friendly), which is what any real
+#: multi-hundred-MB table looks like.
+def row_group_size(n_rows: int) -> int:
+    return max(2048, n_rows // 16)
+
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
 
@@ -79,8 +89,11 @@ for t, (keycol, cols) in offsets.items():
             else:
                 sel.append(name)
         parts.append(f"SELECT {', '.join(sel)} FROM '{SRC}/{t}.parquet'")
+    n_src = con.sql(f"SELECT COUNT(*) FROM '{SRC}/{t}.parquet'").fetchone()[0]
+    rg = row_group_size(n_src * REPLICAS)
     con.sql(
-        f"COPY ({' UNION ALL '.join(parts)}) TO '{DST}/{t}.parquet' (FORMAT PARQUET)"
+        f"COPY ({' UNION ALL '.join(parts)}) TO '{DST}/{t}.parquet' "
+        f"(FORMAT PARQUET, ROW_GROUP_SIZE {rg})"
     )
     print(t, con.sql(f"SELECT COUNT(*) FROM '{DST}/{t}.parquet'").fetchone()[0])
 
@@ -89,7 +102,9 @@ docs = con.sql(f"SELECT doc_id, text, lang, source, n_chars FROM '{SRC}/document
 max_doc = max(d[0] for d in docs) + 1
 out = []
 for r in range(REPLICAS):
-    rng = random.Random((SEED_BASE, 1234 + r))
+    # explicit integer mixing (r15 ADVICE: hash(tuple) seeding is a
+    # CPython implementation detail, not a documented guarantee)
+    rng = random.Random(SEED_BASE * 1_000_003 + 1234 + r)
     for doc_id, text, lang, source, n_chars in docs:
         if r == 0:
             t2 = text
@@ -100,7 +115,10 @@ for r in range(REPLICAS):
         out.append((doc_id + r * max_doc, t2, lang, source, len(t2)))
 con.sql("CREATE TABLE docs_out (doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR, n_chars BIGINT)")
 con.executemany("INSERT INTO docs_out VALUES (?,?,?,?,?)", out)
-con.sql(f"COPY docs_out TO '{DST}/documents.parquet' (FORMAT PARQUET)")
+con.sql(
+    f"COPY docs_out TO '{DST}/documents.parquet' "
+    f"(FORMAT PARQUET, ROW_GROUP_SIZE {row_group_size(len(out))})"
+)
 print("documents", len(out))
 
 # embeddings: jitter one coordinate per replica
@@ -116,6 +134,9 @@ for r in range(REPLICAS):
         eout.append((vec_id + r * max_vec, v, label))
 con.sql("CREATE TABLE emb_out (vec_id BIGINT, embedding FLOAT[], label INTEGER)")
 con.executemany("INSERT INTO emb_out VALUES (?,?,?)", eout)
-con.sql(f"COPY emb_out TO '{DST}/embeddings.parquet' (FORMAT PARQUET)")
+con.sql(
+    f"COPY emb_out TO '{DST}/embeddings.parquet' "
+    f"(FORMAT PARQUET, ROW_GROUP_SIZE {row_group_size(len(eout))})"
+)
 print("embeddings", len(eout))
 print("done ->", DST)

@@ -541,12 +541,18 @@ def op_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).view(np.int64)
             yield pd.DataFrame(out)
 
-    # r16: signatures are computed on the scan's natural partitioning —
-    # the raw text never shuffles, same §2.4 transform r15 proved on
-    # the minhash kernel (A/B at sf0.1: tie within noise locally; at
-    # scale the saved full-corpus exchange dominates). The orderBy
-    # range-exchanges only the 6-column signature rows.
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # r16: the upfront unconditional corpus shuffle became the
+    # narrow-scan-gated spread. Unlike minhash (whose post-kernel
+    # repartition already rebalances and where the spread A/Bs as a
+    # tie at sf0.1 AND the 10x ladder), simhash has no post-kernel
+    # exchange and its distinct+bit-majority kernel is ~3x heavier:
+    # on the 10x ladder's 6-split scan the natural partitioning
+    # measured 5.9 s vs 1.3 s spread, while a genuinely wide corpus
+    # scan skips the shuffle entirely.
+    d = _spread_if_narrow(
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        table_path(sf_dir, "documents"),
+    )
     return d.mapInPandas(
         sig_batches,
         "doc_id bigint, simhash bigint, chunk0 bigint, chunk1 bigint, "
